@@ -1,38 +1,994 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 re-expressed
+Spark-first on the driver's testdata tables; ``oracle_sql()`` carries the
+DuckDB-equivalent ANSI SQL. Aggregates over fixed-decimal data use exact
+scaled-bigint sums (esper_tv_spark.functions.aggregates) so values are
+bit-identical across engines regardless of accumulation order.
+
+Interval queries model the rekall layer on the `events` table: an event is
+the interval [epoch_us(ts), epoch_us(ts) + value seconds) for its user —
+integer microseconds, so all interval arithmetic is exact.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esper_tv_spark.functions.aggregates import (
+    argmax_per_group,
+    exact_avg,
+    exact_avg_sql,
+    exact_sum,
+    exact_sum_sql,
+    percentile_rank,
+    sum_distinct_over_column,
+    weighted_sum_var,
+)
+from esper_tv_spark.operators import dedup, intervals, similarity, text
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts normalized to a (microsecond) TimestampType column.
+
+    The driver's events.parquet stores TIMESTAMP(NANOS), which Spark reads as
+    long nanos under spark.sql.legacy.parquet.nanosAsLong (set in
+    esper_tv_spark.session). `div` keeps the nanos->micros conversion in
+    exact integer arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def _event_intervals(spark: SparkSession, sf_dir: str, event_type: str | None = None) -> DataFrame:
+    """events -> (user_id, event_id, start, end) in epoch-micros."""
+    ev = _events(spark, sf_dir)
+    if event_type is not None:
+        ev = ev.where(F.col("event_type") == event_type)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("start"),
+        (F.unix_micros("ts") + F.round(F.col("value") * F.lit(1000000.0)).cast("long")).alias("end"),
+    )
+
+
+_IV_SQL = (
+    "SELECT user_id, event_id, epoch_us(ts) AS start, "
+    "epoch_us(ts) + CAST(round(value * 1000000) AS BIGINT) AS \"end\" "
+    "FROM events{where}"
+)
+
+
+def _iv_sql(event_type: str | None = None) -> str:
+    where = f" WHERE event_type = '{event_type}'" if event_type else ""
+    return _IV_SQL.format(where=where)
+
+
+# ==========================================================================
+# relational core (SURVEY §2.2-2.8)
+# ==========================================================================
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + groupBy agg (sum/avg/count).
+    Exercises predicate pushdown into the parquet scan + partial aggs."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity", 2).alias("sum_qty"),
+            exact_sum("l_extendedprice", 2).alias("sum_base_price"),
+            exact_sum(disc_price, 4).alias("sum_disc_price"),
+            exact_sum(charge, 6).alias("sum_charge"),
+            exact_avg("l_quantity", 2).alias("avg_qty"),
+            exact_avg("l_extendedprice", 2).alias("avg_price"),
+            exact_avg("l_discount", 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {exact_sum_sql('l_quantity', 2)} AS sum_qty,
+       {exact_sum_sql('l_extendedprice', 2)} AS sum_base_price,
+       {exact_sum_sql('l_extendedprice * (1.0 - l_discount)', 4)} AS sum_disc_price,
+       {exact_sum_sql('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)', 6)} AS sum_charge,
+       {exact_avg_sql('l_quantity', 2)} AS avg_qty,
+       {exact_avg_sql('l_extendedprice', 2)} AS avg_price,
+       {exact_avg_sql('l_discount', 2)} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + group + deterministic top-k
+    (SURVEY §2.3 equi-join chain, §2.6 top-k)."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(exact_sum(revenue, 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q02_SQL = f"""
+SELECT o_orderkey, o_orderdate,
+       {exact_sum_sql('l_extendedprice * (1.0 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star-schema join with broadcast dims
+    (the reference's FK `__`-path traversal, SURVEY §2.3)."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(exact_sum(revenue, 4).alias("revenue"))
+    )
+
+
+Q03_SQL = f"""
+SELECT n_name, {exact_sum_sql('l_extendedprice * (1.0 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q04_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): orders with any lineitem shipped >60 days
+    after the order date, counted per priority (SURVEY §2.3 left-semi)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q04_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q05_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no 2000+ orders, per
+    segment (reference anti-join: widget.py:324-331)."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+Q05_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
+)
+GROUP BY c_mktsegment
+"""
+
+
+def q06_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax per group via row_number window (replaces the reference's
+    driver-side dict scan, spark_util.py:741-778)."""
+    orders = _t(spark, sf_dir, "orders")
+    return argmax_per_group(orders, ["o_custkey"], "o_totalprice", ["o_orderkey"]).select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+Q06_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def q07_balance_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percent_rank within nation (replaces the reference's 10k-bucket
+    histogram CDF + UDF lookup, spark_util.py:432-464)."""
+    cust = _t(spark, sf_dir, "customer")
+    return percentile_rank(cust, ["c_nationkey"], "c_acctbal", "balance_pctile").select(
+        "c_custkey", "c_nationkey", "balance_pctile"
+    )
+
+
+Q07_SQL = """
+SELECT c_custkey, c_nationkey,
+       percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS balance_pctile
+FROM customer
+"""
+
+
+def q08_weighted_screen_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The esper probability-weighted screen-time model (E = Σ p·x,
+    Var = Σ p(1-p)·x², spark_util.py:629-663) with l_discount as the label
+    probability and l_quantity as the duration."""
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_sum_var(li, ["l_returnflag"], "l_quantity", "l_discount")
+
+
+Q08_SQL = f"""
+SELECT l_returnflag,
+       {exact_sum_sql('l_discount * l_quantity', 4)} AS expected_sum,
+       {exact_sum_sql('l_discount * (1.0 - l_discount) * l_quantity * l_quantity', 8)} AS variance_sum
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q09_sum_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum over distinct keys (reference sum_distinct_over_column,
+    spark_util.py:666-727 — driver-side set there; dropDuplicates+groupBy
+    here): total order value per priority counting each order once despite
+    lineitem fan-out."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    fanout = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return sum_distinct_over_column(
+        fanout, ["o_orderkey"], "o_totalprice", ["o_orderpriority"]
+    ).withColumnRenamed("sum_o_totalprice", "total_value")
+
+
+Q09_SQL = f"""
+SELECT o_orderpriority, {exact_sum_sql('o_totalprice', 2)} AS total_value
+FROM (
+  SELECT DISTINCT o_orderkey, o_orderpriority, o_totalprice
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q10_orders_with_seven_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-count subquery (frames with exactly N faces,
+    panels_sql.py:13-18) as groupBy + having."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .where(F.col("n_items") == 7)
+    )
+
+
+Q10_SQL = """
+SELECT l_orderkey, count(*) AS n_items
+FROM lineitem GROUP BY l_orderkey HAVING count(*) = 7
+"""
+
+
+def q11_orders_by_dateparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + roll-up (reference hour/weekday/month/year
+    annotations, spark_util.py:44-58). Spark dayofweek is 1=Sunday; DuckDB
+    dayofweek is 0=Sunday — oracle adds 1."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+            F.dayofweek("o_orderdate").cast("long").alias("o_dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), exact_sum("o_totalprice", 2).alias("total_price"))
+    )
+
+
+Q11_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS o_dow,
+       count(*) AS n_orders,
+       {exact_sum_sql('o_totalprice', 2)} AS total_price
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+def q12_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on id sets (reference Python set &/| /-,
+    other_queries.py:84-85, 387-392): BUILDING ∩ high-balance, minus
+    low-numbered nations."""
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.where(F.col("c_acctbal") > 1000.0).select("c_custkey")
+    c = cust.where(F.col("c_nationkey") < 5).select("c_custkey")
+    return a.intersect(b).exceptAll(c)
+
+
+Q12_SQL = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 1000.0
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_nationkey < 5
+"""
+
+
+def q13_part_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family (SURVEY §2.8): split/lower/upper/contains/
+    substring/length over part names."""
+    part = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return part.select(
+        "p_partkey",
+        words.getItem(0).alias("color"),
+        words.getItem(1).alias("item"),
+        F.upper(F.col("p_name")).alias("upper_name"),
+        F.length(F.col("p_name")).cast("long").alias("name_len"),
+        F.col("p_name").contains("red").alias("is_red"),
+        F.substring(F.col("p_name"), 1, 3).alias("prefix3"),
+    )
+
+
+Q13_SQL = """
+SELECT p_partkey,
+       string_split(p_name, ' ')[1] AS color,
+       string_split(p_name, ' ')[2] AS item,
+       upper(p_name) AS upper_name,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       contains(p_name, 'red') AS is_red,
+       substring(p_name, 1, 3) AS prefix3
+FROM part
+"""
+
+
+def q14_math_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family (SURVEY §2.8): floor/ceil/abs/sqrt/round and
+    column arithmetic, row-wise (bit-deterministic IEEE chains)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.floor("l_extendedprice").alias("floor_price"),
+        F.ceil("l_extendedprice").alias("ceil_price"),
+        F.round(F.col("l_extendedprice") * F.col("l_quantity"), 2).alias("gross"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.abs(F.col("l_discount") - F.lit(0.05)).alias("disc_dev"),
+    )
+
+
+Q14_SQL = """
+SELECT l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+       round(l_extendedprice * l_quantity, 2) AS gross,
+       l_quantity * l_quantity AS qty_sq,
+       sqrt(l_quantity) AS qty_sqrt,
+       abs(l_discount - 0.05) AS disc_dev
+FROM lineitem WHERE l_orderkey <= 1000
+"""
+
+
+def q15_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (absent in the reference, free in Spark —
+    SURVEY §2.4 'grouping sets / cube / rollup')."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), exact_sum("l_extendedprice", 2).alias("sum_price")
+    )
+
+
+Q15_SQL = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       {exact_sum_sql('l_extendedprice', 2)} AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ==========================================================================
+# time windows + interval algebra (SURVEY §2.3 interval joins, §2.11)
+# ==========================================================================
+
+
+def q16_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time window over the event stream's batch view (the
+    Structured Streaming windowing path shares this exact expression)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), exact_sum("value", 2).alias("total_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "total_value")
+    )
+
+
+Q16_SQL = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+       count(*) AS n_events, {exact_sum_sql('value', 2)} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q17_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (gap 30 min) per user — the rekall dilate+coalesce
+    idiom applied to a stream (SURVEY §2.11), via session_window."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"))
+        .select("user_id", "session_start", "n_events")
+    )
+
+
+Q17_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), grp AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM grp GROUP BY user_id, sid
+"""
+
+
+def q18_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rekall coalesce (rekall_query.py:217): merge overlapping /
+    within-60s event intervals per user via the sessionize window."""
+    iv = _event_intervals(spark, sf_dir)
+    out = intervals.coalesce(iv.select("user_id", "start", "end"), ["user_id"], gap=60_000_000)
+    return out.select(
+        "user_id",
+        F.col("start").alias("istart"),
+        F.col("end").alias("iend"),
+        F.col("n_merged").alias("n_merged"),
+    )
+
+
+Q18_SQL = f"""
+WITH iv AS ({_iv_sql()}),
+ord AS (
+  SELECT user_id, start, "end",
+         max("end") OVER (PARTITION BY user_id ORDER BY start, "end"
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM iv
+), grp AS (
+  SELECT user_id, start, "end",
+         sum(CASE WHEN pmax IS NULL OR start > pmax + 60000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY start, "end" ROWS UNBOUNDED PRECEDING) AS gid
+  FROM ord
+)
+SELECT user_id, min(start) AS istart, max("end") AS iend, count(*) AS n_merged
+FROM grp GROUP BY user_id, gid
+"""
+
+
+def q19_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rekall overlaps / interval_overlap_join (spark_util.py:247-269 was a
+    driver-side dict loop; here a range join): view × error intervals of the
+    same user, with the clipped intersection length."""
+    a = _event_intervals(spark, sf_dir, "view")
+    b = _event_intervals(spark, sf_dir, "error")
+    j = intervals.overlap_join(a, b, ["user_id"], clip=False)
+    return j.select(
+        F.col("a_user_id").alias("user_id"),
+        F.col("a_event_id").alias("view_id"),
+        F.col("b_event_id").alias("error_id"),
+        F.col("overlap_length").alias("overlap_us"),
+    )
+
+
+Q19_SQL = f"""
+WITH a AS ({_iv_sql('view')}), b AS ({_iv_sql('error')})
+SELECT a.user_id AS user_id, a.event_id AS view_id, b.event_id AS error_id,
+       least(a."end", b."end") - greatest(a.start, b.start) AS overlap_us
+FROM a JOIN b ON a.user_id = b.user_id AND a.start < b."end" AND a."end" > b.start
+"""
+
+
+def q20_interval_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rekall minus (commercial_detection_rekall.py:199-205): view-time not
+    covered by error intervals, per user — fully relational implementation
+    (coalesce B + left range-join + gap window + tails)."""
+    a = _event_intervals(spark, sf_dir, "view")
+    b = _event_intervals(spark, sf_dir, "error").select("user_id", "start", "end")
+    out = intervals.minus(a, b, ["user_id"])
+    return out.select(
+        "user_id", "event_id", F.col("start").alias("istart"), F.col("end").alias("iend")
+    )
+
+
+Q20_SQL = f"""
+WITH a AS ({_iv_sql('view')}), braw AS ({_iv_sql('error')}),
+bord AS (
+  SELECT user_id, start, "end",
+         max("end") OVER (PARTITION BY user_id ORDER BY start, "end"
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM braw
+), bgrp AS (
+  SELECT user_id, start, "end",
+         sum(CASE WHEN pmax IS NULL OR start > pmax THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY start, "end" ROWS UNBOUNDED PRECEDING) AS gid
+  FROM bord
+), bc AS (
+  SELECT user_id, min(start) AS start, max("end") AS "end" FROM bgrp GROUP BY user_id, gid
+), j AS (
+  SELECT a.user_id, a.event_id, a.start AS s, a."end" AS e, bc.start AS bs, bc."end" AS be
+  FROM a LEFT JOIN bc ON a.user_id = bc.user_id AND bc.start < a."end" AND bc."end" > a.start
+), untouched AS (
+  SELECT user_id, event_id, s AS istart, e AS iend FROM j WHERE bs IS NULL
+), gaps AS (
+  SELECT user_id, event_id,
+         coalesce(lag(be) OVER (PARTITION BY user_id, event_id ORDER BY bs), s) AS istart,
+         bs AS iend
+  FROM j WHERE bs IS NOT NULL
+), tails AS (
+  SELECT user_id, event_id, max(be) AS istart, max(e) AS iend
+  FROM j WHERE bs IS NOT NULL GROUP BY user_id, event_id
+)
+SELECT * FROM untouched
+UNION ALL SELECT * FROM gaps WHERE iend > istart
+UNION ALL SELECT * FROM tails WHERE iend > istart
+"""
+
+
+def q21_interval_overlap_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """annotate_interval_overlap (spark_util.py:594-622 — broadcast-dict UDF
+    there): micros of each purchase interval overlapped by error time."""
+    a = _event_intervals(spark, sf_dir, "purchase").select("user_id", "event_id", "start", "end")
+    b = _event_intervals(spark, sf_dir, "error").select("user_id", "start", "end")
+    out = intervals.overlap_measure(a, b, ["user_id"])
+    return out.select("user_id", "event_id", F.col("overlap_total").alias("overlap_us"))
+
+
+Q21_SQL = f"""
+WITH a AS ({_iv_sql('purchase')}), braw AS ({_iv_sql('error')}),
+bord AS (
+  SELECT user_id, start, "end",
+         max("end") OVER (PARTITION BY user_id ORDER BY start, "end"
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM braw
+), bgrp AS (
+  SELECT user_id, start, "end",
+         sum(CASE WHEN pmax IS NULL OR start > pmax THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY start, "end" ROWS UNBOUNDED PRECEDING) AS gid
+  FROM bord
+), bc AS (
+  SELECT user_id, min(start) AS start, max("end") AS "end" FROM bgrp GROUP BY user_id, gid
+)
+SELECT a.user_id, a.event_id,
+       CAST(sum(CASE WHEN bc.start IS NULL THEN 0
+                ELSE least(a."end", bc."end") - greatest(a.start, bc.start) END) AS BIGINT) AS overlap_us
+FROM a LEFT JOIN bc ON a.user_id = bc.user_id AND bc.start < a."end" AND bc."end" > a.start
+GROUP BY a.user_id, a.event_id
+"""
+
+
+def q22_interval_merge_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rekall merge (interview.py:87-93): span view intervals with purchase
+    intervals that start within 10 minutes after the view ends."""
+    a = _event_intervals(spark, sf_dir, "view").select("user_id", "start", "end")
+    b = _event_intervals(spark, sf_dir, "purchase").select("user_id", "start", "end")
+    out = intervals.merge_join(a, b, ["user_id"], intervals.t_before(600_000_000))
+    return out.select("user_id", F.col("start").alias("istart"), F.col("end").alias("iend"))
+
+
+Q22_SQL = f"""
+WITH a AS ({_iv_sql('view')}), b AS ({_iv_sql('purchase')})
+SELECT a.user_id, least(a.start, b.start) AS istart, greatest(a."end", b."end") AS iend
+FROM a JOIN b ON a.user_id = b.user_id
+WHERE a."end" <= b.start AND b.start - a."end" <= 600000000
+"""
+
+
+# ==========================================================================
+# text / captions (SURVEY §2.9) + training-data text analysis
+# ==========================================================================
+
+
+def q23_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption phrase_search (captions.py:93-96): docs containing the exact
+    phrase, with the non-overlapping occurrence count."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.phrase_search(docs, "table hash")
+
+
+Q23_SQL = """
+WITH padded AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)
+SELECT doc_id,
+       CAST(floor((length(p) - length(replace(p, ' table hash ', ' '))) / 11.0) AS BIGINT) AS n_matches
+FROM padded WHERE contains(p, ' table hash ')
+"""
+
+
+def q24_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies, deterministic top-20 (reference word_counts,
+    transcript_utils.py:56-71)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text.word_counts(docs)
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+Q24_SQL = """
+SELECT token, count(*) AS tf
+FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents)
+GROUP BY token ORDER BY tf DESC, token ASC LIMIT 20
+"""
+
+
+def q25_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality metrics: token count, mean token length,
+    punctuation ratio, stopword ratio — all single exact divisions."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.quality_metrics(docs)
+
+
+Q25_SQL = """
+WITH t AS (
+  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+       CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], lower(x)))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS stopword_ratio
+FROM t
+"""
+
+
+def q26_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID confusion counts: actual lang × predicted."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = text.language_id(docs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred.select("doc_id", "pred_lang"), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SW = {k: ",".join(f"'{w}'" for w in v) for k, v in text.LANG_STOPWORDS.items()}
+Q26_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, x -> list_contains([{_SW['de']}], lower(x)))) AS hits_de,
+         len(list_filter(toks, x -> list_contains([{_SW['en']}], lower(x)))) AS hits_en,
+         len(list_filter(toks, x -> list_contains([{_SW['es']}], lower(x)))) AS hits_es,
+         len(list_filter(toks, x -> list_contains([{_SW['fr']}], lower(x)))) AS hits_fr
+  FROM t
+), p AS (
+  SELECT doc_id, lang,
+         CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+              WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+              WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+              WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+              ELSE 'fr' END AS pred_lang
+  FROM h
+)
+SELECT lang, pred_lang, count(*) AS n_docs FROM p GROUP BY lang, pred_lang
+"""
+
+
+def q27_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup fingerprint: md5 of lower-cased whitespace-normalized
+    text (dedup.fingerprint) — the dedup key column."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.fingerprint(docs).select("doc_id", "fp")
+
+
+Q27_SQL = """
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs (8 md5 minhashes over
+    3-token shingles, 4 bands × 2 rows). Bucket-join candidate generation —
+    never an O(n²) cross join."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(docs, n_hashes=8, shingle_n=3, n_bands=4)
+
+
+_MH_AGGS = ",\n         ".join(f"min(md5('{i}|' || ngram)) AS mh_{i}" for i in range(8))
+_BAND_SELECTS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band, md5(mh_{2 * j} || '|' || mh_{2 * j + 1}) AS bucket FROM sig"
+    for j in range(4)
+)
+Q28_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, greatest(len(t) - 3, -1) + 1),
+                               i -> array_to_string(t[i+1:i+3], ' '))) AS ngram
+  FROM toks WHERE len(t) >= 3
+), sig AS (
+  SELECT doc_id, {_MH_AGGS}
+  FROM sh GROUP BY doc_id
+), buckets AS (
+  {_BAND_SELECTS}
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket
+WHERE l.doc_id < r.doc_id
+"""
+
+
+def q29_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document over the token multiset — relational
+    (explode bit positions), no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, n_bits=32)
+
+
+Q29_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM tok
+), bits AS (
+  SELECT doc_id, b, CAST(sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+  FROM th, unnest(range(0, 32)) AS t(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def q30_source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus stats: docs, total tokens, mean chars."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.tokenize(docs)
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("tokens").cast("long")).alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")).alias("mean_chars"),
+    )
+
+
+Q30_SQL = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chars
+FROM documents GROUP BY source
+"""
+
+
+# ==========================================================================
+# vectors (SURVEY §2.10) + similarity search
+# ==========================================================================
+
+
+def q31_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 to the vec_id=0 embedding (reference knn,
+    face_embeddings.py:74-96). Deterministic cut: (rounded sim desc, id)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.cosine_topk(emb, qv, 10)
+
+
+Q31_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))), 6) AS cosine_sim
+FROM embeddings, q
+ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q32_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid embedding (reference mean,
+    face_embeddings.py:57-61), elements rounded to 6 dp."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.mean_embedding(emb, ["label"])
+    return out.select(
+        "label", F.transform("centroid", lambda v: F.round(v, 6)).alias("centroid")
+    )
+
+
+Q32_SQL = """
+WITH e AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+), pd AS (
+  SELECT label, dim, avg(val) AS avg_val FROM e GROUP BY label, dim
+)
+SELECT label, list(round(avg_val, 6) ORDER BY dim ASC) AS centroid
+FROM pd GROUP BY label
+"""
+
+
+def q33_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean L2 norm + count (embedding-store stats)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n = similarity.norm(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.round(F.avg(n), 6).alias("mean_norm"), F.count(F.lit(1)).alias("n_vecs")
+    )
+
+
+Q33_SQL = """
+SELECT label,
+       round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS mean_norm,
+       count(*) AS n_vecs
+FROM embeddings GROUP BY label
+"""
+
+
+# ==========================================================================
+# driver contract
+# ==========================================================================
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_top_revenue_orders": q02_top_revenue_orders,
+    "q03_region_revenue": q03_region_revenue,
+    "q04_late_ship_priority": q04_late_ship_priority,
+    "q05_quiet_customers": q05_quiet_customers,
+    "q06_top_order_per_customer": q06_top_order_per_customer,
+    "q07_balance_percentile": q07_balance_percentile,
+    "q08_weighted_screen_time": q08_weighted_screen_time,
+    "q09_sum_distinct_orders": q09_sum_distinct_orders,
+    "q10_orders_with_seven_items": q10_orders_with_seven_items,
+    "q11_orders_by_dateparts": q11_orders_by_dateparts,
+    "q12_customer_setops": q12_customer_setops,
+    "q13_part_string_ops": q13_part_string_ops,
+    "q14_math_ops": q14_math_ops,
+    "q15_rollup_revenue": q15_rollup_revenue,
+    "q16_events_hourly": q16_events_hourly,
+    "q17_event_sessions": q17_event_sessions,
+    "q18_interval_coalesce": q18_interval_coalesce,
+    "q19_interval_overlap_pairs": q19_interval_overlap_pairs,
+    "q20_interval_minus": q20_interval_minus,
+    "q21_interval_overlap_measure": q21_interval_overlap_measure,
+    "q22_interval_merge_near": q22_interval_merge_near,
+    "q23_phrase_search": q23_phrase_search,
+    "q24_word_counts": q24_word_counts,
+    "q25_doc_quality": q25_doc_quality,
+    "q26_language_id": q26_language_id,
+    "q27_doc_fingerprints": q27_doc_fingerprints,
+    "q28_minhash_lsh_pairs": q28_minhash_lsh_pairs,
+    "q29_simhash": q29_simhash,
+    "q30_source_token_stats": q30_source_token_stats,
+    "q31_knn": q31_knn,
+    "q32_label_centroids": q32_label_centroids,
+    "q33_embedding_norms": q33_embedding_norms,
+}
+
+_ORACLES: dict[str, str] = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_top_revenue_orders": Q02_SQL,
+    "q03_region_revenue": Q03_SQL,
+    "q04_late_ship_priority": Q04_SQL,
+    "q05_quiet_customers": Q05_SQL,
+    "q06_top_order_per_customer": Q06_SQL,
+    "q07_balance_percentile": Q07_SQL,
+    "q08_weighted_screen_time": Q08_SQL,
+    "q09_sum_distinct_orders": Q09_SQL,
+    "q10_orders_with_seven_items": Q10_SQL,
+    "q11_orders_by_dateparts": Q11_SQL,
+    "q12_customer_setops": Q12_SQL,
+    "q13_part_string_ops": Q13_SQL,
+    "q14_math_ops": Q14_SQL,
+    "q15_rollup_revenue": Q15_SQL,
+    "q16_events_hourly": Q16_SQL,
+    "q17_event_sessions": Q17_SQL,
+    "q18_interval_coalesce": Q18_SQL,
+    "q19_interval_overlap_pairs": Q19_SQL,
+    "q20_interval_minus": Q20_SQL,
+    "q21_interval_overlap_measure": Q21_SQL,
+    "q22_interval_merge_near": Q22_SQL,
+    "q23_phrase_search": Q23_SQL,
+    "q24_word_counts": Q24_SQL,
+    "q25_doc_quality": Q25_SQL,
+    "q26_language_id": Q26_SQL,
+    "q27_doc_fingerprints": Q27_SQL,
+    "q28_minhash_lsh_pairs": Q28_SQL,
+    "q29_simhash": Q29_SQL,
+    "q30_source_token_stats": Q30_SQL,
+    "q31_knn": Q31_SQL,
+    "q32_label_centroids": Q32_SQL,
+    "q33_embedding_norms": Q33_SQL,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the esper probability-weighted screen-time aggregation
+    (E/Var per group) on sf0.001."""
+    return q08_weighted_screen_time(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

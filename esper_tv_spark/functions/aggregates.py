@@ -1,0 +1,164 @@
+"""Aggregation helpers.
+
+Re-expresses the reference's driver-side aggregation workarounds as native
+Spark aggregations:
+
+- sum_over_column (prob-weighted E/Var; /root/reference/app/esper/
+  spark_util.py:629-663) -> weighted_sum_var: two column exprs + groupBy.sum.
+- sum_distinct_over_column (driver-side set dedup, spark_util.py:666-727,
+  whose comment claims "Spark does not have an easy way") ->
+  dropDuplicates + groupBy.sum — fully native, distributed.
+- argmax per group (driver dict scan, spark_util.py:741-778) ->
+  row_number() window.
+- bucketized CDF percentile (spark_util.py:432-464) -> percent_rank()
+  window — exact, no 10k-bucket approximation, no driver round-trip.
+
+Exact deterministic sums
+------------------------
+`exact_sum` sums fixed-decimal data (money columns, 2-decimal measures) as
+scaled BIGINTs and divides once at the end. Integer summation is associative,
+so the result is bit-identical no matter how Spark partitions the data or in
+which order DuckDB accumulates — double sums are not, and an
+order-of-accumulation wobble in the 15th digit would break value-hash
+comparison between engines. At 100 TB this also means partial (map-side)
+aggregation of longs, which is cheaper than doubles and immune to the
+catastrophic-cancellation issues of large float sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# exact scaled-integer sums (deterministic across engines/partitionings)
+# --------------------------------------------------------------------------
+
+def exact_sum(col: Column | str, decimals: int = 2) -> Column:
+    """Sum a fixed-decimal double column exactly via scaled-bigint sum.
+
+    Result is a double equal to sum(col) with the final division as the only
+    floating-point operation.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scale = 10**decimals
+    return F.sum(F.round(c * F.lit(scale)).cast("long")).cast("double") / F.lit(float(scale))
+
+
+def exact_avg(col: Column | str, decimals: int = 2) -> Column:
+    """Average of a fixed-decimal column: exact sum, then /count."""
+    c = F.col(col) if isinstance(col, str) else col
+    scale = 10**decimals
+    s = F.sum(F.round(c * F.lit(scale)).cast("long")).cast("double") / F.lit(float(scale))
+    return s / F.count(c).cast("double")
+
+
+def exact_sum_sql(expr: str, decimals: int = 2) -> str:
+    """ANSI-SQL text equivalent of exact_sum, for DuckDB oracles."""
+    scale = 10**decimals
+    return f"CAST(sum(CAST(round(({expr}) * {scale}) AS BIGINT)) AS DOUBLE) / {float(scale)}"
+
+
+def exact_avg_sql(expr: str, decimals: int = 2) -> str:
+    scale = 10**decimals
+    return (
+        f"(CAST(sum(CAST(round(({expr}) * {scale}) AS BIGINT)) AS DOUBLE) / {float(scale)})"
+        f" / CAST(count({expr}) AS DOUBLE)"
+    )
+
+
+# --------------------------------------------------------------------------
+# probability-weighted aggregation (Bernoulli screen-time model)
+# --------------------------------------------------------------------------
+
+def weighted_sum_var(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    prob_col: str,
+    value_decimals: int = 2,
+    prob_decimals: int = 2,
+) -> DataFrame:
+    """E = sum(p*x), Var = sum(p*(1-p)*x^2) per group.
+
+    Reference: sum_over_column, /root/reference/app/esper/spark_util.py:629-663
+    and spark_identity.py:52-60. There it is two withColumns plus a
+    groupBy.sum; here additionally made bit-deterministic with scaled-int
+    sums (inputs are fixed-decimal).
+    """
+    x, p = F.col(value_col), F.col(prob_col)
+    exp_d = value_decimals + prob_decimals
+    var_d = 2 * value_decimals + 2 * prob_decimals
+    return df.groupBy(*group_cols).agg(
+        exact_sum(p * x, exp_d).alias("expected_sum"),
+        exact_sum(p * (F.lit(1.0) - p) * x * x, var_d).alias("variance_sum"),
+    )
+
+
+def weighted_sum_var_sql(
+    table_expr: str,
+    group_cols: list[str],
+    value_expr: str,
+    prob_expr: str,
+    value_decimals: int = 2,
+    prob_decimals: int = 2,
+) -> str:
+    exp_d = value_decimals + prob_decimals
+    var_d = 2 * value_decimals + 2 * prob_decimals
+    gc = ", ".join(group_cols)
+    return f"""
+        SELECT {gc},
+               {exact_sum_sql(f'({prob_expr}) * ({value_expr})', exp_d)} AS expected_sum,
+               {exact_sum_sql(f'({prob_expr}) * (1.0 - ({prob_expr})) * ({value_expr}) * ({value_expr})', var_d)} AS variance_sum
+        FROM {table_expr}
+        GROUP BY {gc}
+    """
+
+
+# --------------------------------------------------------------------------
+# distinct-key aggregation
+# --------------------------------------------------------------------------
+
+def sum_distinct_over_column(
+    df: DataFrame,
+    distinct_cols: list[str],
+    sum_col: str,
+    group_cols: list[str] | None = None,
+    decimals: int = 2,
+) -> DataFrame:
+    """Sum one row per distinct key tuple (reference spark_util.py:666-727
+    collected all rows to a driver-side set; this is dropDuplicates +
+    groupBy.sum, fully distributed — the dedup is a shuffle on the distinct
+    key, the sum piggybacks map-side partials)."""
+    deduped = df.dropDuplicates(distinct_cols)
+    if group_cols:
+        return deduped.groupBy(*group_cols).agg(exact_sum(sum_col, decimals).alias(f"sum_{sum_col}"))
+    return deduped.agg(exact_sum(sum_col, decimals).alias(f"sum_{sum_col}"))
+
+
+def count_distinct_over_column(df: DataFrame, distinct_cols: list[str], group_cols: list[str] | None = None) -> DataFrame:
+    """countDistinct wrapper (reference spark_util.py:730-738)."""
+    agg = F.countDistinct(*[F.col(c) for c in distinct_cols]).alias("n_distinct")
+    return df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
+
+
+# --------------------------------------------------------------------------
+# window-backed helpers
+# --------------------------------------------------------------------------
+
+def argmax_per_group(df: DataFrame, group_cols: list[str], order_col: str, tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """Keep the max-`order_col` row per group (reference argmax was a driver
+    dict scan, spark_util.py:741-778; also groupBy.agg(max) at
+    spark_identity.py:36-50). row_number over a composite ordering makes the
+    winner deterministic under ties."""
+    order = [F.col(order_col).desc()] + [F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def percentile_rank(df: DataFrame, partition_cols: list[str], value_col: str, out_col: str = "pct_rank") -> DataFrame:
+    """Exact percentile within partition (replaces the reference's
+    10k-bucket histogram CDF + driver UDF lookup, spark_util.py:432-464)."""
+    w = Window.partitionBy(*partition_cols).orderBy(F.col(value_col))
+    return df.withColumn(out_col, F.percent_rank().over(w))

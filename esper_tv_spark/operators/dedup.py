@@ -1,0 +1,166 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket
+join), SimHash, and exact n-gram Jaccard verification. All deterministic and
+engine-portable: hashes are md5 (identical in Spark and DuckDB), so the
+DuckDB oracle can replay every step bit-for-bit.
+
+Scale notes (100 TB): the LSH path is the point — candidate generation is a
+groupBy on (band_id, band_hash) buckets (one shuffle), never an O(n^2)
+cross join; the exact Jaccard verify runs only on bucket-cohabiting pairs.
+Hot buckets (boilerplate docs) are the skew risk: cap bucket size or salt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from esper_tv_spark.operators.text import fingerprint, ngrams, tokenize
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups: normalize -> md5 -> groupBy having count>1.
+    Returns (fp, n_docs, min_doc_id) per duplicate group."""
+    return (
+        fingerprint(df, id_col, text_col)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per fingerprint — the dedup sink."""
+    fp = fingerprint(df, id_col, text_col)
+    w_min = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(w_min, [ "fp", id_col ], "left_semi").drop("fp")
+
+
+def minhash_signature(
+    df: DataFrame,
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per document: token shingles of size `shingle_n`,
+    hash function i = md5(i || '|' || shingle), signature element = min hex
+    digest. Lexicographic min over md5 hex == min over a uniform 128-bit
+    space, and is identical in any engine with md5.
+
+    Output: (doc_id, mh_0 .. mh_{n-1}).
+    """
+    sh = ngrams(df, shingle_n, id_col, text_col).dropDuplicates([id_col, "ngram"])
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("ngram")))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_buckets(
+    signatures: DataFrame,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signature: band j hashes sig[j*r .. (j+1)*r-1] together.
+    Output: (doc_id, band, bucket)."""
+    parts = []
+    for j in range(n_bands):
+        cols = [F.col(f"mh_{j * rows_per_band + k}") for k in range(rows_per_band)]
+        parts.append(
+            signatures.select(
+                F.col(id_col), F.lit(j).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-duplicate pairs: documents sharing any LSH band bucket.
+    Self-join on (band, bucket) with id_a < id_b, then distinct — the shuffle
+    key is the bucket, so cost is sum of bucket-size^2, not corpus^2."""
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signature(df, n_hashes, shingle_n, id_col, text_col)
+    b = lsh_buckets(sig, n_bands, rows_per_band, id_col)
+    left = b.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = b.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for given candidate pairs:
+    |A ∩ B| / |A ∪ B| over distinct shingle sets. The verify stage after
+    LSH candidate generation."""
+    sh = ngrams(df, shingle_n, id_col, text_col).dropDuplicates([id_col, "ngram"])
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("ngram"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("ngram"))
+    inter = (
+        pairs.join(a, "id_a").join(b, ["id_b", "ngram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, n_bits: int = 32, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash per document over tokens: token hash = low `n_bits` bits of
+    md5; for each bit position sum (+1/-1); simhash bit = sign. Implemented
+    relationally (explode bit positions) — no UDF, deterministic.
+
+    Output: (doc_id, simhash bigint)."""
+    toks = tokenize(df, text_col).select(F.col(id_col), F.explode("tokens").alias("token"))
+    # low n_bits of md5 via hex prefix -> bigint (15 hex chars = 60 bits max)
+    nhex = (n_bits + 3) // 4
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, nhex), 16, 10).cast("long")
+    tb = toks.withColumn("h", h).withColumn("bit", F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))))
+    signed = tb.withColumn(
+        "contrib",
+        F.when(F.expr("shiftright(h, CAST(bit AS INT))").bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    )
+    bits = (
+        signed.groupBy(id_col, "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+    )
+    return bits.groupBy(id_col).agg(F.sum("bitval").cast("long").alias("simhash"))

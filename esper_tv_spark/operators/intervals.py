@@ -1,0 +1,384 @@
+"""Interval algebra on DataFrames — the rekall layer, re-expressed relationally.
+
+The reference's rekall (/root/reference/app/esper/rekall.py:5,39-47) holds
+`{video_id -> IntervalList}` fully materialized in driver memory and applies
+operators eagerly in Python per video (noted slow at rekall_query.py:294-296).
+Here every operator is a DataFrame -> DataFrame transform over rows
+`(key..., start, end, payload...)`:
+
+- per-key sequential logic (coalesce/sessionize)  -> window functions
+- binary interval ops (overlaps/minus/merge/join) -> range joins, optionally
+  *banded* so Catalyst gets an equi-key and the per-key cross product is
+  bounded (the reference's `working_window` band pruning,
+  rekall_query.py:133-140, is the same physics — but theirs prunes a Python
+  nested loop; ours feeds a distributed hash join)
+- order-dependent user folds                      -> applyInPandas (only here)
+
+Start/end are any numeric; for timestamps use integer epoch-micros so all
+arithmetic is exact (engine-portable).
+
+Scale notes (100 TB): every operator partitions by the key columns — the
+fundamental parallel axis (reference parallelizes the same way across
+processes, rekall_parallel.py:40-78). Skewed keys (one 3-hour video vs
+10-minute clips) are handled by AQE skew-join for the joins; coalesce is a
+single window pass (one shuffle by key). Band width for banded joins should
+come from interval-length stats (plans/banding.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# unary ops
+# --------------------------------------------------------------------------
+
+
+def coalesce(
+    df: DataFrame,
+    key_cols: list[str],
+    start: str = "start",
+    end: str = "end",
+    gap: int | float = 0,
+    payload_aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Merge overlapping / near-adjacent (within `gap`) intervals per key.
+
+    Rekall `coalesce` (usage: rekall_query.py:217, panels_rekall.py:38,
+    commercial_detection_rekall.py:135-138). Sessionization: running max of
+    `end` over preceding rows flags group starts; a running sum of flags is
+    the group id; one groupBy closes each session. Two shuffle-free window
+    passes over one shuffle by key — no driver materialization.
+
+    `dilate(d) >> coalesce() >> dilate(-d)` == coalesce(gap=2*d) — the
+    algebraic fusion the reference applies by hand
+    (commercial_detection_rekall.py:154-165).
+    """
+    s, e = F.col(start), F.col(end)
+    w_order = Window.partitionBy(*key_cols).orderBy(s.asc(), e.asc())
+    w_prev = w_order.rowsBetween(Window.unboundedPreceding, -1)
+    with_flag = df.withColumn("__prev_max_end", F.max(e).over(w_prev)).withColumn(
+        "__new_grp",
+        F.when(F.col("__prev_max_end").isNull() | (s > F.col("__prev_max_end") + F.lit(gap)), 1).otherwise(0),
+    )
+    with_gid = with_flag.withColumn("__gid", F.sum("__new_grp").over(w_order.rowsBetween(Window.unboundedPreceding, 0)))
+    aggs = [F.min(s).alias(start), F.max(e).alias(end)] + list(payload_aggs or [F.count(F.lit(1)).alias("n_merged")])
+    return with_gid.groupBy(*key_cols, "__gid").agg(*aggs).drop("__gid")
+
+
+def dilate(df: DataFrame, amount: int | float, start: str = "start", end: str = "end", clamp_zero: bool = False) -> DataFrame:
+    """Expand (or shrink, negative amount) every interval by `amount` on each
+    side. Rekall dilate (interview_with_person_x.py:61-64)."""
+    new_start = F.col(start) - F.lit(amount)
+    if clamp_zero:
+        new_start = F.greatest(new_start, F.lit(0))
+    return df.withColumn(start, new_start).withColumn(end, F.col(end) + F.lit(amount))
+
+
+def filter_length(
+    df: DataFrame, min_length: int | float = 0, max_length: int | float | None = None, start: str = "start", end: str = "end"
+) -> DataFrame:
+    """Keep intervals with length in [min_length, max_length]
+    (rekall filter_length, interview.py:96-100)."""
+    length = F.col(end) - F.col(start)
+    cond = length >= F.lit(min_length)
+    if max_length is not None:
+        cond = cond & (length <= F.lit(max_length))
+    return df.where(cond)
+
+
+def split_intervals(df: DataFrame, max_length: int, start: str = "start", end: str = "end") -> DataFrame:
+    """Split long intervals into consecutive chunks of at most `max_length`
+    (supercut chunking idiom). flatMap-style via sequence + explode —
+    stays in whole-stage codegen."""
+    s, e = F.col(start), F.col(end)
+    chunk_starts = F.sequence(s, e - F.lit(1), F.lit(max_length))
+    return (
+        df.withColumn("__cs", F.explode(chunk_starts))
+        .withColumn(end, F.least(F.col("__cs") + F.lit(max_length), e))
+        .withColumn(start, F.col("__cs"))
+        .drop("__cs")
+    )
+
+
+def set_union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Rekall set_union (commercial_detection_rekall.py:223,240,262-264)."""
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def count_duration(df: DataFrame, key_cols: list[str] | None = None, start: str = "start", end: str = "end") -> DataFrame:
+    """n_intervals + total duration (rekall_query.py:26-46), optionally per key."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col(end) - F.col(start)).alias("total_duration"),
+    ]
+    return df.groupBy(*key_cols).agg(*aggs) if key_cols else df.agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# temporal predicates (condition builders for the binary ops)
+# --------------------------------------------------------------------------
+
+
+def t_overlaps(a_s: Column, a_e: Column, b_s: Column, b_e: Column) -> Column:
+    return (a_s < b_e) & (a_e > b_s)
+
+
+def t_contains(a_s: Column, a_e: Column, b_s: Column, b_e: Column) -> Column:
+    """b contained in a (reference containment: spark.py:122-158)."""
+    return (a_s <= b_s) & (b_e <= a_e)
+
+
+def t_equal(a_s: Column, a_e: Column, b_s: Column, b_e: Column) -> Column:
+    return (a_s == b_s) & (a_e == b_e)
+
+
+def t_before(max_dist: int | float) -> Callable[[Column, Column, Column, Column], Column]:
+    """a ends before b starts, within max_dist (rekall before(max_dist),
+    rekall_query.py:130-140)."""
+
+    def pred(a_s: Column, a_e: Column, b_s: Column, b_e: Column) -> Column:
+        return (a_e <= b_s) & (b_s - a_e <= F.lit(max_dist))
+
+    return pred
+
+
+def t_after(max_dist: int | float) -> Callable[[Column, Column, Column, Column], Column]:
+    def pred(a_s: Column, a_e: Column, b_s: Column, b_e: Column) -> Column:
+        return (b_e <= a_s) & (a_s - b_e <= F.lit(max_dist))
+
+    return pred
+
+
+# --------------------------------------------------------------------------
+# binary ops (range joins)
+# --------------------------------------------------------------------------
+
+
+def _prefixed(df: DataFrame, prefix: str) -> DataFrame:
+    return df.select([F.col(c).alias(f"{prefix}{c}") for c in df.columns])
+
+
+def interval_join(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    pred: Callable[[Column, Column, Column, Column], Column] = t_overlaps,
+    start: str = "start",
+    end: str = "end",
+    band: int | None = None,
+) -> DataFrame:
+    """θ-join on intervals: pairs (a, b) sharing `key_cols` and satisfying
+    `pred` on their spans. Output columns are prefixed a_/b_.
+
+    Rekall join(pred, merge_op) (interview.py:118-121) is this plus a
+    projection; `overlaps` (rekall_query.py:323-333) is pred=t_overlaps.
+
+    With `band=W` (predicate must be overlap-like and local), both sides
+    are exploded into the W-sized buckets their span covers and the join
+    becomes an equi-join on (key, band) — the pair is emitted only from the
+    bucket containing max(a_start, b_start), so no dedup pass is needed.
+    This is the scale path: Catalyst gets a hash-joinable key and the
+    per-task cross product is bounded by bucket population, the same
+    pruning the reference's working_window does for its Python loops
+    (rekall_query.py:133-140).
+    """
+    pa, pb = _prefixed(a, "a_"), _prefixed(b, "b_")
+    a_s, a_e = F.col(f"a_{start}"), F.col(f"a_{end}")
+    b_s, b_e = F.col(f"b_{start}"), F.col(f"b_{end}")
+    cond = pred(a_s, a_e, b_s, b_e)
+    keys = [F.col(f"a_{k}") == F.col(f"b_{k}") for k in key_cols]
+    if band is None:
+        joined = pa.join(pb, keys, "inner").where(cond) if keys else pa.crossJoin(pb).where(cond)
+        return joined
+
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        s_col = F.col(f"{prefix}{start}")
+        e_col = F.col(f"{prefix}{end}")
+        return df.withColumn(
+            "__band",
+            F.explode(F.sequence(F.floor(s_col / F.lit(band)), F.floor((e_col - F.lit(1)) / F.lit(band)))),
+        )
+
+    ja = banded(pa, "a_")
+    jb = banded(pb, "b_").withColumnRenamed("__band", "__band_b")
+    emit_once = F.col("__band") == F.floor(F.greatest(a_s, b_s) / F.lit(band))
+    joined = ja.join(jb, keys + [F.col("__band") == F.col("__band_b")], "inner").where(cond & emit_once)
+    return joined.drop("__band", "__band_b")
+
+
+def overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    start: str = "start",
+    end: str = "end",
+    clip: bool = True,
+    band: int | None = None,
+) -> DataFrame:
+    """Overlapping pairs with the clipped intersection span
+    (reference interval_overlap_join, spark_util.py:247-269 — there a
+    collect()+driver dict; here a range join). Adds overlap_start /
+    overlap_end / overlap_length."""
+    j = interval_join(a, b, key_cols, t_overlaps, start, end, band)
+    j = j.withColumn("overlap_start", F.greatest(F.col(f"a_{start}"), F.col(f"b_{start}"))).withColumn(
+        "overlap_end", F.least(F.col(f"a_{end}"), F.col(f"b_{end}"))
+    )
+    j = j.withColumn("overlap_length", F.col("overlap_end") - F.col("overlap_start"))
+    if clip:
+        j = j.withColumn(start, F.col("overlap_start")).withColumn(end, F.col("overlap_end"))
+    return j
+
+
+def filter_against(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    pred: Callable[[Column, Column, Column, Column], Column] = t_overlaps,
+    start: str = "start",
+    end: str = "end",
+    anti: bool = False,
+) -> DataFrame:
+    """Semi-join (or anti-join) of a's intervals against b under a temporal
+    predicate — rekall filter_against (rekall_query.py:130-140,
+    commercial_detection_rekall.py:193-203). Keeps a's schema."""
+    pb = _prefixed(b, "b_")
+    a_s, a_e = F.col(start), F.col(end)
+    b_s, b_e = F.col(f"b_{start}"), F.col(f"b_{end}")
+    keys = [F.col(k) == F.col(f"b_{k}") for k in key_cols]
+    cond = keys + [pred(a_s, a_e, b_s, b_e)]
+    how = "left_anti" if anti else "left_semi"
+    return a.join(pb, cond, how)
+
+
+def merge_join(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    pred: Callable[[Column, Column, Column, Column], Column],
+    start: str = "start",
+    end: str = "end",
+    band: int | None = None,
+) -> DataFrame:
+    """Cross-merge pairs satisfying pred into spanning intervals — rekall
+    merge (interview_with_person_x.py:46-57, interview.py:87-93)."""
+    j = interval_join(a, b, key_cols, pred, start, end, band)
+    out = j
+    for k in key_cols:
+        out = out.withColumn(k, F.col(f"a_{k}"))
+    return (
+        out.withColumn(start, F.least(F.col(f"a_{start}"), F.col(f"b_{start}")))
+        .withColumn(end, F.greatest(F.col(f"a_{end}"), F.col(f"b_{end}")))
+        .select(*key_cols, start, end)
+    )
+
+
+def minus(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    start: str = "start",
+    end: str = "end",
+) -> DataFrame:
+    """Interval set-difference A \\ B on the time axis, splitting intervals —
+    rekall minus (commercial_detection_rekall.py:199-205,234,
+    interview.py:102). SURVEY §2.3 mapped this to an applyInPandas sweep;
+    this implementation is stronger: fully relational (coalesce B,
+    left-join overlaps, then gaps via a lag window + a per-interval tail),
+    so it scales like any join + window.
+
+    Output: a's key columns + (start, end) of the surviving sub-intervals.
+    Non-key payload columns of `a` are preserved.
+    """
+    payload_cols = [c for c in a.columns if c not in {*key_cols, start, end}]
+    bc = coalesce(b.select(*key_cols, start, end), key_cols, start, end).drop("n_merged")
+    pb = _prefixed(bc, "b_")
+    a_id = a.withColumn(
+        "__aid", F.row_number().over(Window.partitionBy(*key_cols).orderBy(F.col(start), F.col(end)))
+    )
+    keys = [F.col(k) == F.col(f"b_{k}") for k in key_cols]
+    overlap = (F.col(f"b_{start}") < F.col(end)) & (F.col(f"b_{end}") > F.col(start))
+    j = a_id.join(pb, keys + [overlap], "left")
+
+    untouched = (
+        j.where(F.col(f"b_{start}").isNull()).select(*key_cols, start, end, *payload_cols)
+    )
+    matched = j.where(F.col(f"b_{start}").isNotNull())
+    # b-intervals overlapping one a are disjoint (B was coalesced) -> order by b_start.
+    w = Window.partitionBy(*key_cols, "__aid").orderBy(F.col(f"b_{start}"))
+    gaps = (
+        matched.withColumn("__gap_start", F.coalesce(F.lag(F.col(f"b_{end}")).over(w), F.col(start)))
+        .withColumn("__gap_end", F.col(f"b_{start}"))
+        .where(F.col("__gap_end") > F.col("__gap_start"))
+        .select(*key_cols, F.col("__gap_start").alias(start), F.col("__gap_end").alias(end), *payload_cols)
+    )
+    tails = (
+        matched.groupBy(*key_cols, "__aid")
+        .agg(
+            F.max(F.col(f"b_{end}")).alias("__tail_start"),
+            F.first(F.col(end)).alias("__a_end"),
+            *[F.first(F.col(c)).alias(c) for c in payload_cols],
+        )
+        .where(F.col("__a_end") > F.col("__tail_start"))
+        .select(*key_cols, F.col("__tail_start").alias(start), F.col("__a_end").alias(end), *payload_cols)
+    )
+    return untouched.unionByName(gaps).unionByName(tails)
+
+
+def overlap_measure(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    start: str = "start",
+    end: str = "end",
+    out_col: str = "overlap_total",
+    coalesce_b: bool = True,
+) -> DataFrame:
+    """Annotate each interval of `a` with its total overlap against the set
+    `b` (reference annotate_interval_overlap, spark_util.py:594-622 — there a
+    broadcast-dict UDF; here a range join + sum(least(e)-greatest(s)), with a
+    left join so zero-overlap rows survive with 0)."""
+    if coalesce_b:
+        b = coalesce(b.select(*key_cols, start, end), key_cols, start, end).drop("n_merged")
+    a_id = a.withColumn(
+        "__aid", F.row_number().over(Window.partitionBy(*key_cols).orderBy(F.col(start), F.col(end)))
+    )
+    pb = _prefixed(b, "b_")
+    keys = [F.col(k) == F.col(f"b_{k}") for k in key_cols]
+    overlap = (F.col(f"b_{start}") < F.col(end)) & (F.col(f"b_{end}") > F.col(start))
+    j = a_id.join(pb, keys + [overlap], "left")
+    piece = F.least(F.col(end), F.col(f"b_{end}")) - F.greatest(F.col(start), F.col(f"b_{start}"))
+    out_cols = [c for c in a.columns]
+    return (
+        j.groupBy(*[F.col(c) for c in out_cols], F.col("__aid"))
+        .agg(F.sum(F.when(F.col(f"b_{start}").isNotNull(), piece).otherwise(F.lit(0))).alias(out_col))
+        .drop("__aid")
+    )
+
+
+# --------------------------------------------------------------------------
+# order-dependent folds (the one genuinely-sequential rekall op)
+# --------------------------------------------------------------------------
+
+
+def fold_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    fold_fn: Callable,
+    output_schema: str,
+    start: str = "start",
+    end: str = "end",
+) -> DataFrame:
+    """Ordered per-key fold with an arbitrary Python function — rekall
+    fold_list (commercial_detection_rekall.py:168-213). Inherently sequential
+    per key, so this is the one place we drop to applyInPandas (Arrow-batched,
+    parallel across keys). fold_fn: pandas.DataFrame (sorted by start) ->
+    pandas.DataFrame matching output_schema."""
+
+    def apply(pdf):
+        return fold_fn(pdf.sort_values([start, end]).reset_index(drop=True))
+
+    return df.groupBy(*key_cols).applyInPandas(apply, schema=output_schema)

@@ -1,0 +1,182 @@
+"""Vector / embedding operators.
+
+The reference's embedding store (rs-embed; /root/reference/app/esper/
+face_embeddings.py) exposes knn / dist / mean / kmeans / logreg over
+128-d face embeddings. Here embeddings are ArrayType(Float) columns and:
+
+- dot/cosine are higher-order-function expressions (zip_with + aggregate)
+  — JVM-side, codegen'd, no Python in the hot path;
+- brute-force top-k is the exact baseline (orderBy + limit == distributed
+  TakeOrdered: per-partition heaps, no global sort materialization);
+- the scale path buckets by LSH (signed random hyperplanes, deterministic
+  seed) so candidate generation is an equi-join on bucket — an IVF-style
+  probe list would slot into the same shape;
+- kmeans / logistic regression delegate to pyspark.ml (import-gated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i * b_i in double precision (left-to-right fold — deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def lit_vector(vec: list[float]) -> Column:
+    return F.array([F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k against one query vector (reference
+    knn, face_embeddings.py:74-96: all ids ranked by distance ascending).
+    Ordering uses (rounded similarity desc, id asc) so the cut is
+    deterministic and engine-portable. orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition top-k heaps + driver merge of k
+    rows, not a full sort."""
+    q = lit_vector(query_vec)
+    sim = cosine(F.col(vec_col), q)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """k nearest corpus vectors for every query row (small query side is
+    broadcast; per-query top-k via a rank window)."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cv"))
+    sim = cosine(F.col("__cv"), F.col("__qv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    j = c.crossJoin(F.broadcast(q)).withColumn("cosine_sim", sim)
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(), F.col(corpus_id).asc())
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(query_id, corpus_id, "cosine_sim")
+    )
+
+
+def mean_embedding(df: DataFrame, group_cols: list[str], vec_col: str = "embedding") -> DataFrame:
+    """Per-group centroid (reference mean, face_embeddings.py:57-61):
+    posexplode -> groupBy (group, dim) avg -> re-assemble ordered array.
+    One shuffle; array_agg ordered by dim via sort_array on (pos, val)
+    structs keeps it deterministic."""
+    exploded = df.select(*group_cols, F.posexplode(vec_col).alias("dim", "val"))
+    per_dim = exploded.groupBy(*group_cols, "dim").agg(F.avg(F.col("val").cast("double")).alias("avg_val"))
+    return (
+        per_dim.groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "avg_val"))).alias("__pairs"))
+        .withColumn("centroid", F.transform("__pairs", lambda p: p["avg_val"]))
+        .drop("__pairs")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic signed-random-projection hyperplanes (numpy RandomState,
+    fixed seed — reproducible across runs and engines)."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return rs.randn(n_planes, dim).tolist()
+
+
+def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-random-projection bucket id: bit i = sign(vec · plane_i)."""
+    bits = [
+        F.when(dot(vec, lit_vector(p)) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def ann_cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's SRP bucket (plus
+    Hamming-1 neighbor buckets for recall). At corpus scale the bucket column
+    is precomputed + partitioned-by, so a probe reads only matching
+    partitions instead of the full corpus."""
+    import numpy as np
+
+    planes = random_hyperplanes(len(query_vec), n_planes, seed)
+    qv = np.array(query_vec)
+    q_bucket = sum((1 << i) for i, p in enumerate(planes) if float(np.dot(qv, np.array(p))) > 0)
+    probe = [q_bucket] + [q_bucket ^ (1 << i) for i in range(n_planes)]
+    bucketed = df.withColumn("__bucket", srp_bucket(F.col(vec_col), planes))
+    cand = bucketed.where(F.col("__bucket").isin(probe))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def kmeans_assign(df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """Cluster assignment via pyspark.ml KMeans (reference kmeans,
+    face_embeddings.py:99-109)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed).fit(feat)
+    return model.transform(feat).select(F.col(id_col), F.col("prediction").alias("cluster"))
+
+
+def logreg_train_predict(
+    train: DataFrame,
+    predict: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary logistic regression over embeddings (reference logreg,
+    face_embeddings.py:112-126)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    tr = train.select(F.col(label_col).cast("double").alias("label"), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = LogisticRegression(maxIter=50).fit(tr)
+    pr = predict.select(F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    return model.transform(pr).select(F.col(id_col), F.col("prediction").alias("pred_label"))

@@ -1,0 +1,168 @@
+"""Text / caption operators.
+
+The reference's caption layer (phrase search, boolean query grammar, ngram
+scan, topic segmentation — /root/reference/app/esper/captions.py:93-103,
+rekall.py:101-140, topics.py:45-72) sits on a memory-mapped Rust inverted
+index. Here captions/documents are plain DataFrames and every operator is a
+composition of built-in functions (split/explode/windows) — JVM-side,
+whole-stage-codegen'd, no UDFs. At 100 TB the token table is the "inverted
+index": partitioned by token prefix it serves phrase lookups via
+partition-pruned scans.
+
+Also the training-data text analyses: language-ID (stopword-hit heuristic),
+quality scoring, token counting, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic (mirrors what a fastText-less
+# pipeline can do with pure SQL).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "de": ["der", "die", "das", "und", "in", "von", "zu", "mit", "ist", "den"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+}
+
+
+def tokenize(df: DataFrame, text_col: str = "text", out_col: str = "tokens") -> DataFrame:
+    """Whitespace tokenization to an array column (reference tokenizes with
+    spaCy at spacy_tokenize.py:22-76; plain split matches the fixture data
+    and keeps the operator codegen'd)."""
+    toks = F.split(F.col(text_col), " ")
+    return df.withColumn(out_col, F.filter(toks, lambda t: t != F.lit("")))
+
+
+def token_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Positional token table (doc_id, pos, token) — the inverted-index shape
+    behind phrase search (caption postings carry positions,
+    captions.py:111-118)."""
+    toks = tokenize(df, text_col)
+    return toks.select(F.col(id_col), F.posexplode("tokens").alias("pos", "token"))
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus term frequencies (reference word_counts,
+    transcript_utils.py:56-71)."""
+    return (
+        token_table(df, df.columns[0], text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def phrase_search(df: DataFrame, phrase: str, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact phrase match -> (doc_id, n_matches) for docs containing it.
+
+    Reference phrase_search (captions.py:93-96) returns postings; on a token
+    table the n-token phrase is a position-chain self-join, which for a
+    space-joined phrase reduces to substring counting — kept as built-in
+    string ops so Catalyst can push the coarse `contains` filter into the
+    scan before the exact count."""
+    pat = " " + phrase + " "
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    n = (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit(" ")))) / F.lit(
+        max(len(pat) - 1, 1)
+    )
+    return (
+        df.where(padded.contains(pat))
+        .select(F.col(id_col), F.floor(n).cast("long").alias("n_matches"))
+    )
+
+
+def ngrams(df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text", out_col: str = "ngram") -> DataFrame:
+    """Token n-gram table via higher-order functions (no UDF): shingle i =
+    tokens[i..i+n-1] joined by space."""
+    toks = tokenize(df, text_col)
+    # guard: Spark sequence(0, -1) would produce a *descending* sequence,
+    # so docs shorter than n get an explicit empty shingle list
+    idx = F.when(
+        F.size("tokens") >= F.lit(n), F.sequence(F.lit(0), F.size("tokens") - F.lit(n))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(F.col("tokens"), i + 1, n), " "))
+    return toks.select(F.col(id_col), F.explode(sh).alias(out_col))
+
+
+def quality_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality features: token count, mean token length,
+    punctuation ratio, stopword ratio (English list). The
+    length/punct/stopword heuristics of a pretraining quality filter, as
+    columnar expressions."""
+    toks = tokenize(df, text_col)
+    n_tokens = F.size("tokens")
+    n_chars = F.length(F.col(text_col))
+    sum_tok_len = F.aggregate(
+        F.transform(F.col("tokens"), F.length), F.lit(0), lambda acc, v: acc + v
+    )
+    sw = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(F.col("tokens"), lambda t: F.array_contains(sw, F.lower(t))))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    return toks.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        (sum_tok_len.cast("double") / n_tokens.cast("double")).alias("mean_token_len"),
+        (n_punct.cast("double") / n_chars.cast("double")).alias("punct_ratio"),
+        (n_stop.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID: per doc, count hits from each language's
+    list; predict the argmax (ties -> lexicographically first language for
+    determinism)."""
+    toks = tokenize(df, text_col)
+
+    def lang_hits(words: list[str]) -> Column:
+        arr = F.array([F.lit(w) for w in words])
+        return F.size(F.filter(F.col("tokens"), lambda t: F.array_contains(arr, F.lower(t))))
+
+    hits = [
+        lang_hits(words).alias(f"hits_{lang}") for lang, words in sorted(LANG_STOPWORDS.items())
+    ]
+    scored = toks.select(F.col(id_col), *hits)
+    langs = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"hits_{lang}") == best, F.lit(lang)) for lang in langs]
+    )
+    return scored.withColumn("pred_lang", F.when(best > 0, pred).otherwise(F.lit("und")))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", out_col: str = "fp") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the lower-cased,
+    whitespace-normalized text. The exact-dedup key."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out_col, F.md5(norm))
+
+
+def sliding_window_topic(
+    df: DataFrame,
+    lexicon: list[str],
+    window_size: int,
+    threshold: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Windowed topic segmentation (reference find_segments,
+    transcript_utils.py:33-42, topics.py:45-72): slide a token window over
+    each document; emit (doc_id, window_start_pos, hits) where the count of
+    lexicon tokens in [pos, pos+window_size) >= threshold. Implemented as a
+    rangeBetween window over the positional token table — one shuffle by
+    doc, no self-join."""
+    tt = token_table(df, id_col, text_col)
+    lex = F.array([F.lit(w) for w in lexicon])
+    hit = F.when(F.array_contains(lex, F.lower(F.col("token"))), 1).otherwise(0)
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rangeBetween(0, window_size - 1)
+    )
+    return (
+        tt.withColumn("hits", F.sum(hit).over(w))
+        .where(F.col("hits") >= threshold)
+        .select(F.col(id_col), F.col("pos").alias("window_start"), F.col("hits").cast("long").alias("hits"))
+    )

@@ -1,0 +1,51 @@
+"""SparkSession factory.
+
+The reference wires a standalone cluster by hand with ~0.9x host RAM
+(/root/reference/app/esper/spark.py:19-31). We instead centralize one
+builder with the settings that matter at scale:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+- Arrow on (every pandas UDF / applyInPandas crossing is Arrow-batched)
+- UTC session timezone (deterministic date/time semantics vs the oracle)
+- shuffle partitions sized from the env (local test default 32; a real
+  cluster overrides via spark.sql.shuffle.partitions / AQE advisory size)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "esper-tv-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the driver's events.parquet stores TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type, so read as long and rebuild micros
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
