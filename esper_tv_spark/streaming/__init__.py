@@ -1,0 +1,9 @@
+from esper_tv_spark.streaming.ingest import (
+    file_stream,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+    write_with_ledger,
+)
+
+__all__ = ["file_stream", "tumbling_agg", "sliding_agg", "session_agg", "write_with_ledger"]

@@ -1,0 +1,198 @@
+"""Interval algebra vs brute-force pure-Python oracles (SURVEY §5: golden
+oracles for interval ops, small enough to verify by brute force)."""
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from esper_tv_spark.operators import intervals as iv
+
+
+def make_intervals(seed: int, n_keys: int = 5, n_per_key: int = 30, span: int = 1000):
+    rng = random.Random(seed)
+    rows = []
+    i = 0
+    for k in range(n_keys):
+        for _ in range(n_per_key):
+            s = rng.randint(0, span)
+            e = s + rng.randint(1, 60)
+            rows.append((k, i, s, e))
+            i += 1
+    return rows
+
+
+def brute_coalesce(rows, gap=0):
+    out = []
+    bykey = {}
+    for k, _, s, e in rows:
+        bykey.setdefault(k, []).append((s, e))
+    for k, ivs in bykey.items():
+        ivs.sort()
+        cur_s, cur_e, n = None, None, 0
+        for s, e in ivs:
+            if cur_s is None:
+                cur_s, cur_e, n = s, e, 1
+            elif s <= cur_e + gap:
+                cur_e, n = max(cur_e, e), n + 1
+            else:
+                out.append((k, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+        if cur_s is not None:
+            out.append((k, cur_s, cur_e, n))
+    return sorted(out)
+
+
+def brute_minus(a_rows, b_rows):
+    out = []
+    b_bykey = {}
+    for k, _, s, e in b_rows:
+        b_bykey.setdefault(k, []).append((s, e))
+    for k, aid, s, e in a_rows:
+        segments = [(s, e)]
+        for bs, be in b_bykey.get(k, []):
+            nxt = []
+            for ss, se in segments:
+                if be <= ss or bs >= se:
+                    nxt.append((ss, se))
+                    continue
+                if ss < bs:
+                    nxt.append((ss, bs))
+                if be < se:
+                    nxt.append((be, se))
+            segments = nxt
+        out.extend((k, aid, ss, se) for ss, se in segments)
+    return sorted(out)
+
+
+def brute_overlap_pairs(a_rows, b_rows):
+    out = []
+    for k, aid, s, e in a_rows:
+        for k2, bid, s2, e2 in b_rows:
+            if k == k2 and s < e2 and e > s2:
+                out.append((k, aid, bid, min(e, e2) - max(s, s2)))
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def df_a(spark):
+    return spark.createDataFrame(make_intervals(1), "key int, iid int, start long, end long")
+
+
+@pytest.fixture(scope="module")
+def df_b(spark):
+    return spark.createDataFrame(make_intervals(2), "key int, iid int, start long, end long")
+
+
+@pytest.mark.parametrize("gap", [0, 10, 100])
+def test_coalesce(spark, df_a, gap):
+    got = sorted(
+        tuple(r)
+        for r in iv.coalesce(df_a.select("key", "start", "end"), ["key"], gap=gap).collect()
+    )
+    want = brute_coalesce(make_intervals(1), gap)
+    assert got == want
+
+
+def test_minus(spark, df_a, df_b):
+    got = sorted(
+        (r["key"], r["iid"], r["start"], r["end"])
+        for r in iv.minus(df_a, df_b.select("key", "start", "end"), ["key"]).collect()
+    )
+    assert got == brute_minus(make_intervals(1), make_intervals(2))
+
+
+def test_minus_empty_b(spark, df_a):
+    empty = spark.createDataFrame([], "key int, start long, end long")
+    got = sorted(
+        (r["key"], r["iid"], r["start"], r["end"]) for r in iv.minus(df_a, empty, ["key"]).collect()
+    )
+    assert got == sorted((k, i, s, e) for k, i, s, e in make_intervals(1))
+
+
+def test_overlap_join(spark, df_a, df_b):
+    j = iv.overlap_join(df_a, df_b, ["key"], clip=False)
+    got = sorted(
+        (r["a_key"], r["a_iid"], r["b_iid"], r["overlap_length"]) for r in j.collect()
+    )
+    assert got == brute_overlap_pairs(make_intervals(1), make_intervals(2))
+
+
+@pytest.mark.parametrize("band", [64, 128, 1024])
+def test_overlap_join_banded_matches_plain(spark, df_a, df_b, band):
+    plain = sorted(
+        (r["a_iid"], r["b_iid"]) for r in iv.interval_join(df_a, df_b, ["key"]).collect()
+    )
+    banded = sorted(
+        (r["a_iid"], r["b_iid"])
+        for r in iv.interval_join(df_a, df_b, ["key"], band=band).collect()
+    )
+    assert banded == plain
+
+
+def test_dilate_filter_length(spark, df_a):
+    d = iv.dilate(df_a, 5)
+    row = d.where(F.col("iid") == 0).first()
+    orig = [r for r in make_intervals(1) if r[1] == 0][0]
+    assert row["start"] == orig[2] - 5 and row["end"] == orig[3] + 5
+    fl = iv.filter_length(df_a, min_length=30)
+    assert all(r["end"] - r["start"] >= 30 for r in fl.collect())
+    assert fl.count() == sum(1 for _, _, s, e in make_intervals(1) if e - s >= 30)
+
+
+def test_split_intervals(spark):
+    df = spark.createDataFrame([(1, 0, 95)], "key int, start long, end long")
+    got = sorted((r["start"], r["end"]) for r in iv.split_intervals(df, 30).collect())
+    assert got == [(0, 30), (30, 60), (60, 90), (90, 95)]
+
+
+def test_overlap_measure(spark, df_a, df_b):
+    out = iv.overlap_measure(df_a, df_b.select("key", "start", "end"), ["key"])
+    got = {(r["key"], r["iid"]): r["overlap_total"] for r in out.collect()}
+    # brute force against coalesced b
+    b_co = brute_coalesce(make_intervals(2))
+    b_bykey = {}
+    for k, s, e, _ in b_co:
+        b_bykey.setdefault(k, []).append((s, e))
+    for k, aid, s, e in make_intervals(1):
+        want = sum(
+            max(0, min(e, be) - max(s, bs)) for bs, be in b_bykey.get(k, [])
+        )
+        assert got[(k, aid)] == want, (k, aid)
+
+
+def test_merge_join_before(spark, df_a, df_b):
+    out = iv.merge_join(df_a, df_b, ["key"], iv.t_before(20))
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(
+        (k, min(s, s2), max(e, e2))
+        for k, _, s, e in make_intervals(1)
+        for k2, _, s2, e2 in make_intervals(2)
+        if k == k2 and e <= s2 and s2 - e <= 20
+    )
+    assert got == want
+
+
+def test_fold_intervals(spark, df_a):
+    # capped-length accumulation à la commercial_detection_rekall fold
+    def fold_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        total = 0
+        for _, row in pdf.iterrows():
+            total += row["end"] - row["start"]
+        return pd.DataFrame({"key": [pdf["key"].iloc[0]], "total_len": [total]})
+
+    out = iv.fold_intervals(df_a, ["key"], fold_fn, "key int, total_len long")
+    got = {r["key"]: r["total_len"] for r in out.collect()}
+    for k in range(5):
+        want = sum(e - s for kk, _, s, e in make_intervals(1) if kk == k)
+        assert got[k] == want
+
+
+def test_set_union_count_duration(spark, df_a, df_b):
+    u = iv.set_union(df_a, df_b)
+    assert u.count() == df_a.count() + df_b.count()
+    cd = iv.count_duration(df_a, ["key"]).collect()
+    for r in cd:
+        want = sum(e - s for k, _, s, e in make_intervals(1) if k == r["key"])
+        assert r["total_duration"] == want and r["n_intervals"] == 30

@@ -1,0 +1,96 @@
+"""Vector operators vs numpy oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from esper_tv_spark.operators import similarity as sim
+
+
+def vectors(seed=3, n=60, dim=16):
+    rs = np.random.RandomState(seed)
+    return [(i, rs.randn(dim).astype(np.float32).tolist(), i % 4) for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(vectors(), "vec_id long, embedding array<float>, label int")
+
+
+def np_cosine(a, b):
+    a, b = np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    data = vectors()
+    q = data[0][1]
+    got = [(r["vec_id"], r["cosine_sim"]) for r in sim.cosine_topk(emb, q, 5).collect()]
+    sims = sorted(
+        ((round(np_cosine(v, q), 6), -i) for i, v, _ in data), reverse=True
+    )[:5]
+    want_ids = [-neg for _, neg in sims]
+    assert [i for i, _ in got] == want_ids
+    for (i, s), (ws, wneg) in zip(got, sims):
+        assert s == pytest.approx(ws, abs=1e-6)
+    assert got[0][0] == 0 and got[0][1] == 1.0  # self-similarity
+
+
+def test_knn_join(spark, emb):
+    data = vectors()
+    queries = spark.createDataFrame(
+        [(100, data[0][1]), (101, data[1][1])], "q_id long, embedding array<float>"
+    )
+    out = sim.knn_join(queries, emb, 3)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["q_id"], []).append(r["vec_id"])
+    assert len(by_q[100]) == 3 and by_q[100][0] == 0
+    assert len(by_q[101]) == 3 and by_q[101][0] == 1
+
+
+def test_mean_embedding(spark, emb):
+    data = vectors()
+    out = {r["label"]: r["centroid"] for r in sim.mean_embedding(emb, ["label"]).collect()}
+    for lbl in range(4):
+        member = np.array([v for i, v, l in data if l == lbl], dtype=np.float64)
+        want = member.mean(axis=0)
+        assert np.allclose(out[lbl], want, atol=1e-9)
+
+
+def test_ann_recall_vs_exact(spark, emb):
+    data = vectors()
+    q = data[5][1]
+    exact = {r["vec_id"] for r in sim.cosine_topk(emb, q, 5).collect()}
+    approx = {r["vec_id"] for r in sim.ann_cosine_topk(emb, q, 5, n_planes=4).collect()}
+    # probing bucket + all hamming-1 neighbors of a 4-bit code covers enough
+    # of this tiny corpus that recall should be high
+    assert len(exact & approx) >= 3
+
+
+def test_srp_bucket_deterministic(spark, emb):
+    planes = sim.random_hyperplanes(16, 4, seed=42)
+    b1 = {r["vec_id"]: r["b"] for r in emb.select("vec_id", sim.srp_bucket(F.col("embedding"), planes).alias("b")).collect()}
+    planes2 = sim.random_hyperplanes(16, 4, seed=42)
+    b2 = {r["vec_id"]: r["b"] for r in emb.select("vec_id", sim.srp_bucket(F.col("embedding"), planes2).alias("b")).collect()}
+    assert b1 == b2
+    # numpy oracle
+    data = vectors()
+    P = np.array(planes)
+    for i, v, _ in data[:10]:
+        want = sum(1 << j for j in range(4) if float(P[j] @ np.array(v, dtype=np.float64)) > 0)
+        assert b1[i] == want
+
+
+def test_kmeans_and_logreg_smoke(spark):
+    # two well-separated blobs -> kmeans separates, logreg classifies
+    rs = np.random.RandomState(0)
+    a = [(i, (rs.randn(8) * 0.1 + 5).tolist(), 1) for i in range(20)]
+    b = [(i + 20, (rs.randn(8) * 0.1 - 5).tolist(), 0) for i in range(20)]
+    df = spark.createDataFrame(a + b, "vec_id long, embedding array<double>, label int")
+    km = {r["vec_id"]: r["cluster"] for r in sim.kmeans_assign(df, 2).collect()}
+    ca = {km[i] for i, _, _ in a}
+    cb = {km[i + 0] for i, _, _ in b}
+    assert len(ca) == 1 and len(cb) == 1 and ca != cb
+    pred = {r["vec_id"]: r["pred_label"] for r in sim.logreg_train_predict(df, df).collect()}
+    assert all(pred[i] == 1.0 for i, _, _ in a) and all(pred[i] == 0.0 for i, _, _ in b)

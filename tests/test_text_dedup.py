@@ -1,0 +1,111 @@
+"""Text + dedup operators vs pure-Python oracles."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from esper_tv_spark.operators import dedup, text
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),
+    (3, "completely different words entirely here now"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (5, "a b"),  # shorter than shingle size
+    (6, "uno dos tres"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_tokenize_and_ngrams(spark, docs):
+    tt = text.token_table(docs.where(F.col("doc_id") == 1), "doc_id")
+    toks = [r["token"] for r in tt.orderBy("pos").collect()]
+    assert toks == "the quick brown fox jumps over the lazy dog".split()
+    ng = text.ngrams(docs, 3, "doc_id")
+    got = sorted(r["ngram"] for r in ng.where(F.col("doc_id") == 6).collect())
+    assert got == ["uno dos tres"]
+    assert ng.where(F.col("doc_id") == 5).count() == 0  # shorter than n
+
+
+def test_phrase_search(spark, docs):
+    got = {r["doc_id"]: r["n_matches"] for r in text.phrase_search(docs, "quick brown").collect()}
+    assert got == {1: 1, 2: 1, 4: 1}
+    assert text.phrase_search(docs, "brown cat").count() == 0
+
+
+def test_word_counts(spark, docs):
+    got = {r["token"]: r["tf"] for r in text.word_counts(docs).collect()}
+    assert got["the"] == 6 and got["fox"] == 3 and got["uno"] == 1
+
+
+def test_fingerprint_exact_dups(spark, docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 1
+    kept = dedup.dedup_exact(docs)
+    assert kept.count() == len(DOCS) - 1
+    assert kept.where(F.col("doc_id") == 4).count() == 0
+
+
+def test_minhash_identical_docs_same_signature(spark, docs):
+    sig = {r["doc_id"]: tuple(r)[1:] for r in dedup.minhash_signature(docs).collect()}
+    assert sig[1] == sig[4]  # identical text -> identical signature
+    assert sig[1] != sig[3]
+    # python oracle for one hash slot
+    shingles = set()
+    toks = DOCS[0][1].split()
+    for i in range(len(toks) - 2):
+        shingles.add(" ".join(toks[i : i + 3]))
+    want = min(hashlib.md5(f"0|{s}".encode()).hexdigest() for s in shingles)
+    assert sig[1][0] == want
+
+
+def test_lsh_finds_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert (1, 4) in pairs  # exact dup always collides
+    j = dedup.jaccard_pairs(docs, spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long"))
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in j.collect()}
+    assert got[(1, 2)] > 0.5  # one-token difference
+    assert (1, 3) not in got or got[(1, 3)] == 0.0  # no common shingles -> no row
+
+
+def test_simhash_similarity_ordering(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[1] == sh[4]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])  # near-dup closer than unrelated
+
+
+def test_quality_and_langid(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat is in the hat"),
+            (2, "el perro es de la casa"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r for r in text.quality_metrics(docs).collect()}
+    assert q[1]["n_tokens"] == 6
+    assert q[1]["stopword_ratio"] == pytest.approx(4 / 6)
+    lid = {r["doc_id"]: r["pred_lang"] for r in text.language_id(docs).collect()}
+    assert lid[1] == "en" and lid[2] == "es" and lid[3] == "und"
+
+
+def test_sliding_window_topic(spark):
+    doc = [(1, "x x fire x fire fire x x x x fire x")]
+    df = spark.createDataFrame(doc, "doc_id long, text string")
+    out = text.sliding_window_topic(df, ["fire"], window_size=4, threshold=2)
+    got = {(r["window_start"], r["hits"]) for r in out.collect()}
+    # brute force
+    toks = doc[0][1].split()
+    want = set()
+    for i in range(len(toks)):
+        hits = sum(1 for t in toks[i : i + 4] if t == "fire")
+        if hits >= 2:
+            want.add((i, hits))
+    assert got == want
