@@ -904,6 +904,343 @@ FROM embeddings GROUP BY label
 
 
 # ==========================================================================
+# composites + additional operator coverage
+# ==========================================================================
+
+
+def _presence_intervals(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
+    """Half-hour presence windows per event — the interval substrate for the
+    interview composite on the events table."""
+    ev = _events(spark, sf_dir).where(F.col("event_type") == event_type)
+    return ev.select(
+        F.col("user_id").alias("video_id"),
+        F.unix_micros("ts").alias("start"),
+        (F.unix_micros("ts") + F.lit(1_800_000_000)).alias("end"),
+    )
+
+
+_PRESENCE_SQL = (
+    "SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e "
+    "FROM events WHERE event_type = '{et}'"
+)
+
+
+def _coalesce_cte(src: str, out: str, gap: int) -> str:
+    """SQL text for the sessionize-coalesce of (user_id, s, e) rows."""
+    return f"""{out}_ord AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM {src}
+), {out}_grp AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN pmax IS NULL OR s > pmax + {gap} THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS gid
+  FROM {out}_ord
+), {out} AS (
+  SELECT user_id, min(s) AS s, max(e) AS e FROM {out}_grp GROUP BY user_id, gid
+)"""
+
+
+def q34_interview_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship rekall composite (interview_with_person_x.py:41-68) on
+    the events substrate: 'view' presence = hosts, 'purchase' presence =
+    guest; overlaps -> coalesce -> merge(ovl|before|after) -> union ->
+    coalesce -> sessionize(2*dilate) -> filter_length. Every step relational,
+    and the whole pipeline hash-checked against a DuckDB oracle."""
+    from esper_tv_spark.domain.composites import interview_query
+
+    hosts = _presence_intervals(spark, sf_dir, "view")
+    guest = _presence_intervals(spark, sf_dir, "purchase")
+    out = interview_query(
+        hosts,
+        guest,
+        epsilon=600_000_000,  # 10 min
+        dilate_amount=1_200_000_000,  # 20 min
+        min_length=2_700_000_000,  # 45 min
+    )
+    return out.select(
+        F.col("video_id").alias("user_id"),
+        F.col("start").alias("istart"),
+        F.col("end").alias("iend"),
+    )
+
+
+_EPS = 600_000_000
+_IVW_PRED = (
+    "(w.s < x.e AND w.e > x.s) "
+    f"OR (w.e <= x.s AND x.s - w.e <= {_EPS}) "
+    f"OR (x.e <= w.s AND w.s - x.e <= {_EPS})"
+)
+Q34_SQL = f"""
+WITH hosts AS ({_PRESENCE_SQL.format(et='view')}),
+guest AS ({_PRESENCE_SQL.format(et='purchase')}),
+gwh_raw AS (
+  SELECT g.user_id, greatest(g.s, h.s) AS s, least(g.e, h.e) AS e
+  FROM guest g JOIN hosts h ON g.user_id = h.user_id AND g.s < h.e AND g.e > h.s
+),
+{_coalesce_cte('gwh_raw', 'gwh', 0)},
+m1 AS (
+  SELECT w.user_id, least(w.s, x.s) AS s, greatest(w.e, x.e) AS e
+  FROM gwh w JOIN hosts x ON w.user_id = x.user_id AND ({_IVW_PRED})
+),
+m2 AS (
+  SELECT w.user_id, least(w.s, x.s) AS s, greatest(w.e, x.e) AS e
+  FROM gwh w JOIN guest x ON w.user_id = x.user_id AND ({_IVW_PRED})
+),
+mu AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2),
+{_coalesce_cte('mu', 'cand', 0)},
+{_coalesce_cte('cand', 'sess', 2 * 1_200_000_000)}
+SELECT user_id, s AS istart, e AS iend FROM sess WHERE e - s >= 2700000000
+"""
+
+
+def q35_sliding_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed topic segmentation (find_segments, transcript_utils.py:33-42):
+    token windows of 10 with >= 3 lexicon hits."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.sliding_window_topic(docs, ["spark", "query"], window_size=10, threshold=3)
+    return out.select("doc_id", F.col("window_start").cast("long").alias("window_start"), "hits")
+
+
+Q35_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+), tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS token FROM t
+), h AS (
+  SELECT doc_id, pos, CASE WHEN lower(token) IN ('spark', 'query') THEN 1 ELSE 0 END AS hit FROM tok
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS window_start,
+       CAST(sum(hit) OVER (PARTITION BY doc_id ORDER BY pos
+                           RANGE BETWEEN CURRENT ROW AND 9 FOLLOWING) AS BIGINT) AS hits
+FROM h QUALIFY hits >= 3
+"""
+
+
+def q36_trigram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token n-gram frequencies (ngram scan, rekall.py:101-140), top 15."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text.ngrams(docs, 3)
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("ngram").asc())
+        .limit(15)
+    )
+
+
+Q36_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_transform(range(0, greatest(len(t) - 3, -1) + 1),
+                                       i -> array_to_string(t[i+1:i+3], ' '))) AS ngram
+  FROM toks WHERE len(t) >= 3
+)
+SELECT ngram, count(*) AS tf FROM sh GROUP BY ngram ORDER BY tf DESC, ngram ASC LIMIT 15
+"""
+
+
+def q37_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates + exact n-gram Jaccard verification — the full
+    near-dup pipeline (candidate generation never leaves bucket joins)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, n_hashes=8, shingle_n=3, n_bands=4)
+    return dedup.jaccard_pairs(docs, pairs, shingle_n=3)
+
+
+Q37_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, greatest(len(t) - 3, -1) + 1),
+                               i -> array_to_string(t[i+1:i+3], ' '))) AS ngram
+  FROM toks WHERE len(t) >= 3
+), sig AS (
+  SELECT doc_id, {_MH_AGGS}
+  FROM sh GROUP BY doc_id
+), buckets AS (
+  {_BAND_SELECTS}
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket
+  WHERE l.doc_id < r.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_common
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.id_a
+  JOIN sh b ON b.doc_id = p.id_b AND b.ngram = a.ngram
+  GROUP BY p.id_a, p.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+"""
+
+
+def q38_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch knn: top-5 corpus neighbors for each of three query vectors
+    (knn over id set, face_embeddings.py:74-96)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.knn_join(qs, emb, 5)
+
+
+Q38_SQL = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+  FROM embeddings e, q
+)
+SELECT q_id, vec_id, cosine_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+def q39_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over orders (SURVEY §2.4: free in Spark)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), exact_sum("o_totalprice", 2).alias("total_price")
+    )
+
+
+Q39_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       {exact_sum_sql('o_totalprice', 2)} AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q40_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rekall filter_against with before(max_dist) (rekall_query.py:130-140):
+    view intervals followed by a purchase within 10 minutes, same user."""
+    a = _event_intervals(spark, sf_dir, "view")
+    b = _event_intervals(spark, sf_dir, "purchase").select("user_id", "start", "end")
+    out = intervals.filter_against(a, b, ["user_id"], intervals.t_before(600_000_000))
+    return out.select("user_id", "event_id")
+
+
+Q40_SQL = f"""
+WITH a AS ({_iv_sql('view')}), b AS ({_iv_sql('purchase')})
+SELECT a.user_id, a.event_id
+FROM a WHERE EXISTS (
+  SELECT 1 FROM b WHERE b.user_id = a.user_id
+    AND a."end" <= b.start AND b.start - a."end" <= 600000000
+)
+"""
+
+
+def q41_split_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval splitting into 60-second chunks (supercut chunking;
+    flatMap-style sequence+explode, stays codegen'd)."""
+    a = _event_intervals(spark, sf_dir, "error")
+    out = intervals.split_intervals(a, 60_000_000)
+    return out.select(
+        "user_id", "event_id", F.col("start").alias("istart"), F.col("end").alias("iend")
+    )
+
+
+Q41_SQL = f"""
+WITH a AS ({_iv_sql('error')})
+SELECT user_id, event_id, cs AS istart, least(cs + 60000000, "end") AS iend
+FROM (SELECT user_id, event_id, "end", unnest(range(start, "end", 60000000)) AS cs FROM a)
+"""
+
+
+def q42_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × event-type profile (the reference's hour annotation,
+    spark_util.py:44-58)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.hour("ts").cast("long").alias("hour_of_day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+
+
+Q42_SQL = """
+SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day, event_type,
+       count(*) AS n_events, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def q43_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax over time per user (best-label-per-entity pattern,
+    SURVEY §2.5)."""
+    ev = _events(spark, sf_dir)
+    return argmax_per_group(
+        ev.select("user_id", "event_id", "ts", "event_type"), ["user_id"], "event_id", []
+    ).select("user_id", "event_id", "event_type")
+
+
+Q43_SQL = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q44_lowercase_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_lowercase_segments (captions.py:147-199): consecutive runs of
+    all-lowercase tokens per document, via the sessionize window over token
+    positions — emit (doc_id, run_start, run_len) for runs >= 5 tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    tt = text.token_table(docs)
+    lower = tt.where(F.col("token") == F.lower(F.col("token")))
+    runs = intervals.coalesce(
+        lower.select("doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end")),
+        ["doc_id"],
+        gap=0,
+    )
+    return (
+        runs.where(F.col("end") - F.col("start") >= 5)
+        .select(
+            "doc_id",
+            F.col("start").cast("long").alias("run_start"),
+            (F.col("end") - F.col("start")).cast("long").alias("run_len"),
+        )
+    )
+
+
+Q44_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+), tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS token FROM t
+), low AS (
+  SELECT doc_id, pos FROM tok WHERE token = lower(token)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+              OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 1
+              THEN 1 ELSE 0 END AS new_run
+  FROM low
+), grp AS (
+  SELECT doc_id, pos,
+         sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid
+  FROM flagged
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS run_start, CAST(count(*) AS BIGINT) AS run_len
+FROM grp GROUP BY doc_id, gid HAVING count(*) >= 5
+"""
+
+
+# ==========================================================================
 # driver contract
 # ==========================================================================
 
@@ -941,6 +1278,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_knn": q31_knn,
     "q32_label_centroids": q32_label_centroids,
     "q33_embedding_norms": q33_embedding_norms,
+    "q34_interview_composite": q34_interview_composite,
+    "q35_sliding_topic": q35_sliding_topic,
+    "q36_trigram_tf": q36_trigram_tf,
+    "q37_jaccard_verify": q37_jaccard_verify,
+    "q38_knn_join": q38_knn_join,
+    "q39_status_priority_cube": q39_status_priority_cube,
+    "q40_views_before_purchase": q40_views_before_purchase,
+    "q41_split_chunks": q41_split_chunks,
+    "q42_hourly_profile": q42_hourly_profile,
+    "q43_latest_event_per_user": q43_latest_event_per_user,
+    "q44_lowercase_segments": q44_lowercase_segments,
 }
 
 _ORACLES: dict[str, str] = {
@@ -977,6 +1325,17 @@ _ORACLES: dict[str, str] = {
     "q31_knn": Q31_SQL,
     "q32_label_centroids": Q32_SQL,
     "q33_embedding_norms": Q33_SQL,
+    "q34_interview_composite": Q34_SQL,
+    "q35_sliding_topic": Q35_SQL,
+    "q36_trigram_tf": Q36_SQL,
+    "q37_jaccard_verify": Q37_SQL,
+    "q38_knn_join": Q38_SQL,
+    "q39_status_priority_cube": Q39_SQL,
+    "q40_views_before_purchase": Q40_SQL,
+    "q41_split_chunks": Q41_SQL,
+    "q42_hourly_profile": Q42_SQL,
+    "q43_latest_event_per_user": Q43_SQL,
+    "q44_lowercase_segments": Q44_SQL,
 }
 
 

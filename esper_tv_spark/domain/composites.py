@@ -1,0 +1,141 @@
+"""Flagship composite pipelines: the interview query and commercial
+detection, rebuilt on the relational interval library.
+
+These are the reference's hardest rekall programs; they prove the interval
+algebra composes. Both are DataFrame -> DataFrame (per-video parallel at any
+scale); only the commercial fold (order-dependent capped merge) drops to
+applyInPandas.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from esper_tv_spark.operators import intervals as iv
+
+
+def _overlaps_before_after(max_dist: float):
+    """or_pred(overlaps, before(max_dist), after(max_dist)) —
+    interview_with_person_x.py:46-50."""
+
+    def pred(a_s: Column, a_e: Column, b_s: Column, b_e: Column) -> Column:
+        return (
+            iv.t_overlaps(a_s, a_e, b_s, b_e)
+            | iv.t_before(max_dist)(a_s, a_e, b_s, b_e)
+            | iv.t_after(max_dist)(a_s, a_e, b_s, b_e)
+        )
+
+    return pred
+
+
+def interview_query(
+    hosts: DataFrame,
+    guest: DataFrame,
+    epsilon: float = 10,
+    dilate_amount: float = 600,
+    min_length: float = 1350,
+) -> DataFrame:
+    """Interviews of a guest with hosts, from per-video host/guest interval
+    tables (video_id, start, end).
+
+    Mirrors interview_with_person_x.py:41-68 operator for operator:
+      guest_with_host = guest.overlaps(hosts).coalesce()
+      candidates = (gwh.merge(hosts, ovl|before|after(eps))
+                    ∪ gwh.merge(guest, ...)).coalesce()
+      interviews = candidates.dilate(d).coalesce().dilate(-d)
+                             .filter_length(min_length)
+    with dilate/coalesce/dilate fused to coalesce(gap=2d) (the identity the
+    reference applies by hand at commercial_detection_rekall.py:154-165).
+    """
+    key = ["video_id"]
+    gwh = iv.coalesce(
+        iv.overlap_join(guest, hosts, key, clip=True).select(
+            F.col("a_video_id").alias("video_id"), "start", "end"
+        ),
+        key,
+    ).drop("n_merged")
+    pred = _overlaps_before_after(epsilon)
+    candidates = iv.coalesce(
+        iv.set_union(
+            iv.merge_join(gwh, hosts.select(*key, "start", "end"), key, pred),
+            iv.merge_join(gwh, guest.select(*key, "start", "end"), key, pred),
+        ),
+        key,
+    ).drop("n_merged")
+    interviews = iv.coalesce(candidates, key, gap=2 * dilate_amount).drop("n_merged")
+    return iv.filter_length(interviews, min_length=min_length)
+
+
+def detect_commercials(
+    black_windows: DataFrame,
+    arrow_text: DataFrame,
+    arrow_announcer: DataFrame,
+    arrow_having: DataFrame,
+    transcripts: DataFrame,
+    video_spans: DataFrame,
+    max_commercial_time: float = 240.0,
+    min_commercial_time: float = 10.0,
+    reliable_text_duration: float = 5.0,
+) -> DataFrame:
+    """Commercial-block detection (commercial_detection_rekall.py:108-313,
+    core pipeline; the lowercase-interval augmentation of lines 220+ layers
+    the same ops and is exposed separately via the interval library).
+
+    Inputs are per-video interval tables (video_id, start, end) in seconds:
+    black frame windows, '>>' text locations, '>> Announcer:' locations,
+    '>> HAVING' locations, transcript line spans, and (video_id, 0,
+    video_length) whole-video spans.
+    """
+    key = ["video_id"]
+
+    def bare(df: DataFrame) -> DataFrame:
+        return df.select(*key, "start", "end")
+
+    reliable = iv.filter_length(
+        iv.coalesce(bare(transcripts), key, gap=2).drop("n_merged"),
+        min_length=reliable_text_duration,
+    )
+    arrows = iv.filter_against(
+        iv.minus(iv.minus(bare(arrow_text), bare(arrow_announcer), key), bare(arrow_having), key),
+        reliable,
+        key,
+        iv.t_overlaps,
+    )
+    all_blocks = iv.minus(bare(video_spans), bare(black_windows), key)
+    non_commercial = iv.filter_against(all_blocks, arrows, key, iv.t_overlaps)
+    commercial_blocks = iv.minus(
+        bare(video_spans), iv.set_union(non_commercial, bare(black_windows)), key
+    )
+
+    # capped-length stack fold (commercial_detection_rekall.py:168-213):
+    # inherently sequential per video -> applyInPandas
+    def fold_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        stack: list[tuple[float, float]] = []
+        for _, row in pdf.iterrows():
+            s, e = float(row["start"]), float(row["end"])
+            if e - s > max_commercial_time:
+                e = s + max_commercial_time
+            if not stack:
+                stack.append((s, e))
+                continue
+            ls, le = stack[-1]
+            # or_pred(overlaps, after(max_dist=5)): the next interval (sorted
+            # by start) merges if it overlaps the last or follows within 5s
+            if s <= le + 5:
+                ms, me = min(ls, s), max(le, e)
+                if me - ms > max_commercial_time:
+                    me = ms + max_commercial_time
+                stack[-1] = (ms, me)
+            else:
+                stack.append((s, e))
+        vid = pdf["video_id"].iloc[0]
+        return pd.DataFrame(
+            {"video_id": vid, "start": [s for s, _ in stack], "end": [e for _, e in stack]}
+        )
+
+    folded = iv.fold_intervals(
+        commercial_blocks, key, fold_fn, "video_id long, start double, end double"
+    )
+    return iv.filter_length(folded, min_length=min_commercial_time)
