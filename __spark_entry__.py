@@ -1240,6 +1240,49 @@ FROM grp GROUP BY doc_id, gid HAVING count(*) >= 5
 """
 
 
+def q45_caption_query_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean caption-query grammar (captions.py:99-103):
+    'hash join & [merge | sort]' — all &-clauses must match, brackets are
+    OR-groups; compiles to one boolean scan predicate."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.query_search(docs, "hash join & [merge | sort]")
+
+
+Q45_SQL = """
+WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)
+SELECT DISTINCT doc_id FROM padded
+WHERE contains(p, ' hash join ') AND (contains(p, ' merge ') OR contains(p, ' sort '))
+"""
+
+
+def q46_asset_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode pipeline (Arrow-batched mapInPandas over binary
+    payload columns; deterministic stub decoder — see operators/multimodal).
+    Not SQL-expressible -> rows-only check."""
+    from esper_tv_spark.operators import multimodal as mm
+
+    assets = mm.make_asset_table(spark, n=200)
+    return mm.decode_stats(assets)
+
+
+def q47_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate nearest neighbors (bucket + Hamming-1 probes) —
+    the scale path for similarity search. Deterministic (seeded
+    hyperplanes) but not SQL-expressible -> rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.ann_cosine_topk(emb, qv, 10, n_planes=8)
+
+
+def q48_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans cluster sizes over the embeddings (reference kmeans,
+    face_embeddings.py:99-109; pyspark.ml). Iterative algorithm -> rows-only
+    check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = similarity.kmeans_assign(emb, k=8)
+    return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
 # ==========================================================================
 # driver contract
 # ==========================================================================
@@ -1289,6 +1332,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_hourly_profile": q42_hourly_profile,
     "q43_latest_event_per_user": q43_latest_event_per_user,
     "q44_lowercase_segments": q44_lowercase_segments,
+    "q45_caption_query_search": q45_caption_query_search,
+    # non-SQL-expressible ops (driver records rows-only checks):
+    "q46_asset_decode_stats": q46_asset_decode_stats,
+    "q47_ann_topk": q47_ann_topk,
+    "q48_kmeans_clusters": q48_kmeans_clusters,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1336,6 +1384,7 @@ _ORACLES: dict[str, str] = {
     "q42_hourly_profile": Q42_SQL,
     "q43_latest_event_per_user": Q43_SQL,
     "q44_lowercase_segments": Q44_SQL,
+    "q45_caption_query_search": Q45_SQL,
 }
 
 

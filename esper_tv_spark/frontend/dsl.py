@@ -1,0 +1,180 @@
+"""Safe query DSL — the web/REPL front-end.
+
+The reference's search endpoint `exec()`s user-posted Python server-side
+(/root/reference/app/query/views.py:56-66; the README itself flags the RCE
+at README.md:59). This replaces it: a JSON plan spec compiled to DataFrame
+operations through a whitelist. No eval, no attribute access, no
+user-supplied code objects — the worst a spec can do is run a slow query.
+
+Spec shape (all keys optional except "table"):
+
+    {"table": "lineitem",
+     "join": [{"table": "orders", "on": [["l_orderkey", "o_orderkey"]],
+               "how": "inner", "broadcast": true}],
+     "derive": {"revenue": {"op": "*", "args": ["l_extendedprice",
+                 {"op": "-", "args": [{"lit": 1.0}, "l_discount"]}]}},
+     "where": [["l_quantity", ">", {"lit": 10}]],
+     "group_by": ["l_returnflag"],
+     "agg": {"n": {"fn": "count"}, "rev": {"fn": "sum", "col": "revenue"}},
+     "order_by": [["rev", "desc"]],
+     "limit": 10}
+
+Expressions are column names (str), {"lit": value}, or {"op"/"fn": ...,
+"args": [...]} nodes drawn from the whitelists below — the same scalar
+families as SURVEY §2.8.
+"""
+
+from __future__ import annotations
+
+import operator
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_BINOPS = {
+    "+": operator.add,
+    "-": operator.sub,
+    "*": operator.mul,
+    "/": operator.truediv,
+    "%": operator.mod,
+    "==": operator.eq,
+    "!=": operator.ne,
+    ">": operator.gt,
+    ">=": operator.ge,
+    "<": operator.lt,
+    "<=": operator.le,
+    "and": operator.and_,
+    "or": operator.or_,
+}
+
+_FUNCS = {
+    "lower": F.lower, "upper": F.upper, "length": F.length, "trim": F.trim,
+    "abs": F.abs, "floor": F.floor, "ceil": F.ceil, "sqrt": F.sqrt,
+    "year": F.year, "month": F.month, "hour": F.hour, "dayofweek": F.dayofweek,
+    "to_date": F.to_date, "not": lambda c: ~c, "isnull": F.isnull,
+    "coalesce": F.coalesce, "greatest": F.greatest, "least": F.least,
+    "concat": F.concat, "round": F.round, "split_part": lambda c, i: F.split(c, " ").getItem(i),
+    "contains": lambda c, s: c.contains(s), "startswith": lambda c, s: c.startswith(s),
+}
+
+_AGGS = {
+    "count": lambda col: F.count(F.lit(1)),
+    "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+    "count_distinct": F.countDistinct,
+}
+
+_JOINS = {"inner", "left", "left_outer", "left_semi", "left_anti", "right", "full"}
+
+
+class DSLError(ValueError):
+    pass
+
+
+def compile_expr(node: Any) -> Column:
+    """Compile an expression node to a Column through the whitelist."""
+    if isinstance(node, str):
+        return F.col(node)
+    if isinstance(node, dict):
+        if "lit" in node:
+            v = node["lit"]
+            if not isinstance(v, (int, float, str, bool, type(None))):
+                raise DSLError(f"literal type not allowed: {type(v).__name__}")
+            return F.lit(v)
+        if "op" in node:
+            op = node["op"]
+            if op not in _BINOPS:
+                raise DSLError(f"unknown op: {op!r}")
+            args = [compile_expr(a) for a in node.get("args", [])]
+            if len(args) != 2:
+                raise DSLError(f"op {op!r} needs 2 args")
+            return _BINOPS[op](args[0], args[1])
+        if "fn" in node:
+            fn = node["fn"]
+            if fn not in _FUNCS:
+                raise DSLError(f"unknown function: {fn!r}")
+            args = [
+                a["lit"] if isinstance(a, dict) and "lit" in a and fn in ("round", "split_part", "contains", "startswith")
+                else compile_expr(a)
+                for a in node.get("args", [])
+            ]
+            return _FUNCS[fn](*args)
+        if "in" in node:
+            vals = node["in"]
+            if not isinstance(vals, list):
+                raise DSLError("'in' needs a list")
+            return compile_expr(node["col"]).isin(vals)
+    raise DSLError(f"bad expression node: {node!r}")
+
+
+def run_query(catalog: dict[str, DataFrame], spec: dict[str, Any]) -> DataFrame:
+    """Compile + run a spec against a table catalog. Raises DSLError on any
+    construct outside the whitelist."""
+    if not isinstance(spec, dict) or "table" not in spec:
+        raise DSLError("spec must be a dict with a 'table'")
+    if spec["table"] not in catalog:
+        raise DSLError(f"unknown table {spec['table']!r}")
+    df = catalog[spec["table"]]
+
+    for j in spec.get("join", []):
+        if j.get("table") not in catalog:
+            raise DSLError(f"unknown join table {j.get('table')!r}")
+        how = j.get("how", "inner")
+        if how not in _JOINS:
+            raise DSLError(f"join type not allowed: {how!r}")
+        right = catalog[j["table"]]
+        if j.get("broadcast"):
+            right = F.broadcast(right)
+        cond = None
+        for pair in j.get("on", []):
+            lk, rk = pair
+            c = df[lk] == right[rk]
+            cond = c if cond is None else (cond & c)
+        if cond is None:
+            raise DSLError("join needs 'on' pairs")
+        df = df.join(right, cond, how)
+
+    for name, expr in spec.get("derive", {}).items():
+        df = df.withColumn(name, compile_expr(expr))
+
+    for cond in spec.get("where", []):
+        if isinstance(cond, list) and len(cond) == 3:
+            lhs, op, rhs = cond
+            df = df.where(compile_expr({"op": op, "args": [lhs, rhs]}))
+        else:
+            df = df.where(compile_expr(cond))
+
+    if "agg" in spec:
+        aggs = []
+        for out_name, a in spec["agg"].items():
+            fn = a.get("fn")
+            if fn not in _AGGS:
+                raise DSLError(f"agg not allowed: {fn!r}")
+            col = compile_expr(a["col"]) if "col" in a else None
+            aggs.append(_AGGS[fn](col).alias(out_name))
+        group = spec.get("group_by", [])
+        df = df.groupBy(*[compile_expr(g) if not isinstance(g, str) else F.col(g) for g in group]).agg(*aggs) if group else df.agg(*aggs)
+    elif "select" in spec:
+        df = df.select(
+            *[
+                compile_expr(s).alias(s) if isinstance(s, str)
+                else compile_expr(s["expr"]).alias(s["as"])
+                for s in spec["select"]
+            ]
+        )
+
+    if spec.get("order_by"):
+        cols = []
+        for ob in spec["order_by"]:
+            name, direction = (ob if isinstance(ob, list) else (ob, "asc"))
+            if direction not in ("asc", "desc"):
+                raise DSLError(f"bad order direction {direction!r}")
+            cols.append(F.col(name).desc() if direction == "desc" else F.col(name).asc())
+        df = df.orderBy(*cols)
+
+    if "limit" in spec:
+        n = spec["limit"]
+        if not isinstance(n, int) or n < 0:
+            raise DSLError("limit must be a non-negative int")
+        df = df.limit(n)
+    return df

@@ -74,6 +74,42 @@ def phrase_search(df: DataFrame, phrase: str, id_col: str = "doc_id", text_col: 
     )
 
 
+def query_search(df: DataFrame, query: str, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Boolean caption-query grammar (reference query_search,
+    captions.py:99-103; usage `'SEAN SPICER & [RESIGN]'` at
+    other_queries.py:246-263):
+
+        query   := clause ('&' clause)*        -- all clauses must match
+        clause  := phrase | '[' phrase ('|' phrase)* ']'   -- any alternative
+
+    Each phrase is an exact token-sequence match (phrase_search semantics,
+    case-insensitive). Returns the distinct id rows of matching documents.
+    Compiles to one boolean column expression — a single scan, no joins."""
+    lowered = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+
+    def phrase_pred(phrase: str) -> Column:
+        return lowered.contains(" " + phrase.strip().lower() + " ")
+
+    cond = None
+    for clause in query.split("&"):
+        clause = clause.strip()
+        if not clause:
+            continue
+        if clause.startswith("[") and clause.endswith("]"):
+            alts = [a for a in clause[1:-1].split("|") if a.strip()]
+            if not alts:
+                continue
+            c = phrase_pred(alts[0])
+            for a in alts[1:]:
+                c = c | phrase_pred(a)
+        else:
+            c = phrase_pred(clause)
+        cond = c if cond is None else (cond & c)
+    if cond is None:
+        raise ValueError("empty query")
+    return df.where(cond).select(F.col(id_col)).distinct()
+
+
 def ngrams(df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text", out_col: str = "ngram") -> DataFrame:
     """Token n-gram table via higher-order functions (no UDF): shingle i =
     tokens[i..i+n-1] joined by space."""

@@ -21,12 +21,15 @@ FAST = [
 ]
 
 
+NON_SQL = {"q46_asset_decode_stats", "q47_ann_topk", "q48_kmeans_clusters"}
+
+
 def test_contract_shape():
     qs, oracles = m.queries(), m.oracle_sql()
-    assert len(qs) >= 30
+    assert len(qs) >= 40
     assert set(oracles) <= set(qs)
     # every declared query has an oracle unless documented non-SQL
-    assert set(qs) == set(oracles)
+    assert set(qs) - set(oracles) == NON_SQL
 
 
 def test_entry_runs(spark):

@@ -1,0 +1,97 @@
+"""Safe DSL front-end + result shaping + caption query grammar."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from esper_tv_spark.frontend import run_query, to_result_json
+from esper_tv_spark.frontend.dsl import DSLError
+from esper_tv_spark.operators.text import query_search
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def catalog(spark):
+    from esper_tv_spark.sources import load_tables
+
+    return load_tables(spark, SF)
+
+
+def test_dsl_join_agg_matches_handwritten(spark, catalog):
+    spec = {
+        "table": "lineitem",
+        "join": [
+            {"table": "orders", "on": [["l_orderkey", "o_orderkey"]], "broadcast": True}
+        ],
+        "derive": {
+            "revenue": {
+                "op": "*",
+                "args": ["l_extendedprice", {"op": "-", "args": [{"lit": 1.0}, "l_discount"]}],
+            }
+        },
+        "where": [["l_quantity", ">", {"lit": 10.0}]],
+        "group_by": ["o_orderpriority"],
+        "agg": {"n": {"fn": "count"}, "rev": {"fn": "sum", "col": "revenue"}},
+        "order_by": [["rev", "desc"]],
+        "limit": 3,
+    }
+    got = [tuple(r) for r in run_query(catalog, spec).collect()]
+    li, o = catalog["lineitem"], catalog["orders"]
+    want_df = (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .withColumn("revenue", F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .where(F.col("l_quantity") > 10.0)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("revenue").alias("rev"))
+        .orderBy(F.col("rev").desc())
+        .limit(3)
+    )
+    assert got == [tuple(r) for r in want_df.collect()]
+
+
+def test_dsl_rejects_non_whitelisted(catalog):
+    with pytest.raises(DSLError):
+        run_query(catalog, {"table": "lineitem", "derive": {"x": {"fn": "exec", "args": []}}})
+    with pytest.raises(DSLError):
+        run_query(catalog, {"table": "__import__('os')"})
+    with pytest.raises(DSLError):
+        run_query(catalog, {"table": "lineitem", "join": [{"table": "orders", "on": [["a", "b"]], "how": "cross_product"}]})
+    with pytest.raises(DSLError):
+        run_query(catalog, {"table": "lineitem", "derive": {"x": {"lit": object()}}})
+
+
+def test_dsl_select_and_functions(catalog):
+    spec = {
+        "table": "part",
+        "derive": {"color": {"fn": "split_part", "args": ["p_name", {"lit": 0}]}},
+        "select": ["p_partkey", {"expr": {"fn": "upper", "args": ["color"]}, "as": "color_uc"}],
+        "limit": 5,
+    }
+    rows = run_query(catalog, spec).collect()
+    assert len(rows) == 5 and rows[0]["color_uc"].isupper()
+
+
+def test_result_json_shapes(catalog):
+    df = catalog["orders"].select("o_orderkey", "o_orderstatus")
+    flat = to_result_json(df, limit=7)
+    assert flat["count"] == 7 and flat["result"][0]["type"] == "flat"
+    grouped = to_result_json(df, group_cols=["o_orderstatus"], limit=50)
+    assert all(g["type"] == "contains" for g in grouped["result"])
+    assert sum(len(g["elements"]) for g in grouped["result"]) == 50
+
+
+def test_query_search_grammar(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "sean spicer will resign today"),
+            (2, "sean spicer said nothing"),
+            (3, "others may quit tomorrow sean spicer stays"),
+            (4, "completely unrelated text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in query_search(docs, "SEAN SPICER & [RESIGN | QUIT]").collect()}
+    assert got == {1, 3}
+    assert {r["doc_id"] for r in query_search(docs, "sean spicer").collect()} == {1, 2, 3}
+    with pytest.raises(ValueError):
+        query_search(docs, "  &  ")

@@ -1,0 +1,64 @@
+"""Plan-shape regression tests: the optimizations SURVEY §4 promises must
+be visible in the physical plan (pushdown, pruning, broadcast, bounded
+shuffles)."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as m
+from esper_tv_spark.plans import (
+    choose_band_width,
+    count_shuffles,
+    has_broadcast_join,
+    pushed_filters,
+    read_schemas,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q01_pushdown_and_pruning(spark):
+    df = m.queries()["q01_pricing_summary"](spark, SF)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), pf
+    rs = read_schemas(df)
+    # 16-column lineitem scan must be pruned to the 6 needed columns
+    assert all("l_partkey" not in s and "l_comment" not in s for s in rs), rs
+
+
+def test_q03_broadcasts_dims(spark):
+    df = m.queries()["q03_region_revenue"](spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_coalesce_is_single_shuffle(spark):
+    from esper_tv_spark.operators import intervals as iv
+
+    df = spark.createDataFrame(
+        [(1, 0, 10), (1, 5, 20), (2, 0, 3)], "key int, start long, end long"
+    )
+    out = iv.coalesce(df, ["key"])
+    # one shuffle for the window partition; the groupBy reuses the
+    # partitioning (ENSURE_REQUIREMENTS sees it's already hash(key))
+    assert count_shuffles(out) <= 2
+
+
+def test_choose_band_width(spark):
+    df = spark.createDataFrame(
+        [(1, 0, l) for l in [10, 10, 10, 10, 10, 10, 10, 10, 10, 1000]],
+        "key int, start long, end long",
+    )
+    w = choose_band_width(df)
+    assert 10 <= w <= 1000
+
+
+def test_argmax_no_extra_shuffle(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    df = m.queries()["q06_top_order_per_customer"](spark, SF)
+    # window argmax: exactly one hash exchange on the partition key
+    assert count_shuffles(df) == 1
