@@ -153,6 +153,74 @@ def ann_cosine_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def dist_to_targets(
+    df: DataFrame,
+    target_vecs: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Min L2 distance to any target vector (reference dist,
+    face_embeddings.py:23-36: distance to nearest of the target set).
+    Targets are literal arrays — broadcast into the expression."""
+    dists = [
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), lit_vector(t), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        for t in target_vecs
+    ]
+    return df.select(F.col(id_col), F.least(*dists).alias("dist") if len(dists) > 1 else dists[0].alias("dist"))
+
+
+def sample_vectors(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Uniform sample (reference sample, face_embeddings.py:64-67)."""
+    return df.sample(fraction=fraction, seed=seed)
+
+
+def exists_ids(df: DataFrame, ids: list[int], id_col: str = "vec_id") -> DataFrame:
+    """Point-lookup existence (reference exists, face_embeddings.py:69-71):
+    (id, exists) for each requested id."""
+    spark = df.sparkSession
+    want = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
+    present = df.select(id_col).join(F.broadcast(want), id_col, "left_semi").withColumn(
+        "exists", F.lit(True)
+    )
+    return want.join(present, id_col, "left").fillna(False, ["exists"])
+
+
+def knn_predict(
+    train: DataFrame,
+    predict: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Label propagation by majority vote of the k nearest labeled vectors
+    (reference knn_predict, face_embeddings.py:129-131). Neighbors via
+    knn_join (labeled side broadcast when small; LSH-bucketed at scale),
+    vote via a count window — ties break to the smaller label for
+    determinism."""
+    from pyspark.sql import Window
+
+    q = predict.select(F.col(id_col).alias("q_id"), vec_col)
+    neighbors = knn_join(q, train.select(id_col, vec_col), k, "q_id", id_col, vec_col)
+    votes = (
+        neighbors.join(train.select(F.col(id_col), F.col(label_col)), id_col)
+        .groupBy("q_id", label_col)
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("n_votes").desc(), F.col(label_col).asc())
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col("q_id").alias(id_col), F.col(label_col).alias("pred_label"))
+    )
+
+
 def kmeans_assign(df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42) -> DataFrame:
     """Cluster assignment via pyspark.ml KMeans (reference kmeans,
     face_embeddings.py:99-109)."""

@@ -82,6 +82,35 @@ def test_srp_bucket_deterministic(spark, emb):
         assert b1[i] == want
 
 
+def test_dist_sample_exists(spark, emb):
+    data = vectors()
+    targets = [data[0][1], data[7][1]]
+    out = {r["vec_id"]: r["dist"] for r in sim.dist_to_targets(emb, targets).collect()}
+    for i, v, _ in data[:8]:
+        want = min(
+            float(np.linalg.norm(np.array(v, dtype=np.float64) - np.array(t, dtype=np.float64)))
+            for t in targets
+        )
+        assert out[i] == pytest.approx(want, abs=1e-9)
+    assert out[0] == pytest.approx(0.0, abs=1e-9)
+    s = sim.sample_vectors(emb, 0.3).count()
+    assert 0 < s < 60
+    ex = {r["vec_id"]: r["exists"] for r in sim.exists_ids(emb, [0, 1, 9999]).collect()}
+    assert ex == {0: True, 1: True, 9999: False}
+
+
+def test_knn_predict_majority_vote(spark):
+    rs = np.random.RandomState(1)
+    train = [(i, (rs.randn(8) * 0.05 + 3).tolist(), 1) for i in range(15)] + [
+        (i + 15, (rs.randn(8) * 0.05 - 3).tolist(), 0) for i in range(15)
+    ]
+    pred_rows = [(100, (np.ones(8) * 3.0).tolist()), (101, (np.ones(8) * -3.0).tolist())]
+    train_df = spark.createDataFrame(train, "vec_id long, embedding array<double>, label int")
+    pred_df = spark.createDataFrame(pred_rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["pred_label"] for r in sim.knn_predict(train_df, pred_df, k=5).collect()}
+    assert got == {100: 1, 101: 0}
+
+
 def test_kmeans_and_logreg_smoke(spark):
     # two well-separated blobs -> kmeans separates, logreg classifies
     rs = np.random.RandomState(0)
