@@ -50,7 +50,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
 
-    # warmup: touch the biggest table + start Python workers
+    # warmup: run the whole suite once at sf0.001 so JVM JIT + whole-stage
+    # codegen caches are hot — the measured pass then reflects steady-state
+    # per-query cost, not first-compile latency
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            qs[name](spark, warm_dir).collect()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     timings: dict[str, float] = {}

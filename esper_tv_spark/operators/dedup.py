@@ -66,19 +66,24 @@ def lsh_buckets(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Band the signature: band j hashes sig[j*r .. (j+1)*r-1] together.
-    Output: (doc_id, band, bucket)."""
-    parts = []
-    for j in range(n_bands):
-        cols = [F.col(f"mh_{j * rows_per_band + k}") for k in range(rows_per_band)]
-        parts.append(
-            signatures.select(
-                F.col(id_col), F.lit(j).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket")
+    Output: (doc_id, band, bucket).
+
+    Emitted via one inline-explode of a band array (a union of per-band
+    selects would re-evaluate the whole signature subtree once per band)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh_{j * rows_per_band + k}") for k in range(rows_per_band)]
+                    )
+                ).alias("bucket"),
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            for j in range(n_bands)
+        ]
+    )
+    return signatures.select(F.col(id_col), F.inline(bands))
 
 
 def lsh_candidate_pairs(
@@ -90,19 +95,35 @@ def lsh_candidate_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Candidate near-duplicate pairs: documents sharing any LSH band bucket.
-    Self-join on (band, bucket) with id_a < id_b, then distinct — the shuffle
-    key is the bucket, so cost is sum of bucket-size^2, not corpus^2."""
+
+    One groupBy on (band, bucket) collects the bucket's ids; in-bucket pairs
+    are generated with array expressions (i<j combinations) and exploded.
+    Cost is sum of bucket-size^2 — never corpus^2 — and the signature
+    pipeline is evaluated exactly once (a bucket self-join would recompute
+    it per side). Hot buckets are the skew risk: cap/salt before the pair
+    blowup at production scale."""
     rows_per_band = n_hashes // n_bands
     sig = minhash_signature(df, n_hashes, shingle_n, id_col, text_col)
     b = lsh_buckets(sig, n_bands, rows_per_band, id_col)
-    left = b.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    right = b.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    return (
-        left.join(right, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    grouped = (
+        b.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") > 1)
     )
+    n = F.size("ids")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, n - 1),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), i + 1).alias("id_a"),
+                    F.element_at(F.col("ids"), j + 1).alias("id_b"),
+                ),
+            ),
+        )
+    )
+    return grouped.select(F.explode(pairs).alias("p")).select("p.id_a", "p.id_b").distinct()
 
 
 def jaccard_pairs(
@@ -148,19 +169,18 @@ def simhash(df: DataFrame, n_bits: int = 32, id_col: str = "doc_id", text_col: s
     # low n_bits of md5 via hex prefix -> bigint (15 hex chars = 60 bits max)
     nhex = (n_bits + 3) // 4
     h = F.conv(F.substring(F.md5(F.col("token")), 1, nhex), 16, 10).cast("long")
-    tb = toks.withColumn("h", h).withColumn("bit", F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))))
-    signed = tb.withColumn(
-        "contrib",
-        F.when(F.expr("shiftright(h, CAST(bit AS INT))").bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-    )
-    bits = (
-        signed.groupBy(id_col, "bit")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn(
-            "bitval",
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        )
-    )
-    return bits.groupBy(id_col).agg(F.sum("bitval").cast("long").alias("simhash"))
+    tb = toks.withColumn("h", h)
+    # one aggregation column per bit (map-side partials over the token rows)
+    # instead of exploding tokens x n_bits rows into a fat shuffle
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {b})").bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(n_bits)
+    ]
+    per_doc = tb.groupBy(id_col).agg(*bit_sums)
+    sh = None
+    for b in range(n_bits):
+        bitval = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sh = bitval if sh is None else sh + bitval
+    return per_doc.select(F.col(id_col), sh.alias("simhash"))

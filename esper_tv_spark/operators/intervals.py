@@ -303,29 +303,39 @@ def minus(
     overlap = (F.col(f"b_{start}") < F.col(end)) & (F.col(f"b_{end}") > F.col(start))
     j = a_id.join(pb, keys + [overlap], "left")
 
-    untouched = (
-        j.where(F.col(f"b_{start}").isNull()).select(*key_cols, start, end, *payload_cols)
-    )
-    matched = j.where(F.col(f"b_{start}").isNotNull())
-    # b-intervals overlapping one a are disjoint (B was coalesced) -> order by b_start.
+    # Single window pass over the joined rows (the join subtree is evaluated
+    # once — a 3-way union of filtered branches would recompute it 3x):
+    # per a-interval, the overlapping b's are disjoint and sorted (B was
+    # coalesced), so each joined row emits up to two surviving segments:
+    #   - the gap before this b:    [max(lag(b_end), a_start), b_start)
+    #   - after the LAST b only:    [b_end, a_end)
+    # Unmatched a rows (b_start null) emit themselves unchanged.
     w = Window.partitionBy(*key_cols, "__aid").orderBy(F.col(f"b_{start}"))
-    gaps = (
-        matched.withColumn("__gap_start", F.coalesce(F.lag(F.col(f"b_{end}")).over(w), F.col(start)))
-        .withColumn("__gap_end", F.col(f"b_{start}"))
-        .where(F.col("__gap_end") > F.col("__gap_start"))
-        .select(*key_cols, F.col("__gap_start").alias(start), F.col("__gap_end").alias(end), *payload_cols)
+    j = j.withColumn("__seg_start", F.coalesce(F.lag(F.col(f"b_{end}")).over(w), F.col(start))).withColumn(
+        "__is_last_b", F.lead(F.col(f"b_{start}")).over(w).isNull()
     )
-    tails = (
-        matched.groupBy(*key_cols, "__aid")
-        .agg(
-            F.max(F.col(f"b_{end}")).alias("__tail_start"),
-            F.first(F.col(end)).alias("__a_end"),
-            *[F.first(F.col(c)).alias(c) for c in payload_cols],
+    candidates = F.when(
+        F.col(f"b_{start}").isNull(),
+        F.array(F.struct(F.col(start).alias("s"), F.col(end).alias("e"))),
+    ).otherwise(
+        F.filter(
+            F.array(
+                F.struct(F.col("__seg_start").alias("s"), F.col(f"b_{start}").alias("e")),
+                F.struct(
+                    F.when(F.col("__is_last_b"), F.col(f"b_{end}")).otherwise(F.lit(None)).alias("s"),
+                    F.col(end).alias("e"),
+                ),
+            ),
+            lambda seg: seg["s"].isNotNull() & (seg["e"] > seg["s"]),
         )
-        .where(F.col("__a_end") > F.col("__tail_start"))
-        .select(*key_cols, F.col("__tail_start").alias(start), F.col("__a_end").alias(end), *payload_cols)
     )
-    return untouched.unionByName(gaps).unionByName(tails)
+    return (
+        j.select(*key_cols, *payload_cols, F.explode(candidates).alias("__seg"))
+        .withColumn(start, F.col("__seg.s"))
+        .withColumn(end, F.col("__seg.e"))
+        .drop("__seg")
+        .select(*key_cols, start, end, *payload_cols)
+    )
 
 
 def overlap_measure(
