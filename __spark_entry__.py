@@ -1255,6 +1255,47 @@ WHERE contains(p, ' hash join ') AND (contains(p, ' merge ') OR contains(p, ' so
 """
 
 
+def q49_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column extraction (SURVEY §2.8 array/map/json family): parse the
+    events.props JSON, bucket the extracted value, count per event type."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k_bucket", F.floor(k / 10).cast("long"))
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+Q49_SQL = """
+SELECT event_type, CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10) AS BIGINT) AS k_bucket,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def q50_auto_join_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS auto-join over the FK graph (scannerutil.py:9-54 join-path
+    discovery): lineitem -> region resolved automatically, then a rollup."""
+    from esper_tv_spark.sources.catalog import auto_join, load_tables
+
+    cat = load_tables(spark, sf_dir)
+    df = auto_join(cat, "lineitem", ["region"])
+    return df.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_items"), exact_sum("l_quantity", 2).alias("sum_qty")
+    )
+
+
+Q50_SQL = f"""
+SELECT r_name, count(*) AS n_items, {exact_sum_sql('l_quantity', 2)} AS sum_qty
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def q46_asset_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode pipeline (Arrow-batched mapInPandas over binary
     payload columns; deterministic stub decoder — see operators/multimodal).
@@ -1333,6 +1374,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_latest_event_per_user": q43_latest_event_per_user,
     "q44_lowercase_segments": q44_lowercase_segments,
     "q45_caption_query_search": q45_caption_query_search,
+    "q49_json_props": q49_json_props,
+    "q50_auto_join_path": q50_auto_join_path,
     # non-SQL-expressible ops (driver records rows-only checks):
     "q46_asset_decode_stats": q46_asset_decode_stats,
     "q47_ann_topk": q47_ann_topk,
@@ -1385,6 +1428,8 @@ _ORACLES: dict[str, str] = {
     "q43_latest_event_per_user": Q43_SQL,
     "q44_lowercase_segments": Q44_SQL,
     "q45_caption_query_search": Q45_SQL,
+    "q49_json_props": Q49_SQL,
+    "q50_auto_join_path": Q50_SQL,
 }
 
 

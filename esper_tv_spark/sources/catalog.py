@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -56,3 +57,59 @@ def save_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by: 
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def save_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV export sink (reference: qs.save_to_csv / COPY TO CSV,
+    base_models.py:42-46)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+# FK graph for the driver's star schema: table -> {fk_col: (dim_table, key)}
+FK_GRAPH: dict[str, dict[str, tuple[str, str]]] = {
+    "lineitem": {"l_orderkey": ("orders", "o_orderkey"), "l_partkey": ("part", "p_partkey"), "l_suppkey": ("supplier", "s_suppkey")},
+    "orders": {"o_custkey": ("customer", "c_custkey")},
+    "customer": {"c_nationkey": ("nation", "n_nationkey")},
+    "supplier": {"s_nationkey": ("nation", "n_nationkey")},
+    "nation": {"n_regionkey": ("region", "r_regionkey")},
+}
+
+
+def auto_join(
+    catalog: dict[str, DataFrame],
+    start: str,
+    targets: list[str],
+    fk_graph: dict[str, dict[str, tuple[str, str]]] | None = None,
+) -> DataFrame:
+    """BFS join-path discovery over the FK graph.
+
+    Reference: Scanner's SQL source auto-generates SELECT..INNER JOIN chains
+    by BFS over the Django FK graph (scannerutil.py:9-54, 92-121) — the one
+    piece of its query machinery SURVEY §2.1 flags as worth keeping. Given a
+    start table and target tables, finds FK paths and composes the joins;
+    Catalyst still plans the physical join order/strategy."""
+    graph = fk_graph if fk_graph is not None else FK_GRAPH
+
+    def bfs(src: str, dst: str) -> list[tuple[str, str, str, str]]:
+        # edges: (from_table, fk_col, to_table, key_col)
+        frontier = [(src, [])]
+        seen = {src}
+        while frontier:
+            table, path = frontier.pop(0)
+            if table == dst:
+                return path
+            for fk, (to_t, key) in graph.get(table, {}).items():
+                if to_t not in seen:
+                    seen.add(to_t)
+                    frontier.append((to_t, path + [(table, fk, to_t, key)]))
+        raise ValueError(f"no FK path from {src!r} to {dst!r}")
+
+    df = catalog[start]
+    joined = {start}
+    for target in targets:
+        for from_t, fk, to_t, key in bfs(start, target):
+            if to_t in joined:
+                continue
+            df = df.join(catalog[to_t], F.col(fk) == F.col(key))
+            joined.add(to_t)
+    return df
