@@ -1296,6 +1296,122 @@ GROUP BY r_name
 """
 
 
+def q51_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family): all pairs with
+    cosine >= 0.4, exact all-pairs baseline. The SRP-LSH blocked variant of
+    the same operator (operators/dedup.embedding_near_dup_pairs n_planes>0)
+    is the scale path and is recall-tested in tests/test_similarity."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+Q51_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+"""
+
+
+_PREC_XS = [0.0, 0.25, 0.5, 0.75, 1.0]
+_PREC_YS = [0.97, 0.9, 0.8, 0.65, 0.5]
+
+
+def q52_precision_bucket_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-bucket probability model (identity.py:50-162): raw score ->
+    np.interp against per-bucket audited precision -> calibrated p -> the
+    Bernoulli screen-time aggregate E = sum(p*x), Var = sum(p(1-p)x^2).
+    The interp is a codegen CASE chain, not a driver-side numpy pass."""
+    from esper_tv_spark.functions.interp import interp_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    score = F.col("l_discount") * F.lit(10.0)
+    p = interp_expr(score, _PREC_XS, _PREC_YS)
+    x = F.col("l_quantity")
+    # round each term at 4 dp before the scaled-bigint sum: p is
+    # bit-identical across engines (interp_expr/interp_sql emit the same
+    # double arithmetic), so the rounding is too, and the per-row scaled
+    # value stays ~1e7 — no overflow headroom issues at any corpus size
+    return li.withColumn("p", p).groupBy("l_returnflag").agg(
+        exact_sum(F.col("p") * x, 4).alias("expected_sum"),
+        exact_sum(F.col("p") * (F.lit(1.0) - F.col("p")) * x * x, 4).alias("variance_sum"),
+    )
+
+
+def _q52_sql() -> str:
+    from esper_tv_spark.functions.interp import interp_sql
+
+    p = interp_sql("l_discount * CAST(10.0 AS DOUBLE)", _PREC_XS, _PREC_YS)
+    return f"""
+WITH t AS (SELECT l_returnflag, l_quantity AS x, {p} AS p FROM lineitem)
+SELECT l_returnflag,
+       {exact_sum_sql('p * x', 4)} AS expected_sum,
+       {exact_sum_sql('p * (1.0 - p) * x * x', 4)} AS variance_sum
+FROM t GROUP BY l_returnflag
+"""
+
+
+def q53_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval containment (SURVEY §2.5 'shot containing a frame',
+    validation.py:220-222 did a per-row lookup query): clicks joined to the
+    containing coalesced 'view' session of the same user — a range join with
+    the user as equi-key; coalesced sessions are disjoint so each point has
+    at most one container."""
+    iv = intervals.coalesce(
+        _presence_intervals(spark, sf_dir, "view").select(
+            F.col("video_id").alias("user_id"), "start", "end"
+        ),
+        ["user_id"],
+        gap=0,
+    )
+    pts = _events(spark, sf_dir).where(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("p")
+    )
+    j = pts.join(
+        iv,
+        (pts["user_id"] == iv["user_id"]) & (F.col("p") >= F.col("start")) & (F.col("p") < F.col("end")),
+        "inner",
+    )
+    return (
+        j.groupBy(pts["user_id"].alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_contained"), F.countDistinct("start").alias("n_sessions_hit"))
+    )
+
+
+def _q53_sql() -> str:
+    presence = _PRESENCE_SQL.format(et="view")
+    return f"""
+WITH pres AS ({presence}),
+{_coalesce_cte('pres', 'iv', 0)},
+pts AS (SELECT user_id, epoch_us(ts) AS p FROM events WHERE event_type = 'click')
+SELECT pts.user_id AS user_id, count(*) AS n_contained, count(DISTINCT iv.s) AS n_sessions_hit
+FROM pts JOIN iv ON pts.user_id = iv.user_id AND pts.p >= iv.s AND pts.p < iv.e
+GROUP BY pts.user_id
+"""
+
+
+def q54_stride_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stride sampling + ordered limit (widget.py:159, 212:
+    `id % stride == 0` slicing with a reproducible order before the cut)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderkey") % 17 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
+Q54_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey % 17 = 0
+ORDER BY o_orderkey LIMIT 200
+"""
+
+
 def q46_asset_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode pipeline (Arrow-batched mapInPandas over binary
     payload columns; deterministic stub decoder — see operators/multimodal).
@@ -1376,6 +1492,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_caption_query_search": q45_caption_query_search,
     "q49_json_props": q49_json_props,
     "q50_auto_join_path": q50_auto_join_path,
+    "q51_near_dup_embeddings": q51_near_dup_embeddings,
+    "q52_precision_bucket_probability": q52_precision_bucket_probability,
+    "q53_point_in_interval": q53_point_in_interval,
+    "q54_stride_sample": q54_stride_sample,
     # non-SQL-expressible ops (driver records rows-only checks):
     "q46_asset_decode_stats": q46_asset_decode_stats,
     "q47_ann_topk": q47_ann_topk,
@@ -1430,6 +1550,10 @@ _ORACLES: dict[str, str] = {
     "q45_caption_query_search": Q45_SQL,
     "q49_json_props": Q49_SQL,
     "q50_auto_join_path": Q50_SQL,
+    "q51_near_dup_embeddings": Q51_SQL,
+    "q52_precision_bucket_probability": _q52_sql(),
+    "q53_point_in_interval": _q53_sql(),
+    "q54_stride_sample": Q54_SQL,
 }
 
 

@@ -159,6 +159,44 @@ def jaccard_pairs(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim) for
+    every pair with rounded cosine >= threshold.
+
+    n_planes=0 is the exact all-pairs baseline (O(n^2), oracle-checkable —
+    fine for a dedup audit on a sampled corpus, never for 100 TB).
+    n_planes>0 is the scale path: signed-random-projection buckets block the
+    comparison so only bucket-cohabiting pairs are scored — candidate
+    generation is an equi-join on the bucket key (one shuffle), cost is sum
+    of bucket-size^2. Recall < 1 by design; raise it by unioning several
+    plane sets (different seeds), exactly like MinHash bands."""
+    from esper_tv_spark.operators.similarity import cosine, random_hyperplanes, srp_bucket
+
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    if n_planes > 0:
+        dim = len(df.select(vec_col).first()[0])
+        planes = random_hyperplanes(dim, n_planes, seed)
+        a = a.withColumn("bucket", srp_bucket(F.col("va"), planes))
+        b = b.withColumn("bucket", srp_bucket(F.col("vb"), planes))
+        j = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b")).drop("bucket")
+    else:
+        j = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        j.select("id_a", "id_b", sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= F.lit(threshold))
+    )
+
+
 def simhash(df: DataFrame, n_bits: int = 32, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """SimHash per document over tokens: token hash = low `n_bits` bits of
     md5; for each bit position sum (+1/-1); simhash bit = sign. Implemented

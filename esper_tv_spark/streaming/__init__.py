@@ -5,5 +5,13 @@ from esper_tv_spark.streaming.ingest import (
     tumbling_agg,
     write_with_ledger,
 )
+from esper_tv_spark.streaming.stateful import coalesce_stream
 
-__all__ = ["file_stream", "tumbling_agg", "sliding_agg", "session_agg", "write_with_ledger"]
+__all__ = [
+    "file_stream",
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "write_with_ledger",
+    "coalesce_stream",
+]

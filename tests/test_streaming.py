@@ -86,3 +86,42 @@ def test_ledger_sink_idempotent(spark, events_batch, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(out).count()
     assert n2 == n1  # replayed epoch skipped via ledger
+
+
+def test_stateful_coalesce_stream_equals_batch(spark, events_batch, tmp_path):
+    """coalesce_stream (applyInPandasWithState) emits exactly the CLOSED
+    intervals of the batch coalesce — every merged interval per user except
+    the final one, which stays open in state."""
+    from pyspark.sql import Window
+
+    from esper_tv_spark.operators.intervals import coalesce
+    from esper_tv_spark.streaming import coalesce_stream
+
+    iv = events_batch.select(
+        "user_id",
+        F.unix_micros("ts").alias("start"),
+        (F.unix_micros("ts") + F.lit(600_000_000)).alias("end"),
+    )
+    src = str(tmp_path / "iv_src")
+    iv.write.parquet(src)
+    stream = file_stream(spark, src, iv.schema)
+    out = coalesce_stream(stream, "user_id", "start", "end", gap=0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("coal")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("coal").collect())
+
+    batch = coalesce(iv, ["user_id"], gap=0)
+    w = Window.partitionBy("user_id")
+    closed = batch.withColumn("max_start", F.max("start").over(w)).where(
+        F.col("start") < F.col("max_start")
+    )
+    want = sorted(
+        tuple(r) for r in closed.select("user_id", "start", "end", "n_merged").collect()
+    )
+    assert got == want and len(got) > 0

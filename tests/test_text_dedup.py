@@ -109,3 +109,57 @@ def test_sliding_window_topic(spark):
         if hits >= 2:
             want.add((i, hits))
     assert got == want
+
+
+def test_embedding_near_dup_exact_vs_numpy(spark):
+    import numpy as np
+
+    from esper_tv_spark.operators.dedup import embedding_near_dup_pairs
+
+    rs = np.random.RandomState(7)
+    base = rs.randn(10, 8)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, v.tolist()))
+        # a near-duplicate: small perturbation of the same vector
+        rows.append((2 * i + 1, (v + 0.05 * rs.randn(8)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = np.asarray(rows[i][1]), np.asarray(rows[j][1])
+            c = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+            if c >= 0.9:
+                want.add((rows[i][0], rows[j][0]))
+    assert got == want
+    assert len(want) >= 10  # every perturbed twin found
+
+
+def test_embedding_near_dup_lsh_blocked_subset(spark):
+    import numpy as np
+
+    from esper_tv_spark.operators.dedup import embedding_near_dup_pairs
+
+    rs = np.random.RandomState(11)
+    base = rs.randn(15, 8)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, v.tolist()))
+        rows.append((2 * i + 1, (v + 0.02 * rs.randn(8)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.9, n_planes=4).collect()
+    }
+    # blocking never invents pairs, and near-identical twins mostly share
+    # all 4 hyperplane signs -> recall should be high on this data
+    assert blocked <= exact
+    assert len(blocked) >= 0.5 * len(exact)
