@@ -1412,6 +1412,104 @@ ORDER BY o_orderkey LIMIT 200
 """
 
 
+def q55_panel_scene_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial scene-graph panel detection (panels_rekall.py:41-57): three
+    faces in the same frame aligned in a horizontal row, left-to-right. Faces
+    are synthesized deterministically from purchase events on a grid; the
+    triple predicate uses the geometry library's same-row test. Relational
+    shape: two self-joins on the frame key + ordered-x and same-row
+    predicates — never a per-frame Python loop."""
+    from esper_tv_spark.functions.geometry import same_row
+
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    faces = ev.select(
+        F.col("user_id").alias("frame_id"),
+        F.col("event_id").alias("face_id"),
+        ((F.col("event_id") % 10).cast("double") / 10.0).alias("x1"),
+        (((F.col("event_id") / 10).cast("long") % 5).cast("double") / 5.0).alias("y1"),
+    ).withColumn("y2", F.col("y1") + F.lit(0.2))
+    a, b, c = faces.alias("a"), faces.alias("b"), faces.alias("c")
+    j = (
+        a.join(
+            b,
+            (F.col("a.frame_id") == F.col("b.frame_id"))
+            & (F.col("a.x1") < F.col("b.x1"))
+            & same_row(F.col("a.y1"), F.col("b.y1"), eps=0.05),
+        )
+        .join(
+            c,
+            (F.col("b.frame_id") == F.col("c.frame_id"))
+            & (F.col("b.x1") < F.col("c.x1"))
+            & same_row(F.col("b.y1"), F.col("c.y1"), eps=0.05),
+        )
+    )
+    return j.select(
+        F.col("a.frame_id").alias("frame_id"),
+        F.col("a.face_id").alias("face_a"),
+        F.col("b.face_id").alias("face_b"),
+        F.col("c.face_id").alias("face_c"),
+    )
+
+
+Q55_SQL = """
+WITH faces AS (
+  SELECT user_id AS frame_id, event_id AS face_id,
+         CAST(event_id % 10 AS DOUBLE) / 10.0 AS x1,
+         CAST((event_id // 10) % 5 AS DOUBLE) / 5.0 AS y1
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.frame_id AS frame_id, a.face_id AS face_a, b.face_id AS face_b, c.face_id AS face_c
+FROM faces a
+JOIN faces b ON a.frame_id = b.frame_id AND a.x1 < b.x1 AND abs(a.y1 - b.y1) < 0.05
+JOIN faces c ON b.frame_id = c.frame_id AND b.x1 < c.x1 AND abs(b.y1 - c.y1) < 0.05
+"""
+
+
+def q56_commercial_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The commercial-detection rekall composite
+    (commercial_detection_rekall.py:108-313) on the events substrate:
+    black windows = error intervals, '>>' arrows = click points, announcer
+    arrows = signup points, transcript spans = view intervals, video span =
+    [first event, last event end] per user. The capped-length stack fold is
+    the one applyInPandas stage (order-dependent per key); everything else
+    is coalesce / minus / filter_against range joins. Rows-only check (the
+    fold is not ANSI-SQL-expressible)."""
+    from esper_tv_spark.domain.composites import detect_commercials
+
+    def sec_iv(event_type: str, length_s: float) -> DataFrame:
+        ev = _events(spark, sf_dir).where(F.col("event_type") == event_type)
+        s = F.unix_micros("ts").cast("double") / 1e6
+        return ev.select(
+            F.col("user_id").alias("video_id"),
+            s.alias("start"),
+            (s + F.lit(length_s)).alias("end"),
+        )
+
+    ev = _events(spark, sf_dir)
+    s = F.unix_micros("ts").cast("double") / 1e6
+    spans = (
+        ev.select(F.col("user_id").alias("video_id"), s.alias("t"))
+        .groupBy("video_id")
+        .agg(F.min("t").alias("start"), (F.max("t") + F.lit(3600.0)).alias("end"))
+    )
+    empty = sec_iv("click", 1.0).limit(0)
+    out = detect_commercials(
+        black_windows=sec_iv("error", 30.0),
+        arrow_text=sec_iv("click", 5.0),
+        arrow_announcer=sec_iv("signup", 5.0),
+        arrow_having=empty,
+        transcripts=sec_iv("view", 120.0),
+        video_spans=spans,
+        max_commercial_time=3600.0,
+        min_commercial_time=60.0,
+    )
+    return out.select(
+        "video_id",
+        F.round("start", 6).alias("cstart"),
+        F.round("end", 6).alias("cend"),
+    ).orderBy("video_id", "cstart")
+
+
 def q46_asset_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode pipeline (Arrow-batched mapInPandas over binary
     payload columns; deterministic stub decoder — see operators/multimodal).
@@ -1496,7 +1594,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_precision_bucket_probability": q52_precision_bucket_probability,
     "q53_point_in_interval": q53_point_in_interval,
     "q54_stride_sample": q54_stride_sample,
+    "q55_panel_scene_graph": q55_panel_scene_graph,
     # non-SQL-expressible ops (driver records rows-only checks):
+    "q56_commercial_detection": q56_commercial_detection,
     "q46_asset_decode_stats": q46_asset_decode_stats,
     "q47_ann_topk": q47_ann_topk,
     "q48_kmeans_clusters": q48_kmeans_clusters,
@@ -1554,6 +1654,7 @@ _ORACLES: dict[str, str] = {
     "q52_precision_bucket_probability": _q52_sql(),
     "q53_point_in_interval": _q53_sql(),
     "q54_stride_sample": Q54_SQL,
+    "q55_panel_scene_graph": Q55_SQL,
 }
 
 

@@ -21,7 +21,12 @@ FAST = [
 ]
 
 
-NON_SQL = {"q46_asset_decode_stats", "q47_ann_topk", "q48_kmeans_clusters"}
+NON_SQL = {
+    "q46_asset_decode_stats",
+    "q47_ann_topk",
+    "q48_kmeans_clusters",
+    "q56_commercial_detection",
+}
 
 
 def test_contract_shape():
