@@ -1510,6 +1510,42 @@ def q56_commercial_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("video_id", "cstart")
 
 
+def q57_knn_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn label propagation (face_embeddings.py:129-131): every 5th vector
+    is unlabeled, predicted by majority vote of its 5 nearest labeled
+    neighbors (cosine, rounded 6dp; ties -> smaller label). knn_join
+    broadcasts the query side; the vote is a count + row_number window —
+    fully relational, hash-matched against the same pipeline in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.where(F.col("vec_id") % 5 != 0)
+    predict = emb.where(F.col("vec_id") % 5 == 0)
+    return similarity.knn_predict(train, predict, k=5)
+
+
+Q57_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+tr AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 5 = 0),
+sims AS (
+  SELECT q.q_id, tr.vec_id, tr.label,
+         round(list_dot_product(tr.v, q.qv)
+               / (sqrt(list_dot_product(tr.v, tr.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS s
+  FROM q CROSS JOIN tr
+),
+top AS (
+  SELECT q_id, label FROM (
+    SELECT q_id, label, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id ASC) AS rn
+    FROM sims
+  ) WHERE rn <= 5
+),
+votes AS (SELECT q_id, label, count(*) AS n FROM top GROUP BY q_id, label)
+SELECT q_id AS vec_id, label AS pred_label FROM (
+  SELECT q_id, label, row_number() OVER (PARTITION BY q_id ORDER BY n DESC, label ASC) AS rn
+  FROM votes
+) WHERE rn = 1
+"""
+
+
 def q46_asset_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode pipeline (Arrow-batched mapInPandas over binary
     payload columns; deterministic stub decoder — see operators/multimodal).
@@ -1595,6 +1631,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_point_in_interval": q53_point_in_interval,
     "q54_stride_sample": q54_stride_sample,
     "q55_panel_scene_graph": q55_panel_scene_graph,
+    "q57_knn_predict": q57_knn_predict,
     # non-SQL-expressible ops (driver records rows-only checks):
     "q56_commercial_detection": q56_commercial_detection,
     "q46_asset_decode_stats": q46_asset_decode_stats,
@@ -1655,6 +1692,7 @@ _ORACLES: dict[str, str] = {
     "q53_point_in_interval": _q53_sql(),
     "q54_stride_sample": Q54_SQL,
     "q55_panel_scene_graph": Q55_SQL,
+    "q57_knn_predict": Q57_SQL,
 }
 
 
