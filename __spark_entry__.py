@@ -1546,6 +1546,53 @@ SELECT q_id AS vec_id, label AS pred_label FROM (
 """
 
 
+def q58_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data cleaning pipeline end-to-end: quality gate (length +
+    stopword ratio) -> exact dedup (keep min doc_id per normalized-text
+    fingerprint) -> per-source corpus stats. Composes quality_metrics,
+    fingerprint dedup, and aggregation in one plan — the whole pipeline is
+    two shuffles (dedup groupBy, final groupBy); the quality gate is
+    computed map-side and never materialized."""
+    docs = _t(spark, sf_dir, "documents")
+    qm = text.quality_metrics(docs)
+    keep = (
+        docs.join(qm, "doc_id")
+        .where((F.col("n_tokens") >= 30) & (F.col("stopword_ratio") >= 0.05))
+        .select("doc_id", "text", "source", "n_tokens")
+    )
+    deduped = dedup.dedup_exact(keep)
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+Q58_SQL = """
+WITH t AS (
+  SELECT doc_id, text, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+qm AS (
+  SELECT doc_id, text, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], lower(x)))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS stopword_ratio
+  FROM t
+),
+keep AS (
+  SELECT doc_id, text, source, n_tokens FROM qm
+  WHERE n_tokens >= 30 AND stopword_ratio >= 0.05
+),
+fps AS (
+  SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM keep
+),
+rep AS (SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY fp)
+SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM fps JOIN rep USING (fp, doc_id)
+GROUP BY source
+"""
+
+
 def q46_asset_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode pipeline (Arrow-batched mapInPandas over binary
     payload columns; deterministic stub decoder — see operators/multimodal).
@@ -1632,6 +1679,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_stride_sample": q54_stride_sample,
     "q55_panel_scene_graph": q55_panel_scene_graph,
     "q57_knn_predict": q57_knn_predict,
+    "q58_clean_corpus": q58_clean_corpus,
     # non-SQL-expressible ops (driver records rows-only checks):
     "q56_commercial_detection": q56_commercial_detection,
     "q46_asset_decode_stats": q46_asset_decode_stats,
@@ -1693,6 +1741,7 @@ _ORACLES: dict[str, str] = {
     "q54_stride_sample": Q54_SQL,
     "q55_panel_scene_graph": Q55_SQL,
     "q57_knn_predict": Q57_SQL,
+    "q58_clean_corpus": Q58_SQL,
 }
 
 

@@ -153,6 +153,57 @@ def ann_cosine_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ivf_fit(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF index build: KMeans coarse quantizer, every vector assigned to
+    its nearest centroid cell. Returns (df + `cell` column, centroids).
+
+    At corpus scale the assigned table is written partitioned by `cell`
+    (sources/catalog.save_table(partition_by=['cell'])), so a probe is
+    partition-pruned I/O over n_probe/n_cells of the corpus — the IVF
+    alternative to the SRP-LSH bucket column, trading a training pass for
+    data-adaptive cells."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn("__features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__features").fit(feat)
+    assigned = model.transform(feat).withColumnRenamed("prediction", "cell").drop("__features")
+    centers = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    query_vec: list[float],
+    k: int,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: rank cells by centroid cosine to the query (driver-side —
+    centroids are tiny), scan only the n_probe nearest cells, exact top-k
+    within them. Recall grows with n_probe; n_probe = n_cells is exact."""
+    import numpy as np
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+
+    def cos(c):
+        c = np.asarray(c, dtype=np.float64)
+        d = np.linalg.norm(c) * np.linalg.norm(qv)
+        return float(c @ qv / d) if d > 0 else -1.0
+
+    probe = sorted(range(len(centers)), key=lambda i: -cos(centers[i]))[:n_probe]
+    cand = assigned.where(F.col("cell").isin(probe))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def dist_to_targets(
     df: DataFrame,
     target_vecs: list[list[float]],

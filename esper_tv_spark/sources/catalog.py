@@ -59,6 +59,32 @@ def save_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by: 
     writer.parquet(path)
 
 
+def save_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed+sorted Parquet table for co-located joins.
+
+    Two fact tables bucketed on the same key with the same bucket count
+    join with ZERO shuffle (Catalyst sees the hashed output partitioning) —
+    the physical layout the 100 TB plan wants for faces⋈frames-class
+    fact-fact joins on video_id, where neither side broadcasts. Sorting
+    within buckets additionally removes the sort from sort-merge joins."""
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 def save_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV export sink (reference: qs.save_to_csv / COPY TO CSV,
     base_models.py:42-46)."""

@@ -62,3 +62,17 @@ def test_argmax_no_extra_shuffle(spark):
     df = m.queries()["q06_top_order_per_customer"](spark, SF)
     # window argmax: exactly one hash exchange on the partition key
     assert count_shuffles(df) == 1
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Co-located fact-fact join: both sides bucketed on the key -> the
+    join plan contains no Exchange (SURVEY §7.10 bucketing for 100 TB)."""
+    from esper_tv_spark.sources.catalog import save_bucketed
+
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 13).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("vb"))
+    save_bucketed(a, "bj_a", ["k"], 8, path=str(tmp_path / "bj_a"))
+    save_bucketed(b, "bj_b", ["k"], 8, path=str(tmp_path / "bj_b"))
+    j = spark.table("bj_a").join(spark.table("bj_b"), "k")
+    assert count_shuffles(j) == 0
+    assert j.count() == 1000

@@ -123,3 +123,15 @@ def test_kmeans_and_logreg_smoke(spark):
     assert len(ca) == 1 and len(cb) == 1 and ca != cb
     pred = {r["vec_id"]: r["pred_label"] for r in sim.logreg_train_predict(df, df).collect()}
     assert all(pred[i] == 1.0 for i, _, _ in a) and all(pred[i] == 0.0 for i, _, _ in b)
+
+
+def test_ivf_recall_vs_exact(spark, emb):
+    assigned, centers = sim.ivf_fit(emb, n_cells=4)
+    q = vectors()[5][1]
+    exact = [r["vec_id"] for r in sim.cosine_topk(emb, q, 10).collect()]
+    # probing every cell must be exact
+    all_cells = {r["vec_id"] for r in sim.ivf_topk(assigned, centers, q, 10, n_probe=4).collect()}
+    assert all_cells == set(exact)
+    # probing half the cells keeps most of the true top-k
+    got = {r["vec_id"] for r in sim.ivf_topk(assigned, centers, q, 10, n_probe=2).collect()}
+    assert len(got & set(exact)) >= 5
