@@ -1550,13 +1550,12 @@ def q58_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data cleaning pipeline end-to-end: quality gate (length +
     stopword ratio) -> exact dedup (keep min doc_id per normalized-text
     fingerprint) -> per-source corpus stats. Composes quality_metrics,
-    fingerprint dedup, and aggregation in one plan — the whole pipeline is
-    two shuffles (dedup groupBy, final groupBy); the quality gate is
-    computed map-side and never materialized."""
+    fingerprint dedup, and aggregation in one plan; the quality gate is
+    computed map-side (keep_input=True), so no self-join back to the
+    source table."""
     docs = _t(spark, sf_dir, "documents")
-    qm = text.quality_metrics(docs)
     keep = (
-        docs.join(qm, "doc_id")
+        text.quality_metrics(docs, keep_input=True)
         .where((F.col("n_tokens") >= 30) & (F.col("stopword_ratio") >= 0.05))
         .select("doc_id", "text", "source", "n_tokens")
     )
@@ -1605,11 +1604,46 @@ def q46_asset_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q47_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH approximate nearest neighbors (bucket + Hamming-1 probes) —
-    the scale path for similarity search. Deterministic (seeded
-    hyperplanes) but not SQL-expressible -> rows-only check."""
+    the scale path for similarity search. The seeded hyperplanes are
+    inlined into the oracle SQL, so even the bucketing is hash-matched."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
     return similarity.ann_cosine_topk(emb, qv, 10, n_planes=8)
+
+
+def _q47_sql() -> str:
+    """SRP-LSH probe in pure SQL: same planes (seed 42), same bucket bits,
+    same Hamming-1 probe set, same rounded-cosine top-10 cut."""
+    from esper_tv_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(64, 8, seed=42)
+    rows = ",\n".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])" for i, p in enumerate(planes)
+    )
+    return f"""
+WITH planes(i, p) AS (VALUES {rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+b AS (
+  SELECT e.vec_id, e.v,
+         sum(CASE WHEN list_dot_product(e.v, planes.p) > 0 THEN (1::BIGINT << planes.i) ELSE 0 END) AS bucket
+  FROM e, planes GROUP BY e.vec_id, e.v
+),
+qb AS (
+  SELECT sum(CASE WHEN list_dot_product(q.qv, planes.p) > 0 THEN (1::BIGINT << planes.i) ELSE 0 END) AS bucket
+  FROM q, planes
+),
+probes AS (
+  SELECT bucket FROM qb
+  UNION ALL SELECT xor(qb.bucket, (1::BIGINT << t.i)) FROM qb, range(8) t(i)
+)
+SELECT b.vec_id,
+       round(list_dot_product(b.v, q.qv)
+             / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+FROM b, q
+WHERE b.bucket IN (SELECT bucket FROM probes)
+ORDER BY cosine_sim DESC, b.vec_id ASC LIMIT 10
+"""
 
 
 def q48_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1680,10 +1714,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_panel_scene_graph": q55_panel_scene_graph,
     "q57_knn_predict": q57_knn_predict,
     "q58_clean_corpus": q58_clean_corpus,
+    "q47_ann_topk": q47_ann_topk,
     # non-SQL-expressible ops (driver records rows-only checks):
     "q56_commercial_detection": q56_commercial_detection,
     "q46_asset_decode_stats": q46_asset_decode_stats,
-    "q47_ann_topk": q47_ann_topk,
     "q48_kmeans_clusters": q48_kmeans_clusters,
 }
 
@@ -1742,6 +1776,7 @@ _ORACLES: dict[str, str] = {
     "q55_panel_scene_graph": Q55_SQL,
     "q57_knn_predict": Q57_SQL,
     "q58_clean_corpus": Q58_SQL,
+    "q47_ann_topk": _q47_sql(),
 }
 
 

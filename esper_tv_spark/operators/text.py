@@ -123,11 +123,15 @@ def ngrams(df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
     return toks.select(F.col(id_col), F.explode(sh).alias(out_col))
 
 
-def quality_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", keep_input: bool = False
+) -> DataFrame:
     """Per-document quality features: token count, mean token length,
     punctuation ratio, stopword ratio (English list). The
     length/punct/stopword heuristics of a pretraining quality filter, as
-    columnar expressions."""
+    columnar expressions. keep_input=True appends the metrics to the input
+    columns (map-side — lets a downstream quality gate avoid a self-join
+    back to the source table)."""
     toks = tokenize(df, text_col)
     n_tokens = F.size("tokens")
     n_chars = F.length(F.col(text_col))
@@ -137,13 +141,15 @@ def quality_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     sw = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
     n_stop = F.size(F.filter(F.col("tokens"), lambda t: F.array_contains(sw, F.lower(t))))
     n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
-    return toks.select(
-        F.col(id_col),
+    metrics = [
         n_tokens.cast("long").alias("n_tokens"),
         (sum_tok_len.cast("double") / n_tokens.cast("double")).alias("mean_token_len"),
         (n_punct.cast("double") / n_chars.cast("double")).alias("punct_ratio"),
         (n_stop.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
-    )
+    ]
+    if keep_input:
+        return toks.select(*df.columns, *metrics)
+    return toks.select(F.col(id_col), *metrics)
 
 
 def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

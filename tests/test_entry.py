@@ -23,7 +23,6 @@ FAST = [
 
 NON_SQL = {
     "q46_asset_decode_stats",
-    "q47_ann_topk",
     "q48_kmeans_clusters",
     "q56_commercial_detection",
 }
