@@ -76,18 +76,88 @@ def knn_join(
     round_digits: int | None = 6,
 ) -> DataFrame:
     """k nearest corpus vectors for every query row (small query side is
-    broadcast; per-query top-k via a rank window)."""
+    broadcast; per-query top-k via a rank window).
+
+    Each side's L2 norm is computed once BEFORE the nested-loop join — the
+    pair expression is then one dot product + one divide, not three dot
+    products; same arithmetic (sqrt per side, then multiply), so results
+    stay bit-identical to cosine() and the DuckDB oracle. For throughput
+    beyond expression speed see knn_join_vectorized."""
     from pyspark.sql import Window
 
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cv"))
-    sim = cosine(F.col("__cv"), F.col("__qv"))
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("__qv"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("__cv"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__cn"),
+    )
+    sim = dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     j = c.crossJoin(F.broadcast(q)).withColumn("cosine_sim", sim)
     w = Window.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(), F.col(corpus_id).asc())
     return (
         j.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(query_id, corpus_id, "cosine_sim")
+    )
+
+
+def knn_join_vectorized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """knn_join's throughput path: queries are collected (they must be small
+    enough to broadcast anyway), and each corpus partition computes ALL
+    pair similarities as one numpy matmul over an Arrow batch — BLAS instead
+    of per-pair expression evaluation, 10-100x on wide batches. Per-partition
+    top-k heaps keep the shuffle at k rows per (query, partition).
+
+    Trade-off vs knn_join: float summation order inside the matmul is
+    BLAS-defined, so the last ulp can differ from the sequential fold — use
+    knn_join where bit-parity with a SQL oracle matters."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    q_rows = queries.select(query_id, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sc = queries.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat))
+
+    def score(it):
+        ids_b, mat_b = bq.value
+        for pdf in it:
+            c_mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = np.round(c_mat @ mat_b.T, round_digits)  # (n_corpus, n_q)
+            top = min(k, len(pdf))
+            # per-partition top-k per query: only k*n_q rows leave the task
+            order = np.argsort(-sims, axis=0, kind="stable")[:top]
+            out = {
+                query_id: np.repeat(ids_b, top),
+                corpus_id: pdf[corpus_id].to_numpy()[order.T.ravel()],
+                "cosine_sim": np.take_along_axis(sims, order, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    partial = corpus.select(corpus_id, vec_col).mapInPandas(
+        score, schema=f"{query_id} long, {corpus_id} long, cosine_sim double"
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(), F.col(corpus_id).asc())
+    return (
+        partial.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .select(query_id, corpus_id, "cosine_sim")
     )

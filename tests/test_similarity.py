@@ -135,3 +135,12 @@ def test_ivf_recall_vs_exact(spark, emb):
     # probing half the cells keeps most of the true top-k
     got = {r["vec_id"] for r in sim.ivf_topk(assigned, centers, q, 10, n_probe=2).collect()}
     assert len(got & set(exact)) >= 5
+
+
+def test_knn_join_vectorized_matches_expression(spark, emb):
+    q = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    c = emb.where(F.col("vec_id") >= 5)
+    a = sorted(tuple(r) for r in sim.knn_join(q, c, 7).collect())
+    b = sorted(tuple(r) for r in sim.knn_join_vectorized(q, c, 7).collect())
+    # same neighbor sets and 6dp sims (ulp-level matmul differences heal at 6dp)
+    assert a == b
