@@ -1592,6 +1592,60 @@ GROUP BY source
 """
 
 
+def q59_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace vs BPE-ish (training-data corpus sizing):
+    per source, total whitespace tokens and total GPT-2-pretokenizer tokens.
+    The regex is ASCII-only so Java and RE2 engines split identically."""
+    docs = _t(spark, sf_dir, "documents")
+    t = text.bpe_tokens(text.tokenize(docs))
+    return t.groupBy("source").agg(
+        F.sum(F.size("tokens")).cast("long").alias("ws_tokens"),
+        F.sum(F.size("bpe_tokens")).cast("long").alias("bpe_tokens"),
+    )
+
+
+Q59_SQL = """
+SELECT source,
+       CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT) AS bpe_tokens
+FROM documents GROUP BY source
+"""
+
+
+def q60_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS idiom) -> near-duplicate
+    candidate pairs sharing >= 3 fingerprints. Char 8-gram md5 hashes,
+    tumbling windows of 16 positions, min-hash per window."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.winnow_candidate_pairs(docs, k=8, w=16, min_shared=3)
+
+
+Q60_SQL = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 8 + 1, 1) + 1)) AS p
+  FROM documents
+),
+fps AS (
+  SELECT DISTINCT doc_id, mfp AS fp FROM (
+    SELECT doc_id, (p - 1) // 16 AS win, min(md5(substr(text, p, 8))) AS mfp
+    FROM pos GROUP BY doc_id, (p - 1) // 16
+  )
+),
+buckets AS (
+  SELECT fp, list_sort(list(doc_id)) AS ids FROM fps GROUP BY fp HAVING count(*) > 1
+),
+sides AS (
+  SELECT fp, unnest(ids) AS id_x, generate_subscripts(ids, 1) AS ix FROM buckets
+),
+pairs AS (
+  SELECT a.id_x AS id_a, b.id_x AS id_b
+  FROM sides a JOIN sides b ON a.fp = b.fp AND a.ix < b.ix
+)
+SELECT id_a, id_b, count(*) AS n_shared
+FROM pairs GROUP BY id_a, id_b HAVING count(*) >= 3
+"""
+
+
 def q46_asset_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode pipeline (Arrow-batched mapInPandas over binary
     payload columns; deterministic stub decoder — see operators/multimodal).
@@ -1714,6 +1768,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_panel_scene_graph": q55_panel_scene_graph,
     "q57_knn_predict": q57_knn_predict,
     "q58_clean_corpus": q58_clean_corpus,
+    "q59_bpe_token_counts": q59_bpe_token_counts,
+    "q60_winnow_pairs": q60_winnow_pairs,
     "q47_ann_topk": q47_ann_topk,
     # non-SQL-expressible ops (driver records rows-only checks):
     "q56_commercial_detection": q56_commercial_detection,
@@ -1776,6 +1832,8 @@ _ORACLES: dict[str, str] = {
     "q55_panel_scene_graph": Q55_SQL,
     "q57_knn_predict": Q57_SQL,
     "q58_clean_corpus": Q58_SQL,
+    "q59_bpe_token_counts": Q59_SQL,
+    "q60_winnow_pairs": Q60_SQL,
     "q47_ann_topk": _q47_sql(),
 }
 

@@ -159,6 +159,47 @@ def jaccard_pairs(
     )
 
 
+def winnow_candidate_pairs(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate candidates by shared winnowed fingerprints (the MOSS
+    idiom): documents sharing >= min_shared fingerprints. Same bucket-join
+    shape as LSH candidate generation — cost is sum of fingerprint-bucket
+    sizes squared, never corpus^2. Output: (id_a, id_b, n_shared)."""
+    from esper_tv_spark.operators.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(df, k, w, id_col, text_col)
+    grouped = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    n = F.size("ids")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, n - 1),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), i + 1).alias("id_a"),
+                    F.element_at(F.col("ids"), j + 1).alias("id_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float,

@@ -174,6 +174,47 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return scored.withColumn("pred_lang", F.when(best > 0, pred).otherwise(F.lit("und")))
 
 
+# GPT-2-style pretokenizer shape, ASCII-only so the Java (Spark) and RE2
+# (DuckDB) regex engines agree byte-for-byte
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_tokens(df: DataFrame, text_col: str = "text", out_col: str = "bpe_tokens") -> DataFrame:
+    """BPE-ish subword pretokenization (training-data token counting): the
+    GPT-2 pretokenizer regex over ASCII classes. A real BPE merge table is a
+    model artifact; the pretokenizer split is the engine-side operation and
+    its count is the standard corpus-size proxy."""
+    return df.withColumn(out_col, F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rolling-hash document fingerprints, winnowed (MOSS-style, tumbling
+    variant): hash every char k-gram (md5 — portable rolling stand-in),
+    keep the minimum hash per tumbling window of w positions, distinct.
+    Output: (doc_id, fp). ~len/w fingerprints per doc; robust to small
+    edits because an edit only perturbs the windows it touches.
+
+    Relational shape: positions explode -> substring hash -> groupBy
+    (doc, window) min -> distinct. The explode is len(text) rows per doc —
+    fingerprinting is a map-side pipeline, the only shuffle is the min."""
+    pos = F.explode(F.sequence(F.lit(1), F.greatest(F.length(text_col) - k + 1, F.lit(1))))
+    g = df.select(F.col(id_col), F.col(text_col), pos.alias("__pos"))
+    h = F.md5(F.expr(f"substring({text_col}, __pos, {k})"))
+    return (
+        g.select(F.col(id_col), F.floor((F.col("__pos") - 1) / w).alias("__win"), h.alias("fp"))
+        .groupBy(id_col, "__win")
+        .agg(F.min("fp").alias("fp"))
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", out_col: str = "fp") -> DataFrame:
     """Deterministic document fingerprint: md5 of the lower-cased,
     whitespace-normalized text. The exact-dedup key."""

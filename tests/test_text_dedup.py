@@ -163,3 +163,31 @@ def test_embedding_near_dup_lsh_blocked_subset(spark):
     # all 4 hyperplane signs -> recall should be high on this data
     assert blocked <= exact
     assert len(blocked) >= 0.5 * len(exact)
+
+
+def test_bpe_tokens_shape(spark):
+    df = spark.createDataFrame([(1, "Hello world, it's 42 tests!")], "doc_id long, text string")
+    toks = text.bpe_tokens(df).collect()[0]["bpe_tokens"]
+    assert toks == ["Hello", " world", ",", " it", "'s", " 42", " tests", "!"]
+
+
+def test_winnow_fingerprints_edit_stability(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    edited = base.replace("lazy", "hazy", 1)  # one small edit
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, "completely different content here " * 6)],
+        "doc_id long, text string",
+    )
+    fps = text.winnow_fingerprints(df, k=8, w=16)
+    by_doc = {
+        r["doc_id"]: r["n"] for r in fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(by_doc) == {1, 2, 3}
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in dedup.winnow_candidate_pairs(df, k=8, w=16, min_shared=3).collect()
+    }
+    # the edited twin shares most fingerprints with the original;
+    # the unrelated doc pairs with neither
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
