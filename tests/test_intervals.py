@@ -196,3 +196,40 @@ def test_set_union_count_duration(spark, df_a, df_b):
     for r in cd:
         want = sum(e - s for k, _, s, e in make_intervals(1) if k == r["key"])
         assert r["total_duration"] == want and r["n_intervals"] == 30
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    iv_lists = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # key
+            st.integers(min_value=0, max_value=200),    # start
+            st.integers(min_value=1, max_value=50),     # length
+        ),
+        min_size=0,
+        max_size=25,
+    )
+
+    @given(a=iv_lists, b=iv_lists)
+    @settings(max_examples=5, deadline=None)
+    def test_minus_property(spark_session_holder, a, b):
+        spark = spark_session_holder
+        a_rows = [(k, i, s, s + l) for i, (k, s, l) in enumerate(a)]
+        b_rows = [(k, i, s, s + l) for i, (k, s, l) in enumerate(b)]
+        schema = "key int, iid int, start long, end long"
+        df_a = spark.createDataFrame(a_rows, schema) if a_rows else spark.createDataFrame([], schema)
+        df_b = spark.createDataFrame(b_rows, schema) if b_rows else spark.createDataFrame([], schema)
+        got = sorted(
+            (r["key"], r["iid"], r["start"], r["end"])
+            for r in iv.minus(df_a, df_b, ["key"]).collect()
+        )
+        assert got == brute_minus(a_rows, b_rows)
+
+    @pytest.fixture(scope="module")
+    def spark_session_holder(spark):
+        return spark
+
+except ImportError:  # pragma: no cover
+    pass

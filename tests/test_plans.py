@@ -76,3 +76,21 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     j = spark.table("bj_a").join(spark.table("bj_b"), "k")
     assert count_shuffles(j) == 0
     assert j.count() == 1000
+
+
+def test_partitioned_layout_prunes(spark, tmp_path):
+    """100 TB layout: tables partitioned by a dimension column prune at scan
+    time — a channel predicate must reach the scan as a partition filter."""
+    from esper_tv_spark.sources.catalog import save_table
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 4).alias("channel"), (F.col("id") * 2).alias("v")
+    )
+    path = str(tmp_path / "part_tbl")
+    save_table(df, path, partition_by=["channel"])
+    q = spark.read.parquet(path).where(F.col("channel") == 2).select(F.sum("v"))
+    from esper_tv_spark.plans.introspect import physical_plan
+
+    plan = physical_plan(q)
+    assert "PartitionFilters" in plan and "channel" in plan.split("PartitionFilters")[1][:200]
+    assert q.collect()[0][0] == sum(i * 2 for i in range(1000) if i % 4 == 2)
