@@ -1646,6 +1646,23 @@ FROM pairs GROUP BY id_a, id_b HAVING count(*) >= 3
 """
 
 
+def q61_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group (reference used approxQuantile 0.5,
+    spark.py:65-66; Spark 4's F.median is exact and matches DuckDB's
+    interpolating median bit-for-bit on fixed-decimal data)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 2).alias("median_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+Q61_SQL = """
+SELECT o_orderpriority, round(median(o_totalprice), 2) AS median_price, count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q46_asset_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode pipeline (Arrow-batched mapInPandas over binary
     payload columns; deterministic stub decoder — see operators/multimodal).
@@ -1770,6 +1787,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_clean_corpus": q58_clean_corpus,
     "q59_bpe_token_counts": q59_bpe_token_counts,
     "q60_winnow_pairs": q60_winnow_pairs,
+    "q61_median_price": q61_median_price,
     "q47_ann_topk": q47_ann_topk,
     # non-SQL-expressible ops (driver records rows-only checks):
     "q56_commercial_detection": q56_commercial_detection,
@@ -1834,6 +1852,7 @@ _ORACLES: dict[str, str] = {
     "q58_clean_corpus": Q58_SQL,
     "q59_bpe_token_counts": Q59_SQL,
     "q60_winnow_pairs": Q60_SQL,
+    "q61_median_price": Q61_SQL,
     "q47_ann_topk": _q47_sql(),
 }
 

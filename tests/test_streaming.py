@@ -125,3 +125,21 @@ def test_stateful_coalesce_stream_equals_batch(spark, events_batch, tmp_path):
         tuple(r) for r in closed.select("user_id", "start", "end", "n_merged").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_sliding_stream_equals_batch(spark, events_batch, tmp_path):
+    from esper_tv_spark.streaming import sliding_agg
+
+    src = str(tmp_path / "events_src3")
+    events_batch.write.parquet(src)
+    stream = file_stream(spark, src, events_batch.schema)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    stream_out = run_stream_to_memory(
+        spark,
+        sliding_agg(stream, "ts", "2 hours", "1 hour", ["event_type"], aggs, watermark="1 hour"),
+        "slide",
+    )
+    batch_out = sliding_agg(events_batch, "ts", "2 hours", "1 hour", ["event_type"], aggs)
+    got = sorted(tuple(r) for r in stream_out.collect())
+    want = sorted(tuple(r) for r in batch_out.collect())
+    assert got == want and len(got) > 0
