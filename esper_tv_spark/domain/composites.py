@@ -36,6 +36,7 @@ def interview_query(
     epsilon: float = 10,
     dilate_amount: float = 600,
     min_length: float = 1350,
+    cache_inputs: bool = True,
 ) -> DataFrame:
     """Interviews of a guest with hosts, from per-video host/guest interval
     tables (video_id, start, end).
@@ -48,14 +49,25 @@ def interview_query(
                              .filter_length(min_length)
     with dilate/coalesce/dilate fused to coalesce(gap=2d) (the identity the
     reference applies by hand at commercial_detection_rekall.py:154-165).
+
+    The algebra consumes hosts and guest twice each and gwh twice; without
+    materialization Spark recomputes each subtree per consumer (5x wall
+    time measured at sf0.1). cache_inputs persists the three reused interval
+    sets (MEMORY_AND_DISK, spills rather than OOMs at scale) — presence
+    tables are tiny relative to the fact tables they derive from.
     """
     key = ["video_id"]
+    if cache_inputs:
+        hosts = hosts.cache()
+        guest = guest.cache()
     gwh = iv.coalesce(
         iv.overlap_join(guest, hosts, key, clip=True).select(
             F.col("a_video_id").alias("video_id"), "start", "end"
         ),
         key,
     ).drop("n_merged")
+    if cache_inputs:
+        gwh = gwh.cache()
     pred = _overlaps_before_after(epsilon)
     candidates = iv.coalesce(
         iv.set_union(
@@ -78,6 +90,7 @@ def detect_commercials(
     max_commercial_time: float = 240.0,
     min_commercial_time: float = 10.0,
     reliable_text_duration: float = 5.0,
+    cache_inputs: bool = True,
 ) -> DataFrame:
     """Commercial-block detection (commercial_detection_rekall.py:108-313,
     core pipeline; the lowercase-interval augmentation of lines 220+ layers
@@ -89,6 +102,11 @@ def detect_commercials(
     video_length) whole-video spans.
     """
     key = ["video_id"]
+    if cache_inputs:
+        # video_spans and black_windows are each consumed twice by the
+        # minus/union chain — persist so the subtree runs once
+        video_spans = video_spans.cache()
+        black_windows = black_windows.cache()
 
     def bare(df: DataFrame) -> DataFrame:
         return df.select(*key, "start", "end")
