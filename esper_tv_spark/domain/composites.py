@@ -157,3 +157,39 @@ def detect_commercials(
         commercial_blocks, key, fold_fn, "video_id long, start double, end double"
     )
     return iv.filter_length(folded, min_length=min_commercial_time)
+
+
+def panel_frames(
+    faces: DataFrame,
+    n_faces: int = 3,
+    y_eps: float = 0.1,
+    height_ratio: float = 1.8,
+    exclude_hosts: bool = True,
+) -> DataFrame:
+    """Panel detection (panels_rekall.py:19-57 / panels_sql.py:13-18):
+    frames with exactly `n_faces` faces aligned in a horizontal row —
+    same-row y positions (spread < y_eps), comparable heights
+    (max/min < height_ratio), optionally no host faces.
+
+    One groupBy per frame collects the faces into a sorted array (by x1, so
+    left-to-right order is free); every predicate is then a higher-order
+    array expression — no self-joins, no per-frame Python. Input: the
+    `face` table (id, frame_id, bbox_*, is_host).
+    Output: (frame_id, face_ids left-to-right).
+    """
+    fs = F.sort_array(
+        F.collect_list(F.struct("bbox_x1", "bbox_y1", "bbox_y2", "id"))
+    )
+    per = faces.groupBy("frame_id").agg(
+        fs.alias("fs"), F.max(F.col("is_host").cast("int")).alias("any_host")
+    )
+    cand = per.where(F.size("fs") == n_faces)
+    if exclude_hosts:
+        cand = cand.where(F.col("any_host") == 0)
+    y1s = F.transform("fs", lambda f: f["bbox_y1"])
+    hts = F.transform("fs", lambda f: f["bbox_y2"] - f["bbox_y1"])
+    same_row = (F.array_max(y1s) - F.array_min(y1s)) < F.lit(y_eps)
+    similar_h = F.array_max(hts) < F.array_min(hts) * F.lit(height_ratio)
+    return cand.where(same_row & similar_h).select(
+        "frame_id", F.transform("fs", lambda f: f["id"]).alias("face_ids")
+    )

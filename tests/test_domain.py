@@ -200,3 +200,24 @@ def test_detect_commercials_smoke(spark):
     # caps the merged span at MAX_COMMERCIAL_TIME=240s from its start
     # (commercial_detection_rekall.py:168-186 capped-merge semantics).
     assert got == [(102.0, 342.0)]
+
+
+def test_panel_frames_matches_bruteforce(spark, tables):
+    from esper_tv_spark.domain.composites import panel_frames
+
+    got = {
+        r["frame_id"]: list(r["face_ids"])
+        for r in panel_frames(tables["face"], n_faces=3, y_eps=0.2, height_ratio=2.5).collect()
+    }
+    by_frame = {}
+    for f in tables["face"].collect():
+        by_frame.setdefault(f["frame_id"], []).append(f)
+    want = {}
+    for fid, fl in by_frame.items():
+        if len(fl) != 3 or any(f["is_host"] for f in fl):
+            continue
+        y1s = [f["bbox_y1"] for f in fl]
+        hts = [f["bbox_y2"] - f["bbox_y1"] for f in fl]
+        if max(y1s) - min(y1s) < 0.2 and max(hts) < min(hts) * 2.5:
+            want[fid] = [f["id"] for f in sorted(fl, key=lambda f: f["bbox_x1"])]
+    assert got == want and len(want) > 0
