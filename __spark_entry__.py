@@ -1663,6 +1663,27 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q62_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (SURVEY §2.4 notes cube/rollup/grouping-sets absent in
+    the reference but free in Spark): marginal totals by returnflag, by
+    linestatus, and grand total in one pass over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        exact_sum("l_quantity", 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q62_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {exact_sum_sql('l_quantity', 2)} AS sum_qty, count(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
 def q46_asset_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode pipeline (Arrow-batched mapInPandas over binary
     payload columns; deterministic stub decoder — see operators/multimodal).
@@ -1788,6 +1809,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_bpe_token_counts": q59_bpe_token_counts,
     "q60_winnow_pairs": q60_winnow_pairs,
     "q61_median_price": q61_median_price,
+    "q62_grouping_sets": q62_grouping_sets,
     "q47_ann_topk": q47_ann_topk,
     # non-SQL-expressible ops (driver records rows-only checks):
     "q56_commercial_detection": q56_commercial_detection,
@@ -1853,6 +1875,7 @@ _ORACLES: dict[str, str] = {
     "q59_bpe_token_counts": Q59_SQL,
     "q60_winnow_pairs": Q60_SQL,
     "q61_median_price": Q61_SQL,
+    "q62_grouping_sets": Q62_SQL,
     "q47_ann_topk": _q47_sql(),
 }
 
