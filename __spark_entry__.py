@@ -1044,10 +1044,10 @@ SELECT ngram, count(*) AS tf FROM sh GROUP BY ngram ORDER BY tf DESC, ngram ASC 
 
 def q37_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates + exact n-gram Jaccard verification — the full
-    near-dup pipeline (candidate generation never leaves bucket joins)."""
+    near-dup pipeline (candidate generation never leaves bucket joins; the
+    shingle table is computed once and shared, dedup.lsh_near_dup)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.lsh_candidate_pairs(docs, n_hashes=8, shingle_n=3, n_bands=4)
-    return dedup.jaccard_pairs(docs, pairs, shingle_n=3)
+    return dedup.lsh_near_dup(docs, n_hashes=8, shingle_n=3, n_bands=4)
 
 
 Q37_SQL = f"""

@@ -37,12 +37,22 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return fp.join(w_min, [ "fp", id_col ], "left_semi").drop("fp")
 
 
+def shingle_table(
+    df: DataFrame, shingle_n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct token shingles per document — the shared substrate of
+    MinHash signatures and exact Jaccard verification. Callers that use it
+    more than once in a plan should cache it (see lsh_near_dup)."""
+    return ngrams(df, shingle_n, id_col, text_col).dropDuplicates([id_col, "ngram"])
+
+
 def minhash_signature(
     df: DataFrame,
     n_hashes: int = 8,
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: token shingles of size `shingle_n`,
     hash function i = md5(i || '|' || shingle), signature element = min hex
@@ -51,7 +61,7 @@ def minhash_signature(
 
     Output: (doc_id, mh_0 .. mh_{n-1}).
     """
-    sh = ngrams(df, shingle_n, id_col, text_col).dropDuplicates([id_col, "ngram"])
+    sh = shingles if shingles is not None else shingle_table(df, shingle_n, id_col, text_col)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("ngram")))).alias(f"mh_{i}")
         for i in range(n_hashes)
@@ -93,6 +103,7 @@ def lsh_candidate_pairs(
     n_bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: documents sharing any LSH band bucket.
 
@@ -103,7 +114,7 @@ def lsh_candidate_pairs(
     it per side). Hot buckets are the skew risk: cap/salt before the pair
     blowup at production scale."""
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signature(df, n_hashes, shingle_n, id_col, text_col)
+    sig = minhash_signature(df, n_hashes, shingle_n, id_col, text_col, shingles=shingles)
     b = lsh_buckets(sig, n_bands, rows_per_band, id_col)
     grouped = (
         b.groupBy("band", "bucket")
@@ -132,11 +143,12 @@ def jaccard_pairs(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for given candidate pairs:
     |A ∩ B| / |A ∪ B| over distinct shingle sets. The verify stage after
     LSH candidate generation."""
-    sh = ngrams(df, shingle_n, id_col, text_col).dropDuplicates([id_col, "ngram"])
+    sh = shingles if shingles is not None else shingle_table(df, shingle_n, id_col, text_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("ngram"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("ngram"))
@@ -157,6 +169,29 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def lsh_near_dup(
+    df: DataFrame,
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache_shingles: bool = True,
+) -> DataFrame:
+    """The fused near-dup pipeline: LSH candidate generation + exact
+    Jaccard verification sharing ONE shingle table. Separately composed,
+    the shingle subtree (tokenize -> ngrams -> distinct) is recomputed by
+    the signature build and by both sides of the intersection join;
+    persisting it here makes the pipeline evaluate it once."""
+    sh = shingle_table(df, shingle_n, id_col, text_col)
+    if cache_shingles:
+        sh = sh.cache()
+    pairs = lsh_candidate_pairs(
+        df, n_hashes, shingle_n, n_bands, id_col, text_col, shingles=sh
+    )
+    return jaccard_pairs(df, pairs, shingle_n, id_col, text_col, shingles=sh)
 
 
 def winnow_candidate_pairs(
