@@ -115,8 +115,11 @@ def detect_commercials(
         iv.coalesce(bare(transcripts), key, gap=2).drop("n_merged"),
         min_length=reliable_text_duration,
     )
+    # A \ B \ C == A \ (B ∪ C): one subtraction pass instead of two
     arrows = iv.filter_against(
-        iv.minus(iv.minus(bare(arrow_text), bare(arrow_announcer), key), bare(arrow_having), key),
+        iv.minus(
+            bare(arrow_text), iv.set_union(bare(arrow_announcer), bare(arrow_having)), key
+        ),
         reliable,
         key,
         iv.t_overlaps,

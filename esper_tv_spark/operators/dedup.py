@@ -104,6 +104,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingles: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: documents sharing any LSH band bucket.
 
@@ -111,8 +112,11 @@ def lsh_candidate_pairs(
     are generated with array expressions (i<j combinations) and exploded.
     Cost is sum of bucket-size^2 — never corpus^2 — and the signature
     pipeline is evaluated exactly once (a bucket self-join would recompute
-    it per side). Hot buckets are the skew risk: cap/salt before the pair
-    blowup at production scale."""
+    it per side). Hot buckets are the skew risk: max_bucket_size drops
+    buckets above the cap before the quadratic pair blowup — an oversized
+    bucket is boilerplate (its hash is non-discriminative), and dropping it
+    bounds the worst task at cap^2 pairs. Audit dropped buckets with
+    oversized_lsh_buckets."""
     rows_per_band = n_hashes // n_bands
     sig = minhash_signature(df, n_hashes, shingle_n, id_col, text_col, shingles=shingles)
     b = lsh_buckets(sig, n_bands, rows_per_band, id_col)
@@ -121,6 +125,8 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        grouped = grouped.where(F.size("ids") <= max_bucket_size)
     n = F.size("ids")
     pairs = F.flatten(
         F.transform(
@@ -135,6 +141,28 @@ def lsh_candidate_pairs(
         )
     )
     return grouped.select(F.explode(pairs).alias("p")).select("p.id_a", "p.id_b").distinct()
+
+
+def oversized_lsh_buckets(
+    df: DataFrame,
+    max_bucket_size: int,
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The buckets a max_bucket_size cap WOULD drop — the audit companion
+    to lsh_candidate_pairs (no silent truncation: count what was skipped).
+    Output: (band, bucket, n_docs)."""
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signature(df, n_hashes, shingle_n, id_col, text_col)
+    b = lsh_buckets(sig, n_bands, rows_per_band, id_col)
+    return (
+        b.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket_size)
+    )
 
 
 def jaccard_pairs(
@@ -201,11 +229,13 @@ def winnow_candidate_pairs(
     min_shared: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidates by shared winnowed fingerprints (the MOSS
     idiom): documents sharing >= min_shared fingerprints. Same bucket-join
     shape as LSH candidate generation — cost is sum of fingerprint-bucket
-    sizes squared, never corpus^2. Output: (id_a, id_b, n_shared)."""
+    sizes squared, never corpus^2; max_bucket_size drops boilerplate
+    fingerprints before the pair blowup. Output: (id_a, id_b, n_shared)."""
     from esper_tv_spark.operators.text import winnow_fingerprints
 
     fps = winnow_fingerprints(df, k, w, id_col, text_col)
@@ -214,6 +244,8 @@ def winnow_candidate_pairs(
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        grouped = grouped.where(F.size("ids") <= max_bucket_size)
     n = F.size("ids")
     pairs = F.flatten(
         F.transform(

@@ -191,3 +191,25 @@ def test_winnow_fingerprints_edit_stability(spark):
     # the unrelated doc pairs with neither
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_lsh_bucket_cap(spark):
+    # 6 identical boilerplate docs -> one hot bucket per band; 2 near-dup
+    # docs that differ from the boilerplate
+    boiler = [(i, "the same boilerplate text repeated for every page footer") for i in range(6)]
+    pair = [
+        (10, "an actual interesting document about spark intervals"),
+        (11, "an actual interesting document about spark intervals too"),
+    ]
+    df = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(df).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(df, max_bucket_size=4).collect()
+    }
+    assert (10, 11) in uncapped and (10, 11) in capped
+    assert all(a >= 10 for a, _ in capped)  # boilerplate pairs dropped
+    over = dedup.oversized_lsh_buckets(df, max_bucket_size=4).collect()
+    assert len(over) >= 1 and all(r["n_docs"] == 6 for r in over)
