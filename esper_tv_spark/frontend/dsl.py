@@ -66,6 +66,20 @@ _AGGS = {
 
 _JOINS = {"inner", "left", "left_outer", "left_semi", "left_anti", "right", "full"}
 
+_WINDOW_FNS = {
+    "row_number": lambda col: F.row_number(),
+    "rank": lambda col: F.rank(),
+    "dense_rank": lambda col: F.dense_rank(),
+    "percent_rank": lambda col: F.percent_rank(),
+    "lag": F.lag,
+    "lead": F.lead,
+    "count": lambda col: F.count(F.lit(1)),
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+}
+
 
 class DSLError(ValueError):
     pass
@@ -138,6 +152,39 @@ def run_query(catalog: dict[str, DataFrame], spec: dict[str, Any]) -> DataFrame:
         df = df.withColumn(name, compile_expr(expr))
 
     for cond in spec.get("where", []):
+        if isinstance(cond, list) and len(cond) == 3:
+            lhs, op, rhs = cond
+            df = df.where(compile_expr({"op": op, "args": [lhs, rhs]}))
+        else:
+            df = df.where(compile_expr(cond))
+
+    for out_name, w in spec.get("window", {}).items():
+        # {"fn": "row_number", "col"?: expr, "partition_by": [...],
+        #  "order_by": [["col", "asc"|"desc"], ...]} — the SURVEY §2.5
+        # family (argmax-per-group, percentiles, session flags) from the
+        # safe surface
+        from pyspark.sql import Window
+
+        fn = w.get("fn")
+        if fn not in _WINDOW_FNS:
+            raise DSLError(f"window fn not allowed: {fn!r}")
+        win = Window.partitionBy(
+            *[F.col(p) for p in w.get("partition_by", [])]
+        )
+        order = []
+        for ob in w.get("order_by", []):
+            name, direction = (ob if isinstance(ob, list) else (ob, "asc"))
+            if direction not in ("asc", "desc"):
+                raise DSLError(f"bad order direction {direction!r}")
+            order.append(F.col(name).desc() if direction == "desc" else F.col(name).asc())
+        if order:
+            win = win.orderBy(*order)
+        col = compile_expr(w["col"]) if "col" in w else None
+        df = df.withColumn(out_name, _WINDOW_FNS[fn](col).over(win))
+
+    # qualify = post-window filter (the argmax-per-group cut); `where`
+    # runs before windows, as in SQL
+    for cond in spec.get("qualify", []):
         if isinstance(cond, list) and len(cond) == 3:
             lhs, op, rhs = cond
             df = df.where(compile_expr({"op": op, "args": [lhs, rhs]}))

@@ -95,3 +95,37 @@ def test_query_search_grammar(spark):
     assert {r["doc_id"] for r in query_search(docs, "sean spicer").collect()} == {1, 2, 3}
     with pytest.raises(ValueError):
         query_search(docs, "  &  ")
+
+
+def test_dsl_window_argmax(spark):
+    from esper_tv_spark.frontend.dsl import run_query
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 30.0), (3, "b", 20.0), (4, "b", 5.0)],
+        "id long, grp string, score double",
+    )
+    spec = {
+        "table": "t",
+        "window": {
+            "rn": {
+                "fn": "row_number",
+                "partition_by": ["grp"],
+                "order_by": [["score", "desc"], ["id", "asc"]],
+            }
+        },
+        "qualify": [["rn", "==", {"lit": 1}]],
+        "select": ["id", "grp", "score"],
+        "order_by": ["grp"],
+    }
+    got = [tuple(r) for r in run_query({"t": df}, spec).collect()]
+    assert got == [(2, "a", 30.0), (3, "b", 20.0)]
+
+
+def test_dsl_window_rejects_unknown_fn(spark):
+    import pytest as _pytest
+
+    from esper_tv_spark.frontend.dsl import DSLError, run_query
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(DSLError):
+        run_query({"t": df}, {"table": "t", "window": {"x": {"fn": "exec"}}})
