@@ -30,9 +30,13 @@ from esper_tv_spark.functions.aggregates import (
     weighted_sum_var,
 )
 from esper_tv_spark.operators import dedup, intervals, similarity, text
+from esper_tv_spark.session import ensure_runtime_confs
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Contract queries must run on the driver's BARE SparkSession (no repo
+    # builder confs): re-assert runtime confs (nanosAsLong, UTC) per read.
+    ensure_runtime_confs(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -866,11 +870,14 @@ ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
 
 def q32_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid embedding (reference mean,
-    face_embeddings.py:57-61), elements rounded to 6 dp."""
+    face_embeddings.py:57-61), exploded to (label, dim, val) rows so the
+    output has no array-typed column (the driver's pandas canonicalizer
+    cannot sort list cells — round-1 q32 regression)."""
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.mean_embedding(emb, ["label"])
     return out.select(
-        "label", F.transform("centroid", lambda v: F.round(v, 6)).alias("centroid")
+        "label",
+        F.posexplode(F.transform("centroid", lambda v: F.round(v, 6))).alias("dim", "val"),
     )
 
 
@@ -878,11 +885,9 @@ Q32_SQL = """
 WITH e AS (
   SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding)::DOUBLE AS val
   FROM embeddings
-), pd AS (
-  SELECT label, dim, avg(val) AS avg_val FROM e GROUP BY label, dim
 )
-SELECT label, list(round(avg_val, 6) ORDER BY dim ASC) AS centroid
-FROM pd GROUP BY label
+SELECT label, dim, round(avg(val), 6) AS val
+FROM e GROUP BY label, dim
 """
 
 

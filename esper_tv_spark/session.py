@@ -18,6 +18,32 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Runtime-settable SQL confs every contract query needs regardless of who
+# built the SparkSession.  The driver's correctness harness uses a bare
+# `SparkSession.builder.getOrCreate()` (none of get_spark's builder confs),
+# so each table read re-asserts these.  Verified runtime-settable on a bare
+# Spark 4.1.2 session.
+RUNTIME_CONFS = {
+    # events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond
+    # timestamp type, so read as long nanos and rebuild micros downstream.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DuckDB treats naive parquet timestamps as UTC wall-clock; Spark's
+    # hour()/date extraction uses the session timezone — pin it to UTC so
+    # both engines agree.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Make any session (including a bare driver-built one) contract-safe."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked down on some managed runtime — reads may still work
+    return spark
+
+
 def get_spark(
     app_name: str = "esper-tv-spark",
     cpus: int | None = None,

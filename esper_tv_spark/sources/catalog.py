@@ -18,6 +18,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from esper_tv_spark.session import ensure_runtime_confs
+
 TABLES = (
     "region",
     "nation",
@@ -35,6 +37,9 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Self-contained on ANY session: the driver's harness builds a bare
+    # SparkSession, so assert the runtime confs before every read.
+    ensure_runtime_confs(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

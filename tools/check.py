@@ -1,9 +1,16 @@
-"""Local stand-in for the driver's t2 correctness gate.
+"""Local replica of the driver's correctness gate.
 
-Runs every __spark_entry__.queries() entry and its oracle_sql() on the same
-parquet tables, compares row count + column names + order-insensitive values
-(exact, plus a loose float-tolerance diagnostic so we can tell "bit
-mismatch" from "wrong answer").
+Round-1 lesson: this script MUST mirror the driver exactly, or local green
+diverges from driver red.  Two round-1 divergences are now pinned:
+
+1. **Bare session.** The driver builds its own SparkSession with none of
+   get_spark's builder confs; queries must self-assert runtime confs
+   (esper_tv_spark.session.ensure_runtime_confs).  We therefore build a
+   vanilla builder here (master only).
+2. **pandas canonicalization.** The driver canonicalizes via
+   ``pd.DataFrame(...).sort_values(by=<name-sorted columns>)`` — which
+   raises ``TypeError: unhashable type`` on list-valued cells.  We do the
+   same, so any array-typed output column fails HERE first.
 
 Usage: python tools/check.py [sf_dir] [query ...]
 """
@@ -15,33 +22,41 @@ import sys
 import time
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entry_mod
-from esper_tv_spark import get_spark
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
 )
 
 
-def canon_cell(v):
+def canon(cols, rows) -> pd.DataFrame:
+    """Driver-style canonical form: name-sorted columns, pandas row sort.
+
+    Raises (like the driver) if any cell is unhashable (list/dict/ndarray)."""
+    pdf = pd.DataFrame(rows, columns=list(cols))
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+    return pdf
+
+
+def cell_repr(v) -> str:
+    if v is None or v is pd.NA or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
         return repr(v)
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon_cell(x) for x in v) + "]"
     return repr(v)
 
 
-def canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(canon_cell(r[i]) for i in order) for r in rows)
+def frame_lines(pdf: pd.DataFrame) -> list[str]:
+    return ["|".join(cell_repr(v) for v in row) for row in pdf.itertuples(index=False, name=None)]
 
 
-def approx_equal(a, b, tol=1e-9):
+def approx_equal(a: list[str], b: list[str], tol=1e-9) -> bool:
     if len(a) != len(b):
         return False
     for x, y in zip(a, b):
@@ -52,12 +67,23 @@ def approx_equal(a, b, tol=1e-9):
             if u == v:
                 continue
             try:
-                fu, fv = float(u), float(v)
-                if not math.isclose(fu, fv, rel_tol=tol, abs_tol=tol):
+                if not math.isclose(float(u), float(v), rel_tol=tol, abs_tol=tol):
                     return False
             except ValueError:
                 return False
     return True
+
+
+def bare_spark():
+    """Vanilla session, like the driver's harness: NO repo confs."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[8]")
+        .appName("check-bare")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
 
 
 def main():
@@ -68,7 +94,8 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    spark = get_spark("check", shuffle_partitions=8)
+    spark = bare_spark()
+    spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     n_pass = n_fail = 0
     for name, fn in qs.items():
@@ -79,8 +106,9 @@ def main():
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
+            s_canon = canon(s_cols, s_rows)
         except Exception as e:
-            print(f"FAIL {name}: spark error: {e}")
+            print(f"FAIL {name}: spark/canon error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
         if name not in oracles:
@@ -90,24 +118,25 @@ def main():
             cur = con.execute(oracles[name])
             d_cols = [d[0] for d in cur.description]
             d_rows = cur.fetchall()
+            d_canon = canon(d_cols, d_rows)
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
+            print(f"FAIL {name}: duckdb/canon error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
         problems = []
-        if sorted(s_cols) != sorted(d_cols):
-            problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
-        if len(s_rows) != len(d_rows):
-            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if list(s_canon.columns) != list(d_canon.columns):
+            problems.append(f"cols spark={list(s_canon.columns)} duck={list(d_canon.columns)}")
+        if len(s_canon) != len(d_canon):
+            problems.append(f"rowcount spark={len(s_canon)} duck={len(d_canon)}")
         if not problems:
-            cs, cd = canon_rows(s_cols, s_rows), canon_rows(d_cols, d_rows)
-            if cs != cd:
-                diff = sum(1 for a, b in zip(cs, cd) if a != b)
-                if approx_equal(cs, cd):
+            ls, ld = frame_lines(s_canon), frame_lines(d_canon)
+            if ls != ld:
+                diff = sum(1 for a, b in zip(ls, ld) if a != b)
+                if approx_equal(ls, ld):
                     problems.append(f"values differ EXACTLY but match approx ({diff} rows)")
                 else:
-                    problems.append(f"values differ ({diff}/{len(cs)} rows)")
-                    for a, b in list(zip(cs, cd))[:200]:
+                    problems.append(f"values differ ({diff}/{len(ls)} rows)")
+                    for a, b in zip(ls, ld):
                         if a != b:
                             problems.append(f"  spark: {a}\n   duck: {b}")
                             break
