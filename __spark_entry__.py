@@ -664,16 +664,21 @@ WHERE a."end" <= b.start AND b.start - a."end" <= 600000000
 
 def q23_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caption phrase_search (captions.py:93-96): docs containing the exact
-    phrase, with the non-overlapping occurrence count."""
+    phrase, counting every token position where it starts (overlapping
+    occurrences included)."""
     docs = _t(spark, sf_dir, "documents")
     return text.phrase_search(docs, "table hash")
 
 
 Q23_SQL = """
-WITH padded AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+)
 SELECT doc_id,
-       CAST(floor((length(p) - length(replace(p, ' table hash ', ' '))) / 11.0) AS BIGINT) AS n_matches
-FROM padded WHERE contains(p, ' table hash ')
+       CAST(len(list_filter(range(1, len(t)), i -> t[i] = 'table' AND t[i+1] = 'hash')) AS BIGINT) AS n_matches
+FROM toks
+WHERE len(list_filter(range(1, len(t)), i -> t[i] = 'table' AND t[i+1] = 'hash')) > 0
 """
 
 

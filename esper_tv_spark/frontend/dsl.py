@@ -59,7 +59,8 @@ _FUNCS = {
 }
 
 _AGGS = {
-    "count": lambda col: F.count(F.lit(1)),
+    # count with no col = count(*); with a col = non-null count (SQL semantics)
+    "count": lambda col: F.count(col) if col is not None else F.count(F.lit(1)),
     "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
     "count_distinct": F.countDistinct,
 }
@@ -73,12 +74,16 @@ _WINDOW_FNS = {
     "percent_rank": lambda col: F.percent_rank(),
     "lag": F.lag,
     "lead": F.lead,
-    "count": lambda col: F.count(F.lit(1)),
+    "count": lambda col: F.count(col) if col is not None else F.count(F.lit(1)),
     "sum": F.sum,
     "min": F.min,
     "max": F.max,
     "avg": F.avg,
 }
+
+# window fns that require a 'col' in their spec (F.lag(None) would surface
+# as an opaque py4j error instead of a DSLError)
+_WINDOW_FNS_NEED_COL = {"lag", "lead", "sum", "min", "max", "avg"}
 
 
 class DSLError(ValueError):
@@ -179,6 +184,8 @@ def run_query(catalog: dict[str, DataFrame], spec: dict[str, Any]) -> DataFrame:
             order.append(F.col(name).desc() if direction == "desc" else F.col(name).asc())
         if order:
             win = win.orderBy(*order)
+        if fn in _WINDOW_FNS_NEED_COL and "col" not in w:
+            raise DSLError(f"window fn {fn!r} requires a 'col'")
         col = compile_expr(w["col"]) if "col" in w else None
         df = df.withColumn(out_name, _WINDOW_FNS[fn](col).over(win))
 
@@ -197,6 +204,8 @@ def run_query(catalog: dict[str, DataFrame], spec: dict[str, Any]) -> DataFrame:
             fn = a.get("fn")
             if fn not in _AGGS:
                 raise DSLError(f"agg not allowed: {fn!r}")
+            if fn != "count" and "col" not in a:
+                raise DSLError(f"agg {fn!r} requires a 'col'")
             col = compile_expr(a["col"]) if "col" in a else None
             aggs.append(_AGGS[fn](col).alias(out_name))
         group = spec.get("group_by", [])

@@ -95,7 +95,11 @@ def split_intervals(df: DataFrame, max_length: int, start: str = "start", end: s
     (supercut chunking idiom). flatMap-style via sequence + explode —
     stays in whole-stage codegen."""
     s, e = F.col(start), F.col(end)
-    chunk_starts = F.sequence(s, e - F.lit(1), F.lit(max_length))
+    # guard empty/inverted intervals: sequence() with a positive step throws
+    # on e <= s at runtime, while the oracle's range() yields an empty set
+    chunk_starts = F.when(
+        e > s, F.sequence(s, e - F.lit(1), F.lit(max_length))
+    ).otherwise(F.array().cast("array<long>"))
     return (
         df.withColumn("__cs", F.explode(chunk_starts))
         .withColumn(end, F.least(F.col("__cs") + F.lit(max_length), e))

@@ -58,19 +58,34 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def phrase_search(df: DataFrame, phrase: str, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact phrase match -> (doc_id, n_matches) for docs containing it.
 
-    Reference phrase_search (captions.py:93-96) returns postings; on a token
-    table the n-token phrase is a position-chain self-join, which for a
-    space-joined phrase reduces to substring counting — kept as built-in
-    string ops so Catalyst can push the coarse `contains` filter into the
-    scan before the exact count."""
-    pat = " " + phrase + " "
-    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
-    n = (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit(" ")))) / F.lit(
-        max(len(pat) - 1, 1)
-    )
+    Reference phrase_search (captions.py:93-96) counts every token position
+    where the phrase starts. Implemented as a position-chain over the token
+    array with higher-order functions (no join, no UDF): every start index i
+    with tokens[i..i+n-1] == phrase tokens counts, so overlapping matches
+    are included and runs of whitespace don't break matching. A coarse
+    substring `contains` on the first word stays a necessary condition and
+    is pushed into the parquet scan before the exact per-position check."""
+    words = [w for w in phrase.split(" ") if w]
+    if not words:
+        raise ValueError("empty phrase")
+    n = len(words)
+    toks = tokenize(df.where(F.col(text_col).contains(words[0])), text_col)
+    starts = F.when(
+        F.size("tokens") >= F.lit(n),
+        F.sequence(F.lit(0), F.size("tokens") - F.lit(n)),
+    ).otherwise(F.array().cast("array<int>"))
+
+    def match_at(i):
+        cond = None
+        for j, w in enumerate(words):
+            c = F.element_at(F.col("tokens"), i + F.lit(j + 1)) == F.lit(w)
+            cond = c if cond is None else (cond & c)
+        return cond
+
     return (
-        df.where(padded.contains(pat))
-        .select(F.col(id_col), F.floor(n).cast("long").alias("n_matches"))
+        toks.withColumn("n_matches", F.size(F.filter(starts, match_at)).cast("long"))
+        .where(F.col("n_matches") > 0)
+        .select(F.col(id_col), "n_matches")
     )
 
 

@@ -73,7 +73,14 @@ def replicated_skew_join(
     and the join key becomes (on..., salt). A key with 10^9 probe rows now
     occupies n_salts reducers instead of one. Build-side cost is
     n_salts × |build| — use only when build is small-ish yet over the
-    broadcast threshold, which is exactly the AQE-can't-help regime."""
+    broadcast threshold, which is exactly the AQE-can't-help regime.
+
+    `how` is restricted to probe-preserving types: an outer side on the
+    replicated build would emit each unmatched build row n_salts times."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"replicated_skew_join supports inner/left/left_semi/left_anti, got {how!r}"
+        )
     probe_cols = [c for c in probe.columns]
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in probe_cols]), n_salts)
     p = probe.withColumn(_SALT, salt)

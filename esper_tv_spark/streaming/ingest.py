@@ -133,7 +133,10 @@ def write_with_ledger(
             pass  # first batch: no ledger yet
         if epoch_id in committed:
             return
-        batch_df.withColumn("__epoch", F.lit(epoch_id)).write.mode("append").parquet(
+        # overwrite, not append: the directory is keyed by epoch_id, so a
+        # replay that crashed after the data write but before the ledger
+        # append rewrites the same epoch instead of duplicating its rows
+        batch_df.withColumn("__epoch", F.lit(epoch_id)).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"epoch={epoch_id}")
         )
         spark.createDataFrame([(job_name, epoch_id)], "job string, epoch_id long").write.mode(

@@ -129,3 +129,28 @@ def test_dsl_window_rejects_unknown_fn(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with _pytest.raises(DSLError):
         run_query({"t": df}, {"table": "t", "window": {"x": {"fn": "exec"}}})
+
+
+def test_dsl_count_col_and_missing_col_validation(spark):
+    import pytest as _pytest
+
+    from esper_tv_spark.frontend.dsl import DSLError, run_query
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y")], "id long, v string"
+    )
+    # count with a col = non-null count; without = count(*)
+    got = run_query(
+        {"t": df},
+        {"table": "t", "agg": {"n_all": {"fn": "count"}, "n_v": {"fn": "count", "col": "v"}}},
+    ).collect()[0]
+    assert (got["n_all"], got["n_v"]) == (3, 2)
+    # lag without a col is a DSLError, not an opaque py4j failure
+    with _pytest.raises(DSLError):
+        run_query(
+            {"t": df},
+            {"table": "t", "window": {"prev": {"fn": "lag", "order_by": ["id"]}}},
+        )
+    # non-count agg without a col is a DSLError too
+    with _pytest.raises(DSLError):
+        run_query({"t": df}, {"table": "t", "agg": {"s": {"fn": "sum"}}})

@@ -147,6 +147,15 @@ def test_split_intervals(spark):
     assert got == [(0, 30), (30, 60), (60, 90), (90, 95)]
 
 
+def test_split_intervals_empty_and_inverted(spark):
+    """end <= start must yield no chunks, not an illegal-sequence error."""
+    df = spark.createDataFrame(
+        [(1, 10, 10), (2, 20, 5), (3, 0, 7)], "key int, start long, end long"
+    )
+    got = sorted((r["key"], r["start"], r["end"]) for r in iv.split_intervals(df, 30).collect())
+    assert got == [(3, 0, 7)]
+
+
 def test_overlap_measure(spark, df_a, df_b):
     out = iv.overlap_measure(df_a, df_b.select("key", "start", "end"), ["key"])
     got = {(r["key"], r["iid"]): r["overlap_total"] for r in out.collect()}

@@ -53,3 +53,11 @@ def test_replicated_skew_join_equals_plain(spark, skewed):
     assert got == want
     # the salted plan replicates the build side: row count preserved exactly
     assert len(got) == 5090
+
+
+def test_replicated_skew_join_rejects_outer_on_build(spark, skewed):
+    """right/full would emit unmatched build rows once per salt — rejected."""
+    dim = spark.createDataFrame([(1, "x")], "k long, name string")
+    for how in ("right", "full", "right_outer", "full_outer"):
+        with pytest.raises(ValueError):
+            replicated_skew_join(skewed, dim, ["k"], n_salts=4, how=how)

@@ -88,6 +88,28 @@ def test_ledger_sink_idempotent(spark, events_batch, tmp_path):
     assert n2 == n1  # replayed epoch skipped via ledger
 
 
+def test_ledger_sink_crash_before_commit(spark, events_batch, tmp_path):
+    """Crash AFTER the epoch data write but BEFORE the ledger append: the
+    replay must overwrite the epoch directory, not re-append (ADVICE r1)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    events_batch.limit(100).write.parquet(src)
+
+    # simulate the half-committed state: epoch 0 data exists, no ledger row
+    stale = events_batch.limit(37).select("event_id", "user_id").withColumn(
+        "__epoch", F.lit(0)
+    )
+    stale.write.parquet(out + "/epoch=0")
+
+    stream = file_stream(spark, src, events_batch.schema)
+    q = write_with_ledger(
+        stream.select("event_id", "user_id"), out, ledger, str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 100  # stale rows replaced, not added
+
+
 def test_stateful_coalesce_stream_equals_batch(spark, events_batch, tmp_path):
     """coalesce_stream (applyInPandasWithState) emits exactly the CLOSED
     intervals of the batch coalesce — every merged interval per user except

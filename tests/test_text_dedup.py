@@ -38,6 +38,21 @@ def test_phrase_search(spark, docs):
     assert text.phrase_search(docs, "brown cat").count() == 0
 
 
+def test_phrase_search_overlapping_and_multispace(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a"),        # "a a" starts at positions 0 and 1 -> 2
+            (2, "x  y"),         # double space must not break token match
+            (3, "b a a b a a"),  # two non-adjacent matches
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_matches"] for r in text.phrase_search(df, "a a").collect()}
+    assert got == {1: 2, 3: 2}
+    got2 = {r["doc_id"]: r["n_matches"] for r in text.phrase_search(df, "x y").collect()}
+    assert got2 == {2: 1}
+
+
 def test_word_counts(spark, docs):
     got = {r["token"]: r["tf"] for r in text.word_counts(docs).collect()}
     assert got["the"] == 6 and got["fox"] == 3 and got["uno"] == 1
