@@ -369,3 +369,47 @@ def logreg_train_predict(
     model = LogisticRegression(maxIter=50).fit(tr)
     pr = predict.select(F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
     return model.transform(pr).select(F.col(id_col), F.col("prediction").alias("pred_label"))
+
+
+def nearest_centroid_classify(
+    train: DataFrame,
+    predict: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Closed-form centroid classifier (deterministic ML contract path).
+
+    Train = mean embedding per label (reference mean, face_embeddings.py:
+    57-61); predict = assign each vector to the label whose centroid has the
+    highest cosine similarity (reference knn/logreg use-case,
+    face_embeddings.py:74-126, made closed-form so a SQL oracle can replay
+    it bit-for-bit).
+
+    Scale shape: centroids are |labels| rows — broadcast; scoring is a
+    map-side nested loop over a handful of centroids per row, then a
+    per-row argmax via max_by. One shuffle total (the centroid build).
+    Ties break toward the smaller label (rounded sim keeps ties portable).
+    """
+    cents = mean_embedding(train, [label_col], vec_col=vec_col).select(
+        F.col(label_col).alias("__cl"),
+        # round centroid components at source: avg() accumulation order
+        # differs across engines; 6 dp makes the centroid engine-portable
+        F.transform("centroid", lambda v: F.round(v, round_digits)).alias("centroid"),
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("centroid")), round_digits)
+    scored = predict.alias("p").join(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col("__cl"),
+        sim.alias("__sim"),
+    )
+    # argmax by (sim desc, label asc): max_by over a sortable struct
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("__sim"), (-F.col("__cl")).alias("__negl"))).alias("__b")
+    )
+    return best.select(
+        F.col(id_col),
+        (-F.col("__b.__negl")).cast("int").alias("pred_label"),
+        F.col("__b.__sim").alias("similarity"),
+    )
