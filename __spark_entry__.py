@@ -1482,8 +1482,14 @@ def q56_commercial_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrows = signup points, transcript spans = view intervals, video span =
     [first event, last event end] per user. The capped-length stack fold is
     the one applyInPandas stage (order-dependent per key); everything else
-    is coalesce / minus / filter_against range joins. Rows-only check (the
-    fold is not ANSI-SQL-expressible)."""
+    is coalesce / minus / filter_against range joins. Hash-checked against a
+    recursive-CTE DuckDB oracle (_q56_sql).
+
+    Plan note: a single repartition(video_id)+cache of the events scan was
+    tried and REVERTED — with AQE, InMemoryRelation loses its output
+    partitioning, so every consumer re-shuffled anyway, and the cache hid
+    the per-branch parquet event_type pushdown. Separate pushdown scans +
+    broadcast semi-joins are the better plan at scale."""
     from esper_tv_spark.domain.composites import detect_commercials
 
     def sec_iv(event_type: str, length_s: float) -> DataFrame:
@@ -1518,6 +1524,104 @@ def q56_commercial_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("start", 6).alias("cstart"),
         F.round("end", 6).alias("cend"),
     ).orderBy("video_id", "cstart")
+
+
+def _sql_coalesce_ve(src: str, out: str, gap: str) -> str:
+    """Coalesce CTE over (video_id, s, e) rows with a merge gap (seconds)."""
+    return f"""{out}_ord AS (
+  SELECT video_id, s, e,
+         max(e) OVER (PARTITION BY video_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM {src}
+), {out}_grp AS (
+  SELECT video_id, s, e,
+         sum(CASE WHEN pmax IS NULL OR s > pmax + {gap} THEN 1 ELSE 0 END)
+             OVER (PARTITION BY video_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS gid
+  FROM {out}_ord
+), {out} AS (
+  SELECT video_id, min(s) AS s, max(e) AS e FROM {out}_grp GROUP BY video_id, gid
+)"""
+
+
+def _sql_minus_ve(a: str, b: str, out: str) -> str:
+    """Interval-minus CTE over (video_id, s, e): {out} = {a} \\ {b}
+    (mirrors intervals.minus: coalesce B, left range-join, lag-gaps, tail)."""
+    return f"""{_sql_coalesce_ve(b, f'{out}_bc', '0')},
+{out}_aid AS (
+  SELECT video_id, s, e,
+         row_number() OVER (PARTITION BY video_id ORDER BY s, e) AS rid
+  FROM {a}
+), {out}_j AS (
+  SELECT a.video_id, a.rid, a.s, a.e, b.s AS bs, b.e AS be
+  FROM {out}_aid a LEFT JOIN {out}_bc b
+    ON a.video_id = b.video_id AND b.s < a.e AND b.e > a.s
+), {out} AS (
+  SELECT video_id, s, e FROM {out}_j WHERE bs IS NULL
+  UNION ALL
+  SELECT video_id,
+         coalesce(lag(be) OVER (PARTITION BY video_id, rid ORDER BY bs), s) AS s,
+         bs AS e
+  FROM {out}_j WHERE bs IS NOT NULL
+  QUALIFY e > s
+  UNION ALL
+  SELECT video_id, max(be) AS s, max(e) AS e
+  FROM {out}_j WHERE bs IS NOT NULL GROUP BY video_id, rid
+  HAVING max(e) > max(be)
+)"""
+
+
+def _q56_sql() -> str:
+    """DuckDB oracle for the full commercial-detection composite, including
+    the capped stack fold as a RECURSIVE CTE: state (cs, ce) advances along
+    the per-video fragments in (s, e) order; an entry is emitted when the
+    next fragment does not merge into it (or the partition ends)."""
+    ovl = "r.s < x.e AND r.e > x.s"
+    return f"""
+WITH RECURSIVE
+ev AS (SELECT user_id AS video_id, event_type, epoch_us(ts) / 1000000.0 AS t FROM events),
+black AS (SELECT video_id, t AS s, t + 30.0 AS e FROM ev WHERE event_type = 'error'),
+atext AS (SELECT video_id, t AS s, t + 5.0 AS e FROM ev WHERE event_type = 'click'),
+aann AS (SELECT video_id, t AS s, t + 5.0 AS e FROM ev WHERE event_type = 'signup'),
+trans AS (SELECT video_id, t AS s, t + 120.0 AS e FROM ev WHERE event_type = 'view'),
+spans AS (SELECT video_id, min(t) AS s, max(t) + 3600.0 AS e FROM ev GROUP BY video_id),
+{_sql_coalesce_ve('trans', 'rel', '2')},
+reliable AS (SELECT * FROM rel WHERE e - s >= 5.0),
+{_sql_minus_ve('atext', 'aann', 'ma')},
+arrows AS (
+  SELECT x.* FROM ma x
+  WHERE EXISTS (SELECT 1 FROM reliable r WHERE r.video_id = x.video_id AND {ovl})
+),
+{_sql_minus_ve('spans', 'black', 'ab')},
+noncom AS (
+  SELECT x.* FROM ab x
+  WHERE EXISTS (SELECT 1 FROM arrows r WHERE r.video_id = x.video_id AND {ovl})
+),
+ncb AS (SELECT video_id, s, e FROM noncom UNION ALL SELECT video_id, s, e FROM black),
+{_sql_minus_ve('spans', 'ncb', 'cb')},
+sorted AS (
+  SELECT video_id, s, e, row_number() OVER (PARTITION BY video_id ORDER BY s, e) AS rn
+  FROM cb
+),
+fold AS (
+  SELECT video_id, rn, s AS cs, least(e, s + 3600.0) AS ce FROM sorted WHERE rn = 1
+  UNION ALL
+  SELECT t.video_id, t.rn,
+         CASE WHEN t.s <= f.ce + 5.0 THEN least(f.cs, t.s) ELSE t.s END AS cs,
+         CASE WHEN t.s <= f.ce + 5.0
+              THEN least(greatest(f.ce, least(t.e, t.s + 3600.0)),
+                         least(f.cs, t.s) + 3600.0)
+              ELSE least(t.e, t.s + 3600.0) END AS ce
+  FROM fold f JOIN sorted t ON t.video_id = f.video_id AND t.rn = f.rn + 1
+),
+closed AS (
+  SELECT f.video_id, f.cs, f.ce
+  FROM fold f LEFT JOIN sorted nx ON nx.video_id = f.video_id AND nx.rn = f.rn + 1
+  WHERE nx.rn IS NULL OR nx.s > f.ce + 5.0
+)
+SELECT video_id, round(cs, 6) AS cstart, round(ce, 6) AS cend
+FROM closed WHERE ce - cs >= 60.0
+ORDER BY video_id, cstart
+"""
 
 
 def q57_knn_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1981,6 +2085,7 @@ _ORACLES: dict[str, str] = {
     "q63_sentiment_rank": _q63_sql(),
     "q64_pos_tags": _q64_sql(),
     "q65_nearest_centroid": Q65_SQL,
+    "q56_commercial_detection": _q56_sql(),
 }
 
 

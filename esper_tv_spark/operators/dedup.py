@@ -46,27 +46,52 @@ def shingle_table(
     return ngrams(df, shingle_n, id_col, text_col).dropDuplicates([id_col, "ngram"])
 
 
+def shingle_sets(
+    df: DataFrame, shingle_n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingles array, n_sh): the distinct-shingle SET per document as
+    one array row.  This is the fused substrate of the whole near-dup
+    pipeline: ONE shuffle (groupBy id) builds it, and everything downstream
+    — MinHash (array_min over transform), banding, Jaccard (array_intersect)
+    — is a projection or a join against it.  The per-row array is bounded by
+    the document's token count, so rows stay small even at corpus scale,
+    and the output comes out hash-partitioned by id, a partitioning the
+    verify-stage joins reuse."""
+    ng = ngrams(df, shingle_n, id_col, text_col)
+    return ng.groupBy(id_col).agg(
+        F.collect_set("ngram").alias("shingles"),
+        F.count_distinct("ngram").alias("n_sh"),
+    )
+
+
+def minhash_from_sets(sets: DataFrame, n_hashes: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature as a pure projection over the shingle-set array:
+    hash function i = md5(i || '|' || shingle), signature element = the
+    array_min hex digest.  Lexicographic min over md5 hex == min over a
+    uniform 128-bit space, identical in any engine with md5 — and with the
+    set already assembled there is NO shuffle here at all."""
+    cols = [
+        F.array_min(
+            F.transform("shingles", lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        ).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return sets.select(F.col(id_col), *cols)
+
+
 def minhash_signature(
     df: DataFrame,
     n_hashes: int = 8,
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    shingles: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash signature per document: token shingles of size `shingle_n`,
-    hash function i = md5(i || '|' || shingle), signature element = min hex
-    digest. Lexicographic min over md5 hex == min over a uniform 128-bit
-    space, and is identical in any engine with md5.
+    """MinHash signature per document — see minhash_from_sets.
 
-    Output: (doc_id, mh_0 .. mh_{n-1}).
-    """
-    sh = shingles if shingles is not None else shingle_table(df, shingle_n, id_col, text_col)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("ngram")))).alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    Output: (doc_id, mh_0 .. mh_{n-1})."""
+    s = sets if sets is not None else shingle_sets(df, shingle_n, id_col, text_col)
+    return minhash_from_sets(s, n_hashes, id_col)
 
 
 def lsh_buckets(
@@ -103,7 +128,7 @@ def lsh_candidate_pairs(
     n_bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
-    shingles: DataFrame | None = None,
+    sets: DataFrame | None = None,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: documents sharing any LSH band bucket.
@@ -118,7 +143,7 @@ def lsh_candidate_pairs(
     bounds the worst task at cap^2 pairs. Audit dropped buckets with
     oversized_lsh_buckets."""
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signature(df, n_hashes, shingle_n, id_col, text_col, shingles=shingles)
+    sig = minhash_signature(df, n_hashes, shingle_n, id_col, text_col, sets=sets)
     b = lsh_buckets(sig, n_bands, rows_per_band, id_col)
     grouped = (
         b.groupBy("band", "bucket")
@@ -171,29 +196,29 @@ def jaccard_pairs(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    shingles: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for given candidate pairs:
-    |A ∩ B| / |A ∪ B| over distinct shingle sets. The verify stage after
-    LSH candidate generation."""
-    sh = shingles if shingles is not None else shingle_table(df, shingle_n, id_col, text_col)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("ngram"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("ngram"))
-    inter = (
-        pairs.join(a, "id_a").join(b, ["id_b", "ngram"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    |A ∩ B| / |A ∪ B| over distinct shingle sets.
+
+    The verify stage after LSH candidate generation: two equi-joins pull
+    each pair's shingle-set arrays, and the intersection is a per-row
+    array_intersect — no shingle explode, no (id, ngram)-wide shuffle, no
+    re-aggregation. Candidate pairs are a tiny fraction of the corpus, so
+    AQE broadcast-joins the pair list against the set table."""
+    s = sets if sets is not None else shingle_sets(df, shingle_n, id_col, text_col)
+    sa = s.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    sb = s.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+                n_common.cast("double")
+                / (F.col("n_a") + F.col("n_b") - n_common).cast("double")
             ).alias("jaccard"),
         )
     )
@@ -209,17 +234,17 @@ def lsh_near_dup(
     cache_shingles: bool = True,
 ) -> DataFrame:
     """The fused near-dup pipeline: LSH candidate generation + exact
-    Jaccard verification sharing ONE shingle table. Separately composed,
-    the shingle subtree (tokenize -> ngrams -> distinct) is recomputed by
-    the signature build and by both sides of the intersection join;
-    persisting it here makes the pipeline evaluate it once."""
-    sh = shingle_table(df, shingle_n, id_col, text_col)
+    Jaccard verification sharing ONE shingle-set table. The set build is
+    the only wide shuffle the substrate pays; signatures are projections
+    over it and verification is array_intersect over two joins against it
+    (persisted so the subtree runs once)."""
+    s = shingle_sets(df, shingle_n, id_col, text_col)
     if cache_shingles:
-        sh = sh.cache()
+        s = s.cache()
     pairs = lsh_candidate_pairs(
-        df, n_hashes, shingle_n, n_bands, id_col, text_col, shingles=sh
+        df, n_hashes, shingle_n, n_bands, id_col, text_col, sets=s
     )
-    return jaccard_pairs(df, pairs, shingle_n, id_col, text_col, shingles=sh)
+    return jaccard_pairs(df, pairs, shingle_n, id_col, text_col, sets=s)
 
 
 def winnow_candidate_pairs(

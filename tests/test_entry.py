@@ -21,10 +21,11 @@ FAST = [
 ]
 
 
+# q46: stubbed media decode; q48: iterative kmeans — genuinely non-SQL.
+# q56 gained a recursive-CTE oracle in round 2.
 NON_SQL = {
     "q46_asset_decode_stats",
     "q48_kmeans_clusters",
-    "q56_commercial_detection",
 }
 
 

@@ -68,6 +68,40 @@ def test_ann_recall_vs_exact(spark, emb):
     assert len(exact & approx) >= 3
 
 
+def test_sketch_rerank_exactness_small(spark, emb):
+    """With candidates >= corpus size the rerank path IS brute force."""
+    data = vectors()
+    q = data[7][1]
+    exact = [r["vec_id"] for r in sim.cosine_topk(emb, q, 5).collect()]
+    got = [r["vec_id"] for r in sim.sketch_rerank_topk(emb, q, 5, candidates=60).collect()]
+    assert got == exact
+
+
+def test_sketch_rerank_shortlist(spark, emb):
+    """A 20-candidate shortlist on 60 vectors still recovers most of top-5."""
+    data = vectors()
+    q = data[7][1]
+    exact = {r["vec_id"] for r in sim.cosine_topk(emb, q, 5).collect()}
+    got = {r["vec_id"] for r in sim.sketch_rerank_topk(emb, q, 5, n_bits=252, candidates=20).collect()}
+    assert len(exact & got) >= 4
+
+
+@pytest.mark.slow
+def test_sketch_rerank_recall_sf01(spark):
+    """Scale-path recall gate: >=0.9 recall@10 vs brute force at sf0.1
+    (2000 x 64-dim embeddings) with a 100-candidate shortlist (5% scan)."""
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").cache()
+    tot = hit = 0
+    for qid in (0, 17, 99, 250, 511):
+        qv = [float(x) for x in emb.where(F.col("vec_id") == qid).select("embedding").first()[0]]
+        exact = {r["vec_id"] for r in sim.cosine_topk(emb, qv, 10).collect()}
+        approx = {r["vec_id"] for r in sim.sketch_rerank_topk(emb, qv, 10, candidates=100).collect()}
+        tot += 10
+        hit += len(exact & approx)
+    emb.unpersist()
+    assert hit / tot >= 0.9, f"recall {hit/tot:.3f}"
+
+
 def test_srp_bucket_deterministic(spark, emb):
     planes = sim.random_hyperplanes(16, 4, seed=42)
     b1 = {r["vec_id"]: r["b"] for r in emb.select("vec_id", sim.srp_bucket(F.col("embedding"), planes).alias("b")).collect()}
