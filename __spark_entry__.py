@@ -1940,6 +1940,64 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q66_coverage_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-set interval boolean algebra in one shuffle (operators/sweep.py):
+    per user, the maximal segments covered by 'view' activity but by no
+    'error' and no 'purchase' interval.  Replaces the chained rekall
+    minus/union walk (commercial_detection_rekall.py:193-213) with a tagged
+    boundary-event sweep — the scale path for set-level interval algebra."""
+    from esper_tv_spark.operators.sweep import interval_boolean_sweep
+
+    sets = {
+        "view": _event_intervals(spark, sf_dir, "view").select("user_id", "start", "end"),
+        "error": _event_intervals(spark, sf_dir, "error").select("user_id", "start", "end"),
+        "purchase": _event_intervals(spark, sf_dir, "purchase").select("user_id", "start", "end"),
+    }
+    out = interval_boolean_sweep(
+        sets,
+        ["user_id"],
+        lambda c: (c["view"] > 0) & (c["error"] == 0) & (c["purchase"] == 0),
+    )
+    return out.select(
+        "user_id", F.col("start").alias("seg_start"), F.col("end").alias("seg_end")
+    )
+
+
+Q66_SQL = f"""
+WITH v AS ({_iv_sql('view')}), er AS ({_iv_sql('error')}), p AS ({_iv_sql('purchase')}),
+ev AS (
+  SELECT user_id, start AS pos,  1 AS dv, 0 AS de, 0 AS dp FROM v
+  UNION ALL SELECT user_id, "end", -1, 0, 0 FROM v
+  UNION ALL SELECT user_id, start, 0,  1, 0 FROM er
+  UNION ALL SELECT user_id, "end", 0, -1, 0 FROM er
+  UNION ALL SELECT user_id, start, 0, 0,  1 FROM p
+  UNION ALL SELECT user_id, "end", 0, 0, -1 FROM p
+), per_pos AS (
+  SELECT user_id, pos, sum(dv) AS dv, sum(de) AS de, sum(dp) AS dp
+  FROM ev GROUP BY user_id, pos
+), cov AS (
+  SELECT user_id, pos,
+         sum(dv) OVER w AS cv, sum(de) OVER w AS ce, sum(dp) OVER w AS cp,
+         lead(pos) OVER (PARTITION BY user_id ORDER BY pos) AS next_pos
+  FROM per_pos
+  WINDOW w AS (PARTITION BY user_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), truth AS (
+  SELECT user_id, pos, next_pos, (cv > 0 AND ce = 0 AND cp = 0) AS tr FROM cov
+), runs AS (
+  SELECT user_id, pos, next_pos, tr,
+         sum(CASE WHEN prev_tr IS NULL OR prev_tr <> tr THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM (SELECT *, lag(tr) OVER (PARTITION BY user_id ORDER BY pos) AS prev_tr
+        FROM truth)
+)
+SELECT user_id, min(pos) AS seg_start, max(next_pos) AS seg_end
+FROM runs WHERE tr AND next_pos IS NOT NULL
+GROUP BY user_id, run
+"""
+
+
 # ==========================================================================
 # driver contract
 # ==========================================================================
@@ -1964,6 +2022,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_sentiment_rank": q63_sentiment_rank,
     "q64_pos_tags": q64_pos_tags,
     "q65_nearest_centroid": q65_nearest_centroid,
+    "q66_coverage_sweep": q66_coverage_sweep,
     # -- core coverage set --
     "q01_pricing_summary": q01_pricing_summary,
     "q03_region_revenue": q03_region_revenue,
@@ -1972,7 +2031,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q09_sum_distinct_orders": q09_sum_distinct_orders,
     "q12_customer_setops": q12_customer_setops,
     "q14_math_ops": q14_math_ops,
-    "q15_rollup_revenue": q15_rollup_revenue,
     "q16_events_hourly": q16_events_hourly,
     "q17_event_sessions": q17_event_sessions,
     "q18_interval_coalesce": q18_interval_coalesce,
@@ -2005,6 +2063,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_precision_bucket_probability": q52_precision_bucket_probability,
     "q53_point_in_interval": q53_point_in_interval,
     # ---- position 50 cutoff: variants below have an in-window twin ----
+    "q15_rollup_revenue": q15_rollup_revenue,
     "q02_top_revenue_orders": q02_top_revenue_orders,
     "q04_late_ship_priority": q04_late_ship_priority,
     "q05_quiet_customers": q05_quiet_customers,
@@ -2085,6 +2144,7 @@ _ORACLES: dict[str, str] = {
     "q63_sentiment_rank": _q63_sql(),
     "q64_pos_tags": _q64_sql(),
     "q65_nearest_centroid": Q65_SQL,
+    "q66_coverage_sweep": Q66_SQL,
     "q56_commercial_detection": _q56_sql(),
 }
 

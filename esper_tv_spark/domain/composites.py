@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from esper_tv_spark.operators import intervals as iv
+from esper_tv_spark.operators.sweep import sweep_minus
 
 
 def _overlaps_before_after(max_dist: float):
@@ -104,7 +105,7 @@ def detect_commercials(
     key = ["video_id"]
     if cache_inputs:
         # video_spans and black_windows are each consumed twice by the
-        # minus/union chain — persist so the subtree runs once
+        # sweep chain — persist so the subtree runs once
         video_spans = video_spans.cache()
         black_windows = black_windows.cache()
 
@@ -115,7 +116,10 @@ def detect_commercials(
         iv.coalesce(bare(transcripts), key, gap=2).drop("n_merged"),
         min_length=reliable_text_duration,
     )
-    # A \ B \ C == A \ (B ∪ C): one subtraction pass instead of two
+    # A \ B \ C == A \ (B ∪ C): one subtraction pass instead of two.
+    # Identity-preserving minus, NOT the sweep: each surviving arrow
+    # sub-interval is tested against `reliable` individually, so merging
+    # adjacent survivors here would change which spans pass the filter.
     arrows = iv.filter_against(
         iv.minus(
             bare(arrow_text), iv.set_union(bare(arrow_announcer), bare(arrow_having)), key
@@ -124,10 +128,13 @@ def detect_commercials(
         key,
         iv.t_overlaps,
     )
-    all_blocks = iv.minus(bare(video_spans), bare(black_windows), key)
+    # video_spans is one interval per video, so the set-level sweep output is
+    # identical to the identity-preserving minus — at one exchange instead of
+    # a coalesce + range-join + gap-window per subtraction
+    all_blocks = sweep_minus(bare(video_spans), [bare(black_windows)], key)
     non_commercial = iv.filter_against(all_blocks, arrows, key, iv.t_overlaps)
-    commercial_blocks = iv.minus(
-        bare(video_spans), iv.set_union(non_commercial, bare(black_windows)), key
+    commercial_blocks = sweep_minus(
+        bare(video_spans), [non_commercial, bare(black_windows)], key
     )
 
     # capped-length stack fold (commercial_detection_rekall.py:168-213):
