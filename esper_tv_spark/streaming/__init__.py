@@ -5,7 +5,7 @@ from esper_tv_spark.streaming.ingest import (
     tumbling_agg,
     write_with_ledger,
 )
-from esper_tv_spark.streaming.stateful import coalesce_stream
+from esper_tv_spark.streaming.stateful import coalesce_stream, coalesce_stream_timeout
 
 __all__ = [
     "file_stream",
@@ -14,4 +14,5 @@ __all__ = [
     "session_agg",
     "write_with_ledger",
     "coalesce_stream",
+    "coalesce_stream_timeout",
 ]

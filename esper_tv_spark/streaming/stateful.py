@@ -79,3 +79,82 @@ def coalesce_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def coalesce_stream_timeout(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    gap: int = 0,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """coalesce_stream + event-time timeout: open intervals are emitted once
+    the watermark passes their close time, not only on supersession.
+
+    `ts_col` must be the event-time TIMESTAMP of the interval START (the
+    watermark bound applies to arrivals: once watermark W has passed, no
+    future row starts before W, so an open interval with end + gap < W can
+    never be merged again and is safe to emit). `start`/`end` stay integer
+    epoch-micros like the batch library; `gap` is in micros.
+
+    Stream output therefore equals batch `coalesce` restricted to intervals
+    whose close time the watermark has passed — the strongest equivalence an
+    unbounded stream can offer (NoTimeout variant only ever emits CLOSED
+    intervals, leaving one open per key forever).
+    """
+    out_schema = f"{key_col} long, {start_col} long, {end_col} long, n_merged long"
+    state_schema = "s long, e long, n long"
+    gap_ms = gap // 1000
+
+    def fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed end+gap of the open interval: no future row
+            # can merge with it (rows older than the watermark are dropped)
+            cur_s, cur_e, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], cur_s, cur_e, n)],
+                columns=[key_col, start_col, end_col, "n_merged"],
+            )
+            return
+        if state.exists:
+            cur_s, cur_e, n = state.get
+        else:
+            cur_s = None
+            cur_e = n = 0
+        closed: list[tuple] = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([start_col, end_col])
+            for s, e in zip(pdf[start_col], pdf[end_col]):
+                s, e = int(s), int(e)
+                if cur_s is None:
+                    cur_s, cur_e, n = s, e, 1
+                elif s <= cur_e + gap:
+                    cur_s = min(cur_s, s)
+                    cur_e = max(cur_e, e)
+                    n += 1
+                else:
+                    closed.append((key[0], cur_s, cur_e, n))
+                    cur_s, cur_e, n = s, e, 1
+        if cur_s is not None:
+            state.update((cur_s, cur_e, n))
+            # fire when the watermark passes the merge horizon; clamp above
+            # the current watermark (a timeout timestamp at or before it is
+            # rejected by the state store)
+            horizon_ms = cur_e // 1000 + gap_ms
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(horizon_ms, wm + 1))
+        if closed:
+            yield pd.DataFrame(closed, columns=[key_col, start_col, end_col, "n_merged"])
+
+    return stream.withWatermark(ts_col, watermark).groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

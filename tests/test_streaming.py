@@ -165,3 +165,75 @@ def test_sliding_stream_equals_batch(spark, events_batch, tmp_path):
     got = sorted(tuple(r) for r in stream_out.collect())
     want = sorted(tuple(r) for r in batch_out.collect())
     assert got == want and len(got) > 0
+
+
+def test_stateful_coalesce_timeout_flushes_open_intervals(spark, events_batch, tmp_path):
+    """coalesce_stream_timeout emits, beyond the supersession-closed set,
+    every OPEN interval whose merge horizon the event-time watermark has
+    passed — so stream output equals batch coalesce restricted to intervals
+    closed-or-expired under the final watermark."""
+    from pyspark.sql import Window
+
+    from esper_tv_spark.operators.intervals import coalesce
+    from esper_tv_spark.streaming import coalesce_stream_timeout
+
+    iv = events_batch.select(
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("start"),
+        (F.unix_micros("ts") + F.lit(600_000_000)).alias("end"),
+    )
+    # three time-ordered files so the watermark advances between
+    # micro-batches: first half, second half, and one far-future sentinel
+    # row (its batch runs with the watermark derived from files 0-1,
+    # firing the expired timeouts)
+    median_ts = iv.approxQuantile("start", [0.5], 0.0)[0]
+    src = str(tmp_path / "iv_to_src")
+    iv.where(F.col("start") <= median_ts).coalesce(1).write.parquet(src)
+    iv.where(F.col("start") > median_ts).coalesce(1).write.parquet(src, mode="append")
+    max_ts_us = iv.agg(F.max("start")).collect()[0][0]
+    sentinel_user = iv.orderBy("user_id").first()["user_id"]
+    sentinel_us = max_ts_us + 10 * 86_400 * 1_000_000
+    spark.createDataFrame(
+        [(sentinel_user, sentinel_us)], "user_id long, sentinel long"
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("sentinel")).alias("ts"),
+        F.col("sentinel").alias("start"),
+        (F.col("sentinel") + F.lit(600_000_000)).alias("end"),
+    ).coalesce(1).write.parquet(src, mode="append")
+
+    stream = file_stream(spark, src, iv.schema, max_files_per_trigger=1)
+    out = coalesce_stream_timeout(
+        stream, "user_id", "ts", "start", "end", gap=0, watermark="10 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("coal_to")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(tuple(r) for r in spark.table("coal_to").collect())
+
+    # batch expectation over the SAME data (incl. sentinel row)
+    sent = spark.createDataFrame(
+        [(sentinel_user, sentinel_us, sentinel_us + 600_000_000)],
+        "user_id long, start long, end long",
+    )
+    batch = coalesce(
+        iv.select("user_id", "start", "end").unionByName(sent), ["user_id"], gap=0
+    )
+    w = Window.partitionBy("user_id")
+    batch = batch.withColumn("max_start", F.max("start").over(w))
+    # the final no-data micro-batch (noDataMicroBatches, on by default) runs
+    # with watermark = sentinel - 10s, which is past every merge horizon
+    # except the sentinel interval's own: everything else must be emitted
+    closed_or_expired = batch.where(F.col("start") < F.lit(sentinel_us))
+    want = sorted(
+        tuple(r)
+        for r in closed_or_expired.select("user_id", "start", "end", "n_merged").collect()
+    )
+    n_closed_only = batch.where(F.col("start") < F.col("max_start")).count()
+    assert got == want and len(got) > n_closed_only
