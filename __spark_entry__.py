@@ -1998,6 +1998,99 @@ GROUP BY user_id, run
 """
 
 
+def q67_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/corpus.py): flag corpus docs
+    sharing any word 5-gram with a deterministic holdout (doc_id % 29 == 0,
+    the benchmark stand-in). Benchmark n-gram set broadcasts; the corpus
+    side never shuffles before the per-doc collision count."""
+    from esper_tv_spark.operators.corpus import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 29 == 0)
+    corpus = docs.where(F.col("doc_id") % 29 != 0)
+    out = decontaminate(corpus, bench, n=5)
+    return out.select("doc_id", "source", "n_collisions", "contaminated")
+
+
+Q67_SQL = """
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 29 <> 0),
+bench AS (SELECT * FROM documents WHERE doc_id % 29 = 0),
+bt AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t FROM bench
+), bg AS (
+  SELECT DISTINCT unnest(list_transform(range(0, len(t) - 5 + 1),
+                                        i -> array_to_string(t[i+1:i+5], ' '))) AS gram
+  FROM bt WHERE len(t) >= 5
+), ct AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM corpus
+), cg AS (
+  SELECT doc_id, unnest(list_transform(range(0, len(t) - 5 + 1),
+                                       i -> array_to_string(t[i+1:i+5], ' '))) AS gram
+  FROM ct WHERE len(t) >= 5
+), hits AS (
+  SELECT doc_id, count(*) AS n_collisions FROM cg JOIN bg USING (gram) GROUP BY doc_id
+)
+SELECT c.doc_id, c.source,
+       coalesce(h.n_collisions, 0) AS n_collisions,
+       coalesce(h.n_collisions, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+"""
+
+
+def q68_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source stratified sample by engine-portable hashed-id rank
+    (corpus.stratified_sample_exact) — deterministic under reruns and
+    repartitioning, one shuffle on the stratum key."""
+    from esper_tv_spark.operators.corpus import stratified_sample_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample_exact(docs, "source", 5).select("doc_id", "source")
+
+
+Q68_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rk <= 5
+"""
+
+
+def q69_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking for training shards (corpus.chunk_documents):
+    32-token chunks with 8 tokens of overlap, pure array algebra (no
+    shuffle, no UDF)."""
+    from esper_tv_spark.operators.corpus import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+Q69_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+), nz AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+), ch AS (
+  SELECT doc_id, t, greatest(CAST(ceil((n - 8) / 24.0) AS BIGINT), 1) AS n_chunks FROM nz
+), ex AS (
+  SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, t FROM ch
+)
+SELECT doc_id, chunk_id,
+       array_to_string(t[chunk_id*24 + 1 : chunk_id*24 + 32], ' ') AS chunk_text,
+       len(t[chunk_id*24 + 1 : chunk_id*24 + 32]) AS n_tokens
+FROM ex
+"""
+
+
 # ==========================================================================
 # driver contract
 # ==========================================================================
@@ -2023,6 +2116,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_pos_tags": q64_pos_tags,
     "q65_nearest_centroid": q65_nearest_centroid,
     "q66_coverage_sweep": q66_coverage_sweep,
+    "q67_decontaminate": q67_decontaminate,
+    "q68_stratified_sample": q68_stratified_sample,
+    "q69_chunk_documents": q69_chunk_documents,
     # -- core coverage set --
     "q01_pricing_summary": q01_pricing_summary,
     "q03_region_revenue": q03_region_revenue,
@@ -2030,7 +2126,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q08_weighted_screen_time": q08_weighted_screen_time,
     "q09_sum_distinct_orders": q09_sum_distinct_orders,
     "q12_customer_setops": q12_customer_setops,
-    "q14_math_ops": q14_math_ops,
     "q16_events_hourly": q16_events_hourly,
     "q17_event_sessions": q17_event_sessions,
     "q18_interval_coalesce": q18_interval_coalesce,
@@ -2052,8 +2147,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_jaccard_verify": q37_jaccard_verify,
     "q38_knn_join": q38_knn_join,
     "q40_views_before_purchase": q40_views_before_purchase,
-    "q41_split_chunks": q41_split_chunks,
-    "q42_hourly_profile": q42_hourly_profile,
     "q43_latest_event_per_user": q43_latest_event_per_user,
     "q44_lowercase_segments": q44_lowercase_segments,
     "q45_caption_query_search": q45_caption_query_search,
@@ -2063,7 +2156,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_precision_bucket_probability": q52_precision_bucket_probability,
     "q53_point_in_interval": q53_point_in_interval,
     # ---- position 50 cutoff: variants below have an in-window twin ----
+    "q14_math_ops": q14_math_ops,
     "q15_rollup_revenue": q15_rollup_revenue,
+    "q41_split_chunks": q41_split_chunks,
+    "q42_hourly_profile": q42_hourly_profile,
     "q02_top_revenue_orders": q02_top_revenue_orders,
     "q04_late_ship_priority": q04_late_ship_priority,
     "q05_quiet_customers": q05_quiet_customers,
@@ -2145,6 +2241,9 @@ _ORACLES: dict[str, str] = {
     "q64_pos_tags": _q64_sql(),
     "q65_nearest_centroid": Q65_SQL,
     "q66_coverage_sweep": Q66_SQL,
+    "q67_decontaminate": Q67_SQL,
+    "q68_stratified_sample": Q68_SQL,
+    "q69_chunk_documents": Q69_SQL,
     "q56_commercial_detection": _q56_sql(),
 }
 

@@ -1,0 +1,133 @@
+"""Training-corpus operations: benchmark decontamination, deterministic
+stratified sampling, and token-window chunking.
+
+These extend the LLM-data-pipeline layer (dedup/similarity/text) with the
+remaining steps a 100 TB pretraining pipeline runs between "deduped corpus"
+and "training shards". Everything is expression-only (whole-stage codegen,
+no Python UDFs) and engine-portable: the sampling hash is Knuth
+multiplicative (not Spark's xxhash64) so a DuckDB/Trino oracle computes the
+identical sample.
+
+Scale notes:
+- decontaminate: the benchmark n-gram set is tiny next to the corpus —
+  build it once, broadcast it, and the corpus side stays a scan + explode +
+  broadcast-hash semi-join (no corpus shuffle at all).
+- stratified_sample_exact: one shuffle on the stratum key; within-stratum
+  order is by hashed id, so the sample is stable under reruns AND under
+  corpus re-partitioning (row_number over an arbitrary order would not be).
+- chunk_documents: pure per-row array algebra (sequence/slice/join), no
+  shuffle; chunk boundaries depend only on the document itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth multiplicative hash, mod 2^32 — identical arithmetic in any engine
+# with 64-bit integers (DuckDB: (id * 2654435761) % 4294967296)
+_KNUTH = 2654435761
+_M32 = 1 << 32
+
+
+def portable_hash(col: Column) -> Column:
+    """Deterministic engine-portable pseudo-random rank in [0, 2^32)."""
+    return F.pmod(col.cast("long") * F.lit(_KNUTH), F.lit(_M32))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag corpus documents sharing any word n-gram with a benchmark set.
+
+    The standard contamination check (n-gram collision against eval suites)
+    run before training. Output: every `docs` row annotated with
+    (n_collisions, contaminated). The benchmark n-gram set is broadcast, so
+    the corpus-side plan is scan -> explode -> broadcast join -> groupBy on
+    doc_id only.
+    """
+    def grams(df: DataFrame, idc: str) -> DataFrame:
+        toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        d = df.select(F.col(idc).alias("__id"), toks.alias("__t"))
+        d = d.where(F.size("__t") >= n)
+        idxs = F.sequence(F.lit(0), F.size("__t") - F.lit(n))
+        gram = F.transform(idxs, lambda i: F.array_join(F.slice("__t", i + 1, n), " "))
+        return d.select("__id", F.explode(gram).alias("gram"))
+
+    bench_grams = F.broadcast(grams(benchmark, bench_id_col).select("gram").distinct())
+    doc_grams = grams(docs, id_col)
+    hits = (
+        doc_grams.join(bench_grams, "gram", "inner")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+    )
+    return (
+        docs.join(hits, docs[id_col] == hits["__id"], "left")
+        .drop("__id")
+        .withColumn("n_collisions", F.coalesce("n_collisions", F.lit(0)))
+        .withColumn("contaminated", F.col("n_collisions") > 0)
+    )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, chosen by hashed-id rank.
+
+    Deterministic (same rows every run, on any partitioning) and
+    oracle-checkable: rank = Knuth hash of the id, ties impossible for
+    distinct ids below 2^32. One shuffle on the stratum key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(portable_hash(F.col(id_col)), F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into token windows of `chunk_tokens` with `overlap`
+    tokens of context carried between consecutive chunks — the
+    training-shard / RAG chunking step. Short documents yield one chunk.
+
+    Output: (id, chunk_id, chunk_text, n_tokens); pure array algebra, no
+    shuffle, no UDF. The final chunk may be shorter; a trailing window
+    fully contained in the previous one is not emitted.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    d = df.select(F.col(id_col), toks.alias("__t")).where(F.size("__t") > 0)
+    # last chunk start: the largest multiple of stride still leaving new tokens
+    n_chunks = F.greatest(
+        F.ceil((F.size("__t") - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    ).cast("long")
+    starts = F.sequence(F.lit(0).cast("long"), (n_chunks - 1) * F.lit(stride), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice("__t", s + 1, chunk_tokens))
+    return (
+        d.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__c"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join("__c", " ").alias("chunk_text"),
+            F.size("__c").alias("n_tokens"),
+        )
+    )

@@ -1,0 +1,98 @@
+"""Corpus pipeline operators: decontamination, stratified sampling,
+token-window chunking."""
+
+from pyspark.sql import functions as F
+
+from esper_tv_spark.operators.corpus import (
+    chunk_documents,
+    decontaminate,
+    portable_hash,
+    stratified_sample_exact,
+)
+from esper_tv_spark.plans.introspect import has_broadcast_join
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words in this one here now"),
+            (3, "quick brown fox jumps over something else entirely"),
+        ],
+    )
+    bench = _docs(spark, [(100, "a quick brown fox jumps over fences daily")])
+    out = {r["doc_id"]: (r["n_collisions"], r["contaminated"]) for r in decontaminate(corpus, bench, n=5).collect()}
+    # doc 1 shares the 5-gram "quick brown fox jumps over"; doc 3 too; doc 2 clean
+    assert out[1][1] and out[3][1] and not out[2][1]
+    assert out[2][0] == 0 and out[1][0] >= 1
+
+
+def test_decontaminate_benchmark_broadcasts(spark):
+    corpus = _docs(spark, [(i, f"word{i} filler text body here") for i in range(50)])
+    bench = _docs(spark, [(999, "tiny benchmark text body here")])
+    assert has_broadcast_join(decontaminate(corpus, bench, n=3))
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(90)], "doc_id long, source string"
+    )
+    a = sorted(tuple(r) for r in stratified_sample_exact(df, "source", 7).collect())
+    # repartitioning must not change the chosen rows
+    b = sorted(
+        tuple(r) for r in stratified_sample_exact(df.repartition(13), "source", 7).collect()
+    )
+    assert a == b and len(a) == 21
+    # small strata are returned whole
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, source string")
+    assert stratified_sample_exact(tiny, "source", 10).count() == 2
+
+
+def test_portable_hash_matches_duckdb(spark):
+    import duckdb
+
+    ids = list(range(0, 5000, 97))
+    got = {
+        r["id"]: r["h"]
+        for r in spark.createDataFrame([(i,) for i in ids], "id long")
+        .select("id", portable_hash(F.col("id")).alias("h"))
+        .collect()
+    }
+    want = dict(
+        duckdb.connect()
+        .execute(
+            "SELECT i, (i * 2654435761) % 4294967296 FROM unnest(?::BIGINT[]) AS t(i)",
+            [ids],
+        )
+        .fetchall()
+    )
+    assert got == want
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(100))
+    df = _docs(spark, [(1, words), (2, "short doc only"), (3, "")])
+    out = chunk_documents(df, chunk_tokens=32, overlap=8)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: stride 24, chunks at 0,24,48,72 -> ceil((100-8)/24)=4 chunks
+    assert sorted(c for d, c in rows if d == 1) == [0, 1, 2, 3]
+    c0, c1 = rows[(1, 0)], rows[(1, 1)]
+    assert c0["n_tokens"] == 32 and c0["chunk_text"].startswith("w0 ")
+    # overlap: chunk 1 starts 8 tokens before chunk 0 ends
+    assert c1["chunk_text"].split(" ")[0] == "w24"
+    assert c0["chunk_text"].split(" ")[-8:] == c1["chunk_text"].split(" ")[:8]
+    # last chunk is short but present; every token appears in some chunk
+    assert rows[(1, 3)]["n_tokens"] == 100 - 72
+    covered = set()
+    for (d, _), r in rows.items():
+        if d == 1:
+            covered.update(r["chunk_text"].split(" "))
+    assert len(covered) == 100
+    # short doc -> single chunk; empty doc -> no rows
+    assert rows[(2, 0)]["n_tokens"] == 3
+    assert not any(d == 3 for d, _ in rows)
