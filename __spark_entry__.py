@@ -2091,6 +2091,99 @@ FROM ex
 """
 
 
+def q70_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the union+window trick (operators/asof.py): each
+    purchase event annotated with the user's most recent view at or before
+    it — ONE shuffle, no join node, density- and skew-insensitive (Spark
+    has no native ASOF; a range join here would be quadratic per key)."""
+    from esper_tv_spark.operators.asof import asof_join
+
+    purchases = _event_intervals(spark, sf_dir, "purchase").select(
+        "user_id", "event_id", "start"
+    )
+    views = _event_intervals(spark, sf_dir, "view").select("user_id", "start")
+    out = asof_join(purchases, views, ["user_id"], ts_left="start", ts_right="start")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("start").alias("purchase_start"),
+        F.col("start_r").alias("last_view_start"),
+    )
+
+
+Q70_SQL = f"""
+WITH p AS ({_iv_sql('purchase')}), v AS ({_iv_sql('view')})
+SELECT p.user_id, p.event_id, p.start AS purchase_start,
+       (SELECT max(v.start) FROM v
+        WHERE v.user_id = p.user_id AND v.start <= p.start) AS last_view_start
+FROM p
+"""
+
+
+def q71_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> near-dup GROUPS: connected components over the
+    verified LSH pairs (min-label propagation, O(log diameter) rounds),
+    then keep-one-per-group annotation (dedup.connected_components /
+    dedup_groups). Oracle: recursive-CTE transitive closure."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        dedup.lsh_near_dup(docs, n_hashes=8, shingle_n=3, n_bands=4)
+        .where(F.col("jaccard") >= 0.6)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    )
+    out = dedup.dedup_groups(docs, pairs, "doc_id")
+    return out.select("doc_id", "group_id", "is_keeper")
+
+
+Q71_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, greatest(len(t) - 3, -1) + 1),
+                               i -> array_to_string(t[i+1:i+3], ' '))) AS ngram
+  FROM toks WHERE len(t) >= 3
+), sig AS (
+  SELECT doc_id, {{mh}}
+  FROM sh GROUP BY doc_id
+), buckets AS (
+  {{bands}}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket
+  WHERE l.doc_id < r.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_common
+  FROM cand p
+  JOIN sh a ON a.doc_id = p.id_a
+  JOIN sh b ON b.doc_id = p.id_b AND b.ngram = a.ngram
+  GROUP BY p.id_a, p.id_b
+), pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.n_common AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE) >= 0.6
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+), comp AS (
+  SELECT node, min(lab) AS group_id FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(c.group_id, d.doc_id) AS group_id,
+       coalesce(c.group_id, d.doc_id) = d.doc_id AS is_keeper
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 # ==========================================================================
 # driver contract
 # ==========================================================================
@@ -2119,12 +2212,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_decontaminate": q67_decontaminate,
     "q68_stratified_sample": q68_stratified_sample,
     "q69_chunk_documents": q69_chunk_documents,
+    "q70_asof_join": q70_asof_join,
+    "q71_dedup_groups": q71_dedup_groups,
     # -- core coverage set --
     "q01_pricing_summary": q01_pricing_summary,
     "q03_region_revenue": q03_region_revenue,
     "q07_balance_percentile": q07_balance_percentile,
     "q08_weighted_screen_time": q08_weighted_screen_time,
-    "q09_sum_distinct_orders": q09_sum_distinct_orders,
     "q12_customer_setops": q12_customer_setops,
     "q16_events_hourly": q16_events_hourly,
     "q17_event_sessions": q17_event_sessions,
@@ -2134,7 +2228,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_interval_overlap_measure": q21_interval_overlap_measure,
     "q22_interval_merge_near": q22_interval_merge_near,
     "q23_phrase_search": q23_phrase_search,
-    "q24_word_counts": q24_word_counts,
     "q25_doc_quality": q25_doc_quality,
     "q26_language_id": q26_language_id,
     "q27_doc_fingerprints": q27_doc_fingerprints,
@@ -2156,8 +2249,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_precision_bucket_probability": q52_precision_bucket_probability,
     "q53_point_in_interval": q53_point_in_interval,
     # ---- position 50 cutoff: variants below have an in-window twin ----
+    "q09_sum_distinct_orders": q09_sum_distinct_orders,
     "q14_math_ops": q14_math_ops,
     "q15_rollup_revenue": q15_rollup_revenue,
+    "q24_word_counts": q24_word_counts,
     "q41_split_chunks": q41_split_chunks,
     "q42_hourly_profile": q42_hourly_profile,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2244,6 +2339,8 @@ _ORACLES: dict[str, str] = {
     "q67_decontaminate": Q67_SQL,
     "q68_stratified_sample": Q68_SQL,
     "q69_chunk_documents": Q69_SQL,
+    "q70_asof_join": Q70_SQL,
+    "q71_dedup_groups": Q71_SQL.format(mh=_MH_AGGS, bands=_BAND_SELECTS),
     "q56_commercial_detection": _q56_sql(),
 }
 

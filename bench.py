@@ -38,6 +38,12 @@ HEADLINE = [
     "q29_simhash",
     "q31_knn",
     "q32_label_centroids",
+    # round-2 additions: the fused near-dup verify, the deepest composite,
+    # and the new one-shuffle sweep + corpus ops
+    "q37_jaccard_verify",
+    "q56_commercial_detection",
+    "q66_coverage_sweep",
+    "q67_decontaminate",
 ]
 
 

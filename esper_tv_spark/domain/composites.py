@@ -141,8 +141,8 @@ def detect_commercials(
     # inherently sequential per video -> applyInPandas
     def fold_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         stack: list[tuple[float, float]] = []
-        for _, row in pdf.iterrows():
-            s, e = float(row["start"]), float(row["end"])
+        for s, e in zip(pdf["start"].to_numpy(), pdf["end"].to_numpy()):
+            s, e = float(s), float(e)
             if e - s > max_commercial_time:
                 e = s + max_commercial_time
             if not stack:

@@ -355,3 +355,79 @@ def simhash(df: DataFrame, n_bits: int = 32, id_col: str = "doc_id", text_col: s
         bitval = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         sh = bitval if sh is None else sh + bitval
     return per_doc.select(F.col(id_col), sh.alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a pair table -> (node, component) with
+    component = the minimum node id in the component.
+
+    This is the step after candidate-pair verification: near-dup PAIRS must
+    become near-dup GROUPS before "keep one per group" dedup, or chains
+    (A~B, B~C) survive as partial duplicates. The reference never needs it
+    (its dedup is per-video exact), but any corpus-scale pipeline does.
+
+    Min-label propagation with pointer jumping: each round every node takes
+    the minimum label over its closed neighborhood (one join + groupBy),
+    then short-circuits through the label graph (comp <- comp's comp, one
+    more join). The jump doubles the propagation radius per round, so a
+    path of length D converges in O(log D) rounds — neighbor-min alone
+    would need D rounds. Each round is a fixed number of shuffles, all
+    distributed; the driver only reads the convergence counter.
+    localCheckpoint per round truncates the exponential lineage. Raises
+    RuntimeError if `max_iters` rounds do not converge (silent partial
+    labels would corrupt the downstream dedup).
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = sym.groupBy("src").agg(F.min("dst").alias("comp")).select(
+        F.col("src").alias("node"), F.least("comp", "node").alias("comp")
+    )
+    for _ in range(max_iters):
+        # min over the closed neighborhood
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "comp")
+            .unionByName(labels.select(F.col("node").alias("src"), "comp"))
+            .groupBy("src")
+            .agg(F.min("comp").alias("comp"))
+            .select(F.col("src").alias("node"), "comp")
+        )
+        # pointer jump: follow the label's own label
+        m = nbr.select(F.col("node").alias("c_node"), F.col("comp").alias("c_comp"))
+        jumped = (
+            nbr.join(m, nbr["comp"] == m["c_node"], "left")
+            .select("node", F.least("comp", F.coalesce("c_comp", "comp")).alias("comp"))
+        )
+        joined = labels.select("node", F.col("comp").alias("old_comp")).join(jumped, "node")
+        changed = joined.where(F.col("comp") < F.col("old_comp")).count()
+        labels = joined.select("node", "comp").localCheckpoint()
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds"
+    )
+
+
+def dedup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Canonical dedup: annotate every document with its near-dup group and
+    whether it is the keeper (minimum id of the group; singletons keep
+    themselves). Output: df columns + (group_id, is_keeper)."""
+    comp = connected_components(pairs, a_col, b_col)
+    out = df.join(comp, df[id_col] == comp["node"], "left").drop("node")
+    return out.withColumn("group_id", F.coalesce("comp", F.col(id_col))).drop("comp").withColumn(
+        "is_keeper", F.col("group_id") == F.col(id_col)
+    )

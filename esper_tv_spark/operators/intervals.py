@@ -388,11 +388,48 @@ def fold_intervals(
 ) -> DataFrame:
     """Ordered per-key fold with an arbitrary Python function — rekall
     fold_list (commercial_detection_rekall.py:168-213). Inherently sequential
-    per key, so this is the one place we drop to applyInPandas (Arrow-batched,
-    parallel across keys). fold_fn: pandas.DataFrame (sorted by start) ->
-    pandas.DataFrame matching output_schema."""
+    per key, so this is the one place we drop to Python. fold_fn:
+    pandas.DataFrame (sorted by start, end) -> pandas.DataFrame matching
+    output_schema.
 
-    def apply(pdf):
-        return fold_fn(pdf.sort_values([start, end]).reset_index(drop=True))
+    Implementation: repartition by key + sort within partitions, then ONE
+    mapInPandas pass that splits groups pandas-side. applyInPandas would pay
+    a JVM->Python Arrow round-trip per key — with millions of tiny groups
+    (one per video) that per-group overhead dominates the fold itself;
+    here each Arrow batch carries many groups and the per-key work is a
+    plain Python call. Groups never split across partitions (hash
+    repartition by key); they can split across Arrow batches WITHIN a
+    partition, so the tail key of every batch is carried into the next.
+    """
+    import pandas as pd
 
-    return df.groupBy(*key_cols).applyInPandas(apply, schema=output_schema)
+    part = df.repartition(*[F.col(k) for k in key_cols]).sortWithinPartitions(
+        *key_cols, start, end
+    )
+
+    def run(batches):
+        pending = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if not len(pdf):
+                continue
+            # the last key's group may continue in the next batch: hold it
+            last = pdf.iloc[-1]
+            mask = pd.Series(True, index=pdf.index)
+            for k in key_cols:
+                mask &= pdf[k] == last[k]
+            pending = pdf[mask]
+            head = pdf[~mask]
+            for _, g in head.groupby(key_cols, sort=False):
+                out = fold_fn(g.reset_index(drop=True))
+                if len(out):
+                    yield out
+        if pending is not None and len(pending):
+            for _, g in pending.groupby(key_cols, sort=False):
+                out = fold_fn(g.reset_index(drop=True))
+                if len(out):
+                    yield out
+
+    return part.mapInPandas(run, schema=output_schema)

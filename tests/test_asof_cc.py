@@ -1,0 +1,110 @@
+"""As-of join (union+window, no join node) and connected-components
+clustering."""
+
+import random
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from esper_tv_spark.operators.asof import asof_join
+from esper_tv_spark.operators.dedup import connected_components, dedup_groups
+from esper_tv_spark.plans.introspect import count_shuffles, physical_plan
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    rng = random.Random(42)
+    trades = [(k, rng.randrange(1000), i) for i, k in enumerate(rng.choices(range(5), k=200))]
+    quotes = [(k, rng.randrange(1000), rng.random()) for k in rng.choices(range(5), k=300)]
+    left = spark.createDataFrame(trades, "k long, ts long, trade_id long")
+    right = spark.createDataFrame(quotes, "k long, ts long, px double")
+
+    got = (
+        asof_join(left, right, ["k"], "ts", "ts")
+        .orderBy("k", "ts", "trade_id")
+        .toPandas()[["k", "ts", "trade_id", "px_r", "ts_r"]]
+    )
+    lp = pd.DataFrame(trades, columns=["k", "ts", "trade_id"]).sort_values("ts", kind="mergesort")
+    rp = (
+        pd.DataFrame(quotes, columns=["k", "ts", "px"])
+        .sort_values(["ts", "px"], kind="mergesort")  # deterministic tie-break: max px at equal ts
+        .rename(columns={"px": "px_r", "ts": "ts_r"})
+    )
+    want = (
+        pd.merge_asof(lp, rp, left_on="ts", right_on="ts_r", by="k", direction="backward")
+        .sort_values(["k", "ts", "trade_id"], kind="mergesort")
+        .reset_index(drop=True)[["k", "ts", "trade_id", "px_r", "ts_r"]]
+    )
+    # merge_asof picks the LAST right row at the matched ts; our window picks
+    # the last in (ts, insertion) order — compare on the matched timestamp,
+    # and on payload only where the matched ts is unique
+    assert list(got["ts_r"].fillna(-1)) == list(want["ts_r"].fillna(-1))
+    dup_ts = rp.groupby(["k", "ts_r"]).size()
+    uniq = {(k, t) for (k, t), n in dup_ts.items() if n == 1}
+    for g, w in zip(got.itertuples(index=False), want.itertuples(index=False)):
+        if (g.k, g.ts_r) in uniq:
+            assert g.px_r == w.px_r
+
+
+def test_asof_tolerance_and_no_match(spark):
+    left = spark.createDataFrame([(1, 100), (1, 500), (2, 50)], "k long, ts long")
+    right = spark.createDataFrame([(1, 90), (1, 120)], "k long, ts long")
+    out = {
+        (r["k"], r["ts"]): r["ts_r"]
+        for r in asof_join(left, right, ["k"], "ts", "ts", tolerance=50).collect()
+    }
+    assert out[(1, 100)] == 90       # within tolerance
+    assert out[(1, 500)] is None     # 120 is 380 stale
+    assert out[(2, 50)] is None      # key never seen on the right
+
+
+def test_asof_is_single_shuffle_no_join(spark):
+    left = spark.createDataFrame([(1, 10, 1)], "k long, ts long, v long")
+    right = spark.createDataFrame([(1, 5, 2.0)], "k long, ts long, p double")
+    df = asof_join(left, right, ["k"], "ts", "ts")
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert count_shuffles(df) == 1
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == _uf_components(edges)
+
+
+def test_connected_components_long_chain(spark):
+    # a 40-node path exercises the O(log n) doubling, not just 1-hop merges
+    chain = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(chain, "a long, b long")
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert set(got.values()) == {0} and len(got) == 41
+
+
+def test_dedup_groups_keepers(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(8)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 3), (3, 5), (6, 7)], "a long, b long")
+    out = {r["doc_id"]: (r["group_id"], r["is_keeper"]) for r in dedup_groups(docs, pairs).collect()}
+    assert out[1] == (1, True) and out[3] == (1, False) and out[5] == (1, False)
+    assert out[6] == (6, True) and out[7] == (6, False)
+    # singletons keep themselves
+    assert out[0] == (0, True) and out[2] == (2, True)
