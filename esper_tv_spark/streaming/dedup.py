@@ -1,0 +1,132 @@
+"""Streaming near-duplicate detection: incremental MinHash-LSH over an
+unbounded document stream.
+
+The batch near-dup pipeline (operators/dedup.py) buckets the WHOLE corpus,
+then pairs within buckets. On a stream, each arriving document must be
+checked against everything seen so far — without rescanning the corpus.
+The LSH decomposition makes that stateful-streaming-shaped:
+
+- signature + banding are pure per-row projections (the shingle SET is
+  computed inline with array_distinct — no groupBy, so no streaming-agg
+  watermark restrictions), and
+- candidate generation keys by (band, bucket): the seen-set per bucket
+  lives in applyInPandasWithState state, each arrival emits pairs against
+  the bucket's members and joins them.
+
+State is O(bucket population); `max_bucket_size` applies the same
+hot-bucket discipline as the batch path — a bucket at the cap is
+non-discriminative boilerplate, so it stops emitting and stops growing
+(bounding both output blowup and state memory). Pairs can repeat across
+bands/batches; exact-once consumers dedup downstream (a keyed sink or
+dropDuplicates with a watermark), same as the batch `.distinct()`.
+
+Fed the same documents, the uncapped streaming candidate set equals the
+batch `lsh_candidate_pairs` set (asserted in tests/test_streaming_dedup.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from esper_tv_spark.operators.dedup import lsh_buckets
+
+
+def shingle_set_col(text_col: str = "text", shingle_n: int = 3) -> Column:
+    """Distinct word-shingle set of one document as an array column — the
+    per-row (stream-safe) twin of dedup.shingle_sets' groupBy build."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    idxs = F.when(
+        F.size(toks) >= shingle_n,
+        F.sequence(F.lit(0), F.size(toks) - F.lit(shingle_n)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idxs, lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " "))
+    return F.array_distinct(grams)
+
+
+def streaming_minhash_buckets(
+    stream: DataFrame,
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, band, bucket) for each arriving document — pure projections
+    (shingle set inline, MinHash = array_min over transform, banding =
+    inline explode), so it runs identically on a stream or a batch frame.
+    Documents with no shingles (fewer than shingle_n tokens) are excluded,
+    matching the batch pipeline."""
+    sets = stream.select(
+        F.col(id_col), shingle_set_col(text_col, shingle_n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    sig = sets.select(
+        F.col(id_col),
+        *[
+            F.array_min(
+                F.transform("shingles", lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+            ).alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    return lsh_buckets(sig, n_bands, n_hashes // n_bands, id_col)
+
+
+def streaming_lsh_candidates(
+    stream: DataFrame,
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """Incremental candidate pairs: every arriving document against the
+    members already seen in each of its LSH buckets. Output
+    (band, bucket, id_a, id_b) with id_a < id_b; duplicates across bands /
+    batches are the consumer's dedup, as in the batch pipeline."""
+    buckets = streaming_minhash_buckets(
+        stream, n_hashes, shingle_n, n_bands, id_col, text_col
+    )
+    out_schema = "band int, bucket string, id_a long, id_b long"
+    state_schema = "ids array<long>, capped boolean"
+
+    def fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        band, bucket = key
+        if state.exists:
+            ids, capped = state.get
+            ids = list(ids)
+        else:
+            ids, capped = [], False
+        rows: list[tuple] = []
+        for pdf in pdf_iter:
+            for new_id in sorted(int(x) for x in pdf[id_col]):
+                if capped:
+                    break
+                if new_id in ids:
+                    continue
+                rows.extend(
+                    (band, bucket, min(new_id, m), max(new_id, m)) for m in ids
+                )
+                ids.append(new_id)
+                if max_bucket_size is not None and len(ids) >= max_bucket_size:
+                    # non-discriminative hot bucket: freeze it (bounds both
+                    # the quadratic pair blowup and state memory)
+                    capped = True
+        state.update((ids, capped))
+        if rows:
+            yield pd.DataFrame(rows, columns=["band", "bucket", "id_a", "id_b"])
+
+    return buckets.groupBy("band", "bucket").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,79 @@
+"""Streaming MinHash-LSH dedup: the incremental candidate set over a
+two-batch stream must equal the batch pipeline's candidate set."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from esper_tv_spark.operators.dedup import lsh_candidate_pairs
+from esper_tv_spark.streaming import file_stream
+from esper_tv_spark.streaming.dedup import (
+    streaming_lsh_candidates,
+    streaming_minhash_buckets,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_candidates_equal_batch(spark, tmp_path):
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).select("doc_id", "text")
+    # two time-ordered files -> two micro-batches
+    src = str(tmp_path / "docs_src")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(src, mode="append")
+
+    stream = file_stream(spark, src, docs.schema, max_files_per_trigger=1)
+    out = streaming_lsh_candidates(stream, max_bucket_size=None)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lshc")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.table("lshc").select("id_a", "id_b").collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(docs).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_buckets_match_batch_projection(spark):
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).select("doc_id", "text")
+    from esper_tv_spark.operators.dedup import lsh_buckets, minhash_signature
+
+    got = sorted(
+        tuple(r) for r in streaming_minhash_buckets(docs).collect()
+    )
+    want = sorted(
+        tuple(r) for r in lsh_buckets(minhash_signature(docs), 4, 2).collect()
+    )
+    assert got == want
+
+
+def test_hot_bucket_cap_freezes_state(spark, tmp_path):
+    # 10 identical docs share every bucket; cap=4 -> each bucket emits
+    # pairs only until frozen, so far fewer than the uncapped 45 per band
+    rows = [(i, "same exact words repeated here again and again") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "hot_src")
+    docs.coalesce(1).write.parquet(src)
+    stream = file_stream(spark, src, docs.schema)
+    out = streaming_lsh_candidates(stream, max_bucket_size=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hotc")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    per_band = (
+        spark.table("hotc").groupBy("band").count().collect()
+    )
+    assert per_band and all(r["count"] == 6 for r in per_band)  # C(4,2) = 6, then frozen
