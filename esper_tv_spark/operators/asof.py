@@ -19,8 +19,10 @@ sort-merge pass.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -81,4 +83,76 @@ def asof_join(
         *[F.col(c) for c in left_cols if c not in key_cols],
         *out_payload,
         matched_ts,
+    )
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_left: str = "ts",
+    ts_right: str = "ts",
+    direction: str = "backward",
+    tolerance: int | float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join via cogroup + pandas.merge_asof — the escape hatch for
+    semantics the one-pass union/window encoding can't express:
+    ``direction='forward'`` (earliest right row at-or-after) and
+    ``'nearest'`` (closest in either direction, ties to the earlier row).
+
+    Both sides shuffle once on `key_cols`; per key, Arrow hands the two
+    sorted groups to ``pd.merge_asof`` (a linear merge). Unlike the window
+    encoding this materializes each key's groups in executor memory, so it
+    assumes no single key dominates the table — use `asof_join` for plain
+    backward joins and keep this for the directional variants. Output
+    column layout matches `asof_join`: left columns, right payload columns
+    with `suffix`, and the matched right timestamp as the last column.
+
+    Reference parity: the per-frame "nearest annotation" probes
+    (reference app/esper/widget.py-style dict lookups) are `'nearest'`
+    here, done in one distributed pass instead of a driver loop.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
+    r_payload = [c for c in right.columns if c not in {*key_cols, ts_right}]
+    out_payload = [f"{c}{suffix}" for c in r_payload]
+    matched_ts = f"{ts_right}{suffix}" if ts_right == ts_left or ts_right in left.columns else ts_right
+
+    out_fields = (
+        [left.schema[c] for c in key_cols]
+        + [left.schema[ts_left]]
+        + [left.schema[c] for c in left.columns if c not in {*key_cols, ts_left}]
+        + [StructField(f"{c}{suffix}", right.schema[c].dataType) for c in r_payload]
+        + [StructField(matched_ts, right.schema[ts_right].dataType)]
+    )
+    out_schema = StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=out_cols)
+        lpdf = lpdf.sort_values(ts_left, kind="mergesort")
+        rsel = rpdf[[ts_right, *r_payload]].rename(
+            columns={c: f"{c}{suffix}" for c in r_payload}
+        )
+        rsel["__rts"] = rsel[ts_right]
+        if ts_right != ts_left:
+            rsel = rsel.rename(columns={ts_right: ts_left})
+        rsel = rsel.sort_values(ts_left, kind="mergesort")
+        merged = pd.merge_asof(
+            lpdf,
+            rsel,
+            on=ts_left,
+            direction=direction,
+            tolerance=tolerance,
+            allow_exact_matches=True,
+        )
+        merged[matched_ts] = merged.pop("__rts")
+        return merged[out_cols]
+
+    return (
+        left.groupBy(*key_cols)
+        .cogroup(right.groupBy(*key_cols))
+        .applyInPandas(merge, schema=out_schema)
     )

@@ -108,3 +108,47 @@ def test_dedup_groups_keepers(spark):
     assert out[6] == (6, True) and out[7] == (6, False)
     # singletons keep themselves
     assert out[0] == (0, True) and out[2] == (2, True)
+
+
+def test_cogrouped_backward_matches_window_asof(spark):
+    from esper_tv_spark.operators.asof import asof_join_cogrouped
+
+    rng = random.Random(11)
+    # unique right timestamps per key so the tie-break rules of the two
+    # implementations can't diverge
+    quotes = [(k, t, rng.random()) for k in range(4) for t in rng.sample(range(2000), 80)]
+    trades = [(k, rng.randrange(2000), i) for i, k in enumerate(rng.choices(range(4), k=150))]
+    left = spark.createDataFrame(trades, "k long, ts long, trade_id long")
+    right = spark.createDataFrame(quotes, "k long, ts long, px double")
+
+    cols = ["k", "ts", "trade_id", "px_r", "ts_r"]
+    got = sorted(
+        tuple(r) for r in asof_join_cogrouped(left, right, ["k"], "ts", "ts").select(*cols).collect()
+    )
+    want = sorted(tuple(r) for r in asof_join(left, right, ["k"], "ts", "ts").select(*cols).collect())
+    assert got == want and len(got) == 150
+
+
+def test_cogrouped_forward_and_nearest(spark):
+    from esper_tv_spark.operators.asof import asof_join_cogrouped
+
+    left = spark.createDataFrame([(1, 100), (1, 200), (1, 310)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 90, "a"), (1, 205, "b"), (1, 400, "c")], "k long, ts long, tag string"
+    )
+    fwd = {
+        (r["k"], r["ts"]): r["tag_r"]
+        for r in asof_join_cogrouped(left, right, ["k"], direction="forward").collect()
+    }
+    assert fwd == {(1, 100): "b", (1, 200): "b", (1, 310): "c"}
+    near = {
+        (r["k"], r["ts"]): r["tag_r"]
+        for r in asof_join_cogrouped(left, right, ["k"], direction="nearest").collect()
+    }
+    # 100 -> 90 (|10| < |105|), 200 -> 205, 310 -> 205 (|105| > |90|? no: 310-205=105, 400-310=90 -> c)
+    assert near == {(1, 100): "a", (1, 200): "b", (1, 310): "c"}
+    tol = {
+        (r["k"], r["ts"]): r["tag_r"]
+        for r in asof_join_cogrouped(left, right, ["k"], direction="nearest", tolerance=20).collect()
+    }
+    assert tol == {(1, 100): "a", (1, 200): "b", (1, 310): None}
