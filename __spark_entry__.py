@@ -2184,6 +2184,106 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+def q72_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter metrics (corpus.repetition_stats):
+    per-doc bigram totals, duplicate-gram fraction, and top-gram share —
+    the boilerplate/spam screen run before training. One explode + one
+    (doc, gram) shuffle with map-side partial aggs."""
+    from esper_tv_spark.operators.corpus import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_stats(docs, n=2)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "distinct_grams",
+        F.round("dup_gram_frac", 6).alias("dup_gram_frac"),
+        "top_gram_count",
+        F.round("top_gram_frac", 6).alias("top_gram_frac"),
+    )
+
+
+Q72_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_transform(range(0, len(t) - 2 + 1),
+                                       i -> array_to_string(t[i+1:i+2], ' '))) AS gram
+  FROM toks WHERE len(t) >= 2
+), counts AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_grams,
+       count(*) AS distinct_grams,
+       round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+             / CAST(sum(cnt) AS DOUBLE), 6) AS dup_gram_frac,
+       CAST(max(cnt) AS BIGINT) AS top_gram_count,
+       round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS top_gram_frac
+FROM counts GROUP BY doc_id
+"""
+
+
+def q73_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (corpus.redact_pii): mask emails / IPv4s / SSNs /
+    phone numbers and count matches per type. The corpus text is word soup,
+    so deterministic PII is synthesized per doc_id first (email + phone +
+    ipv4 always, SSN on every third doc) — then the regex chain, pure
+    codegen'd expressions, must find and mask exactly those."""
+    from esper_tv_spark.operators.corpus import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        ).alias("text"),
+    )
+    out = redact_pii(aug)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_ssn", "n_phone", "text_redacted"
+    )
+
+
+def _q73_sql() -> str:
+    from esper_tv_spark.operators.corpus import _PII_ORDER, PII_PATTERNS
+
+    aug = (
+        "SELECT doc_id, text || ' reach user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com or 555-'"
+        " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text"
+        " FROM documents"
+    )
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{PII_PATTERNS[n]}')) AS n_{n}"
+        for n in _PII_ORDER
+    )
+    red = "text"
+    for n in _PII_ORDER:
+        red = f"regexp_replace({red}, '{PII_PATTERNS[n]}', '[{n.upper()}]', 'g')"
+    return (
+        f"WITH aug AS ({aug}) "
+        f"SELECT doc_id, {counts}, {red} AS text_redacted FROM aug"
+    )
+
+
 # ==========================================================================
 # driver contract
 # ==========================================================================
@@ -2270,6 +2370,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_stride_sample": q54_stride_sample,
     "q61_median_price": q61_median_price,
     "q62_grouping_sets": q62_grouping_sets,
+    "q72_repetition_stats": q72_repetition_stats,
+    "q73_pii_redact": q73_pii_redact,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2342,6 +2444,8 @@ _ORACLES: dict[str, str] = {
     "q70_asof_join": Q70_SQL,
     "q71_dedup_groups": Q71_SQL.format(mh=_MH_AGGS, bands=_BAND_SELECTS),
     "q56_commercial_detection": _q56_sql(),
+    "q72_repetition_stats": Q72_SQL,
+    "q73_pii_redact": _q73_sql(),
 }
 
 

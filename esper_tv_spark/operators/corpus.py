@@ -131,3 +131,72 @@ def chunk_documents(
             F.size("__c").alias("n_tokens"),
         )
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repetition metrics (the Gopher/MassiveText repetition
+    filter family): documents dominated by repeated fragments are boilerplate
+    or spam and get dropped before training.
+
+    Output per doc: n_grams (total word n-grams), distinct_grams,
+    dup_gram_frac (fraction of n-gram occurrences whose gram occurs more
+    than once), top_gram_count and top_gram_frac (share of the single most
+    common n-gram). One explode + one shuffle keyed by (doc, gram), partial
+    aggs map-side; nothing touches Python.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    d = docs.select(F.col(id_col), toks.alias("__t")).where(F.size("__t") >= n)
+    idxs = F.sequence(F.lit(0), F.size("__t") - F.lit(n))
+    gram = F.transform(idxs, lambda i: F.array_join(F.slice("__t", i + 1, n), " "))
+    counts = (
+        d.select(id_col, F.explode(gram).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count(F.lit(1)).alias("distinct_grams"),
+        (
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
+            / F.sum("cnt")
+        ).alias("dup_gram_frac"),
+        F.max("cnt").alias("top_gram_count"),
+        (F.max("cnt") / F.sum("cnt")).alias("top_gram_frac"),
+    )
+
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB/Go scrubbers): no backrefs, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\d{3}-\d{3}-\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+# ssn/phone and ipv4/phone overlap: longest-and-most-specific first
+_PII_ORDER = ["email", "ipv4", "ssn", "phone"]
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+) -> DataFrame:
+    """Mask emails / IPv4s / SSNs / phone numbers with [TYPE] tokens and
+    count matches per type (n_<type> columns) — the scrubbing pass every
+    released training corpus runs. Pure regexp expressions: codegen'd,
+    no shuffle, pushdown-friendly. Order masks specific patterns first so
+    e.g. an SSN is not half-eaten by the phone rule.
+    """
+    out = docs
+    for name in _PII_ORDER:
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[name])))
+    red = F.col(text_col)
+    for name in _PII_ORDER:
+        red = F.regexp_replace(red, PII_PATTERNS[name], f"[{name.upper()}]")
+    return out.withColumn(out_col, red)

@@ -96,3 +96,48 @@ def test_chunk_documents_windows_and_overlap(spark):
     # short doc -> single chunk; empty doc -> no rows
     assert rows[(2, 0)]["n_tokens"] == 3
     assert not any(d == 3 for d, _ in rows)
+
+
+def test_repetition_stats_known_values(spark):
+    from esper_tv_spark.operators.corpus import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),       # bigrams: ab ba ab ba -> 4 total, 2 distinct
+            (2, "x y z"),           # xy yz -> all unique
+            (3, "w w w w"),         # ww ww ww -> one gram, 3 occurrences
+            (4, "solo"),            # < n tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(docs, n=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_grams"] == 4 and out[1]["distinct_grams"] == 2
+    assert out[1]["dup_gram_frac"] == 1.0 and out[1]["top_gram_count"] == 2
+    assert out[2]["dup_gram_frac"] == 0.0 and out[2]["top_gram_frac"] == 0.5
+    assert out[3]["n_grams"] == 3 and out[3]["distinct_grams"] == 1
+    assert out[3]["top_gram_frac"] == 1.0
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from esper_tv_spark.operators.corpus import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call 555-123-4567 or 555-000-1111"),
+            (3, "host 192.168.1.200 down"),
+            (4, "ssn 123-45-6789 leaked"),
+            (5, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in redact_pii(docs).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["text_redacted"] == "mail [EMAIL] now"
+    assert out[2]["n_phone"] == 2 and out[2]["text_redacted"] == "call [PHONE] or [PHONE]"
+    assert out[3]["n_ipv4"] == 1 and out[3]["text_redacted"] == "host [IPV4] down"
+    # the SSN rule must win over the phone rule (masked as SSN, counted once)
+    assert out[4]["n_ssn"] == 1 and out[4]["n_phone"] == 0
+    assert out[4]["text_redacted"] == "ssn [SSN] leaked"
+    assert out[5]["text_redacted"] == "clean text only"
+    assert all(out[5][f"n_{t}"] == 0 for t in ("email", "phone", "ipv4", "ssn"))
