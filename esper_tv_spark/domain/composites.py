@@ -91,7 +91,6 @@ def detect_commercials(
     max_commercial_time: float = 240.0,
     min_commercial_time: float = 10.0,
     reliable_text_duration: float = 5.0,
-    cache_inputs: bool = True,
 ) -> DataFrame:
     """Commercial-block detection (commercial_detection_rekall.py:108-313,
     core pipeline; the lowercase-interval augmentation of lines 220+ layers
@@ -103,11 +102,6 @@ def detect_commercials(
     video_length) whole-video spans.
     """
     key = ["video_id"]
-    if cache_inputs:
-        # video_spans and black_windows are each consumed twice by the
-        # sweep chain — persist so the subtree runs once
-        video_spans = video_spans.cache()
-        black_windows = black_windows.cache()
 
     def bare(df: DataFrame) -> DataFrame:
         return df.select(*key, "start", "end")
@@ -130,11 +124,21 @@ def detect_commercials(
     )
     # video_spans is one interval per video, so the set-level sweep output is
     # identical to the identity-preserving minus — at one exchange instead of
-    # a coalesce + range-join + gap-window per subtraction
+    # a coalesce + range-join + gap-window per subtraction.
+    #
+    # The reference then computes
+    #   non_commercial    = all_blocks.filter_against(arrows, overlaps)
+    #   commercial_blocks = spans \ non_commercial \ black
+    # but all_blocks = spans \ black is DISJOINT per video and non_commercial
+    # keeps whole member intervals of it, so
+    #   spans \ (non_commercial ∪ black) = all_blocks \ non_commercial
+    #                                    = all_blocks ANTI-overlaps arrows
+    # — the second sweep and the separate semi-join collapse into one
+    # anti-join (same rows bit-for-bit; hash-checked against the oracle's
+    # literal two-subtraction encoding).
     all_blocks = sweep_minus(bare(video_spans), [bare(black_windows)], key)
-    non_commercial = iv.filter_against(all_blocks, arrows, key, iv.t_overlaps)
-    commercial_blocks = sweep_minus(
-        bare(video_spans), [non_commercial, bare(black_windows)], key
+    commercial_blocks = iv.filter_against(
+        all_blocks, arrows, key, iv.t_overlaps, anti=True
     )
 
     # capped-length stack fold (commercial_detection_rekall.py:168-213):

@@ -300,9 +300,10 @@ def minus(
     payload_cols = [c for c in a.columns if c not in {*key_cols, start, end}]
     bc = coalesce(b.select(*key_cols, start, end), key_cols, start, end).drop("n_merged")
     pb = _prefixed(bc, "b_")
-    a_id = a.withColumn(
-        "__aid", F.row_number().over(Window.partitionBy(*key_cols).orderBy(F.col(start), F.col(end)))
-    )
+    # __aid only needs to be UNIQUE per a-row (it keys the per-interval
+    # window below) — monotonically_increasing_id gives that without the
+    # shuffle+sort a row_number window would force on `a`
+    a_id = a.withColumn("__aid", F.monotonically_increasing_id())
     keys = [F.col(k) == F.col(f"b_{k}") for k in key_cols]
     overlap = (F.col(f"b_{start}") < F.col(end)) & (F.col(f"b_{end}") > F.col(start))
     j = a_id.join(pb, keys + [overlap], "left")
@@ -357,9 +358,8 @@ def overlap_measure(
     left join so zero-overlap rows survive with 0)."""
     if coalesce_b:
         b = coalesce(b.select(*key_cols, start, end), key_cols, start, end).drop("n_merged")
-    a_id = a.withColumn(
-        "__aid", F.row_number().over(Window.partitionBy(*key_cols).orderBy(F.col(start), F.col(end)))
-    )
+    # unique row id without a window shuffle (see minus)
+    a_id = a.withColumn("__aid", F.monotonically_increasing_id())
     pb = _prefixed(b, "b_")
     keys = [F.col(k) == F.col(f"b_{k}") for k in key_cols]
     overlap = (F.col(f"b_{start}") < F.col(end)) & (F.col(f"b_{end}") > F.col(start))
