@@ -2284,6 +2284,54 @@ def _q73_sql() -> str:
     )
 
 
+def q74_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (functions/sketches.py): token frequencies in a
+    fixed depth x width grid (state bounded by the sketch, not the key
+    domain; cells merge as plain partial aggs), probed for the exact top-20
+    tokens so the CM upper-bound property (est >= exact) is visible in the
+    output. Deterministic md5 bucketing -> the sketch itself is
+    hash-matched against the oracle, not just the estimates."""
+    from esper_tv_spark.functions.sketches import (
+        build_count_min,
+        cm_estimate,
+        heavy_hitters_exact,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != F.lit(""))).alias("word")
+    )
+    sketch = build_count_min(words, "word", depth=4, width=256)
+    top = heavy_hitters_exact(words, "word", 20).withColumnRenamed("cnt", "exact_cnt")
+    est = cm_estimate(sketch, top.select("word"), "word", depth=4, width=256)
+    return top.join(est, "word").select("word", "exact_cnt", "est_count")
+
+
+Q74_SQL = """
+WITH words AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents
+), ds AS (SELECT unnest(range(0, 4)) AS d),
+cells AS (
+  SELECT d,
+         CAST('0x' || substr(md5(CAST(d AS VARCHAR) || '|' || word), 1, 15) AS BIGINT)
+           % 256 AS bucket,
+         count(*) AS cnt
+  FROM words, ds GROUP BY 1, 2
+), top AS (
+  SELECT word, count(*) AS exact_cnt FROM words GROUP BY word
+  ORDER BY exact_cnt DESC, word LIMIT 20
+), probes AS (SELECT word, exact_cnt, d FROM top, ds)
+SELECT p.word, CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_count
+FROM probes p
+LEFT JOIN cells c
+  ON c.d = p.d
+ AND c.bucket = CAST('0x' || substr(md5(CAST(p.d AS VARCHAR) || '|' || p.word), 1, 15) AS BIGINT) % 256
+GROUP BY p.word, p.exact_cnt
+"""
+
+
 # ==========================================================================
 # driver contract
 # ==========================================================================
@@ -2372,6 +2420,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_grouping_sets": q62_grouping_sets,
     "q72_repetition_stats": q72_repetition_stats,
     "q73_pii_redact": q73_pii_redact,
+    "q74_count_min_heavy_hitters": q74_count_min_heavy_hitters,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2446,6 +2495,7 @@ _ORACLES: dict[str, str] = {
     "q56_commercial_detection": _q56_sql(),
     "q72_repetition_stats": Q72_SQL,
     "q73_pii_redact": _q73_sql(),
+    "q74_count_min_heavy_hitters": Q74_SQL,
 }
 
 

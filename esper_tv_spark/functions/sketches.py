@@ -1,0 +1,90 @@
+"""Distributed sketches: count-min, heavy hitters, and cardinality.
+
+At 100 TB you cannot afford an exact groupBy on an unbounded key domain
+just to answer "roughly how often does X occur" or "what are the hot
+keys". Sketches bound the state: a count-min sketch is a fixed
+(depth x width) grid regardless of key cardinality, mergeable across
+partitions by plain cell-wise addition — i.e. exactly a Spark partial
+aggregate. Everything here is expression-only and deterministic (md5-based
+bucket hashing), so a SQL oracle can reproduce the sketch bit-for-bit —
+the estimates are approximate with respect to the TRUE counts, but exact
+with respect to the algorithm.
+
+Design notes:
+- build_count_min materializes the sketch as (d, w_bucket, cnt) rows —
+  depth*width rows total, NOT per-key state. The groupBy shuffles at most
+  depth*width distinct cells per partition (map-side combine), which is
+  the textbook mergeability argument run through Catalyst.
+- cm_estimate joins candidate keys against the sketch: d rows per key,
+  min over counters = the classic CM upper-bound estimate.
+- heavy_hitters_exact is the verification twin (exact top-k by count)
+  used in tests to measure CM overestimation on skewed data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(col, d: int, width: int):
+    """Row-d bucket of a key: first 15 hex chars of md5(d|key) mod width —
+    identical arithmetic in DuckDB/Trino (conv/from_hex + mod)."""
+    h = F.md5(F.concat(F.lit(f"{d}|"), col.cast("string")))
+    return F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(width))
+
+
+def build_count_min(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch of key frequencies: (d, bucket, cnt) rows,
+    depth*width cells max. One shuffle bounded by the sketch size, never by
+    key cardinality."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                _bucket(F.col(key_col), d, width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.inline(rows))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Estimated count per candidate key: min over the key's depth
+    counters (the CM upper bound; error <= 2N/width w.p. 1-2^-depth).
+    The sketch side is depth*width rows — always broadcastable."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                _bucket(F.col(key_col), d, width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    probes = keys.select(F.col(key_col), F.inline(rows))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+    )
+
+
+def heavy_hitters_exact(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """Exact top-k keys by count — the verification twin of the sketch
+    path (and the small-data fallback)."""
+    return (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col(key_col))
+        .limit(k)
+    )
