@@ -2332,6 +2332,53 @@ GROUP BY p.word, p.exact_cnt
 """
 
 
+_Q75_TERMS = ["merge", "window", "customer"]
+
+
+def q75_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/text.bm25_scores): top-25 documents
+    for a 3-term query. Postings are filtered to the query terms before the
+    first shuffle; df/corpus stats broadcast. Scores rounded at source so
+    JVM-vs-C++ ln() ULP noise can't break hash parity."""
+    from esper_tv_spark.operators.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_scores(docs, _Q75_TERMS)
+    return (
+        out.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(25)
+    )
+
+
+def _q75_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _Q75_TERMS)
+    return f"""
+WITH lens AS (
+  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens
+), post AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+    FROM documents
+  ) WHERE term IN ({terms})
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY term
+)
+SELECT p.doc_id,
+       round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                 * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))), 6)
+         AS score
+FROM post p JOIN lens l USING (doc_id) JOIN dfreq f USING (term), stats s
+GROUP BY p.doc_id
+ORDER BY score DESC, p.doc_id
+LIMIT 25
+"""
+
+
 # ==========================================================================
 # driver contract
 # ==========================================================================
@@ -2421,6 +2468,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_repetition_stats": q72_repetition_stats,
     "q73_pii_redact": q73_pii_redact,
     "q74_count_min_heavy_hitters": q74_count_min_heavy_hitters,
+    "q75_bm25_search": q75_bm25_search,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2496,6 +2544,7 @@ _ORACLES: dict[str, str] = {
     "q72_repetition_stats": Q72_SQL,
     "q73_pii_redact": _q73_sql(),
     "q74_count_min_heavy_hitters": Q74_SQL,
+    "q75_bm25_search": _q75_sql(),
 }
 
 

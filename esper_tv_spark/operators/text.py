@@ -264,3 +264,54 @@ def sliding_window_topic(
         .where(F.col("hits") >= threshold)
         .select(F.col(id_col), F.col("pos").alias("window_start"), F.col("hits").cast("long").alias("hits"))
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a bag-of-words query —
+    the scoring layer a caption/transcript search surface sits on (the
+    reference ranks caption hits by raw counts; BM25 is the standard
+    upgrade and exercises the same postings substrate).
+
+    Plan: one token explode filtered to the query terms BEFORE any shuffle
+    (postings for 5 terms, not the whole vocabulary), tf/df aggregated from
+    that tiny slice, document lengths from a second length-only projection
+    (no explode), corpus stats broadcast. idf is the Robertson-Sparck-Jones
+    form ln(1 + (N - df + .5)/(df + .5)), nonnegative.
+
+    Output: (doc_id, score) for documents matching >= 1 term.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    lens = docs.select(F.col(id_col), F.size(toks).alias("dl"))
+    stats = F.broadcast(lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ))
+    post = (
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        .where(F.col("term").isin(query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = F.broadcast(
+        post.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        post.join(lens, id_col)
+        .join(dfreq, "term")
+        .crossJoin(stats)
+        .groupBy(id_col)
+        .agg(F.sum(idf * tf_part).alias("score"))
+    )

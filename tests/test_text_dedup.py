@@ -228,3 +228,39 @@ def test_lsh_bucket_cap(spark):
     assert all(a >= 10 for a, _ in capped)  # boilerplate pairs dropped
     over = dedup.oversized_lsh_buckets(df, max_bucket_size=4).collect()
     assert len(over) >= 1 and all(r["n_docs"] == 6 for r in over)
+
+
+def test_bm25_matches_closed_form(spark):
+    import math
+
+    from esper_tv_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "apple")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["apple"]).collect()}
+    k1, b, avgdl, n = 1.2, 0.75, 2.0, 3
+    idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+
+    def score(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert set(got) == {1, 3}  # d2 has no query term
+    assert abs(got[1] - score(2, 3)) < 1e-12
+    assert abs(got[3] - score(1, 1)) < 1e-12
+    # length normalization: the short exact-match d3 outranks d1's tf=2
+    assert got[3] > got[1]
+
+
+def test_bm25_multi_term_additivity(spark):
+    from esper_tv_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x"), (3, "y"), (4, "z")], "doc_id long, text string"
+    )
+    both = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["x", "y"]).collect()}
+    just_x = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["x"]).collect()}
+    just_y = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["y"]).collect()}
+    assert abs(both[1] - (just_x[1] + just_y[1])) < 1e-12
+    assert 4 not in both
