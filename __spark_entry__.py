@@ -2379,6 +2379,33 @@ LIMIT 25
 """
 
 
+def q76_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (corpus.mix_sources): fixed per-source
+    keep rates applied as a deterministic hash filter — no RNG state, no
+    shuffle, reproducible on any partitioning. Output: per-source kept
+    counts (the mixing audit table)."""
+    from esper_tv_spark.operators.corpus import mix_sources
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    out = mix_sources(docs, rates)
+    return (
+        out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("source")
+    )
+
+
+Q76_SQL = """
+SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents
+WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 <
+      CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                  WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1 ELSE 0.0 END
+GROUP BY source ORDER BY source
+"""
+
+
 # ==========================================================================
 # driver contract
 # ==========================================================================
@@ -2469,6 +2496,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_pii_redact": q73_pii_redact,
     "q74_count_min_heavy_hitters": q74_count_min_heavy_hitters,
     "q75_bm25_search": q75_bm25_search,
+    "q76_corpus_mix": q76_corpus_mix,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2545,6 +2573,7 @@ _ORACLES: dict[str, str] = {
     "q73_pii_redact": _q73_sql(),
     "q74_count_min_heavy_hitters": Q74_SQL,
     "q75_bm25_search": _q75_sql(),
+    "q76_corpus_mix": Q76_SQL,
 }
 
 

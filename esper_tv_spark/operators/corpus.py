@@ -200,3 +200,45 @@ def redact_pii(
     for name in _PII_ORDER:
         red = F.regexp_replace(red, PII_PATTERNS[name], f"[{name.upper()}]")
     return out.withColumn(out_col, red)
+
+
+def source_mix_rates(
+    counts: dict[str, int], alpha: float = 0.5, target_total: int | None = None
+) -> dict[str, float]:
+    """Per-source keep rates for temperature-based corpus mixing: sampling
+    weight w_s ∝ n_s^alpha (alpha<1 upweights small sources — the
+    multilingual/multi-source rebalancing rule), scaled so the expected
+    kept total is `target_total` (default: the corpus size, i.e. pure
+    rebalancing). Rates cap at 1.0 (no upsampling without replacement).
+    Driver-side math over the per-source histogram — a dozen numbers, never
+    the corpus."""
+    if not counts:
+        return {}
+    total = sum(counts.values())
+    if target_total is None:
+        target_total = total
+    w = {s: n**alpha for s, n in counts.items()}
+    z = sum(w.values())
+    return {s: min(1.0, target_total * w[s] / z / counts[s]) for s in counts}
+
+
+def mix_sources(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic Bernoulli thinning per source: keep a row iff
+    portable_hash(id)/2^32 < rate(source). Pure filter expression — no
+    shuffle, no RNG state, reproducible on any partitioning and in any
+    engine (the hash is the Knuth multiplicative map). Sources absent from
+    `rates` are dropped."""
+    if not rates:
+        return df.limit(0)
+    items = list(rates.items())
+    rate = F.when(F.col(source_col) == items[0][0], F.lit(float(items[0][1])))
+    for s, p in items[1:]:
+        rate = rate.when(F.col(source_col) == s, F.lit(float(p)))
+    rate = rate.otherwise(F.lit(0.0))
+    keep = portable_hash(F.col(id_col)).cast("double") / F.lit(float(_M32)) < rate
+    return df.where(keep)

@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 # <CHANNEL>_<YYYYMMDD>_<HHMMSS>_<show name>.mp4  (ingest.py:154-160)
 _PATH_RE = r"([A-Z]+)_(\d{8})_(\d{6})_(.*)\.mp4$"
@@ -116,3 +116,42 @@ def decode_keypoints(df: DataFrame, blob_col: str = "keypoints", n_coords: int =
         return blobs.map(one)
 
     return df.withColumn(f"{blob_col}_decoded", decode(F.col(blob_col)))
+
+
+def ingest_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines load with an EXPLICIT schema and corrupt-record
+    accounting: returns (good_rows, bad_rows).
+
+    At 100 TB, schema inference is a full extra pass over the data and a
+    correctness hazard (a batch where a field happens to be all-null flips
+    the inferred type) — always pass the schema. Malformed lines are kept
+    rather than silently dropped: the bad frame carries the raw line for
+    quarantine/audit, the same no-silent-truncation discipline as
+    oversized_lsh_buckets.
+
+    Parsing is text-scan + from_json with an embedded corrupt column —
+    NOT spark.read.json's internal _corrupt_record, which cannot be
+    filtered on without caching the whole scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+    """
+    from pyspark.sql.types import StringType
+
+    full = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
+    raw = spark.read.text(path).select(
+        F.col("value"),
+        F.from_json(
+            "value", full, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col}
+        ).alias("__j"),
+    )
+    good = raw.where(F.col(f"__j.{corrupt_col}").isNull()).select(
+        *[F.col(f"__j.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    bad = raw.where(F.col(f"__j.{corrupt_col}").isNotNull()).select(
+        F.col("value").alias(corrupt_col)
+    )
+    return good, bad

@@ -141,3 +141,51 @@ def test_redact_pii_masks_and_counts(spark):
     assert out[4]["text_redacted"] == "ssn [SSN] leaked"
     assert out[5]["text_redacted"] == "clean text only"
     assert all(out[5][f"n_{t}"] == 0 for t in ("email", "phone", "ipv4", "ssn"))
+
+
+def test_source_mix_rates_math():
+    from esper_tv_spark.operators.corpus import source_mix_rates
+
+    counts = {"big": 900, "small": 100}
+    r = source_mix_rates(counts, alpha=0.5)
+    # alpha=0.5: weights 30/10 -> big keeps 750, small capped at 1.0 (250>100)
+    assert r["small"] == 1.0
+    assert abs(r["big"] - (1000 * 30 / 40) / 900) < 1e-12
+    assert source_mix_rates({}) == {}
+    # alpha=1 with default target is a no-op mix
+    r1 = source_mix_rates(counts, alpha=1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in r1.values())
+
+
+def test_mix_sources_deterministic_and_proportional(spark):
+    from esper_tv_spark.operators.corpus import mix_sources
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_sources(df, {"a": 0.5, "b": 0.1})
+    got1 = sorted(r["doc_id"] for r in out.collect())
+    got2 = sorted(r["doc_id"] for r in mix_sources(df.repartition(7), {"a": 0.5, "b": 0.1}).collect())
+    assert got1 == got2  # partitioning-independent
+    na = sum(1 for i in got1 if i % 2 == 0)
+    nb = len(got1) - na
+    assert abs(na / 1000 - 0.5) < 0.1 and abs(nb / 1000 - 0.1) < 0.05
+    # unknown sources drop
+    assert mix_sources(df, {"zzz": 1.0}).count() == 0
+
+
+def test_ingest_jsonl_quarantines_bad_lines(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from esper_tv_spark.sources.ingest import ingest_jsonl
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        'not json at all\n'
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": "three", "name": "bad type"}\n'
+    )
+    schema = StructType([StructField("id", LongType()), StructField("name", StringType())])
+    good, bad = ingest_jsonl(spark, str(p), schema)
+    assert sorted((r["id"], r["name"]) for r in good.collect()) == [(1, "ok"), (2, "also ok")]
+    assert bad.count() == 2
