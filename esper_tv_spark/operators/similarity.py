@@ -478,3 +478,125 @@ def nearest_centroid_classify(
         (-F.col("__b.__negl")).cast("int").alias("pred_label"),
         F.col("__b.__sim").alias("similarity"),
     )
+
+
+# --------------------------------------------------------------------------
+# product quantization (the compressed embedding store)
+# --------------------------------------------------------------------------
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split the vector into `m` subspaces and KMeans
+    each with `k` centroids. Returns codebooks[m][k][sub_dim] — m*k
+    sub-centroids, a few KB regardless of corpus size (the whole point:
+    vectors compress to m small codes, ~8 bytes vs 256 for 64 floats).
+    Training runs on a sample; the fit is the only driver-coordinated step,
+    like ivf_fit."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    train = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed=seed)
+    train = train.cache()
+    books = []
+    for j in range(m):
+        sv = train.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), j * sub + 1, sub).cast("array<double>")
+            ).alias("features")
+        )
+        model = KMeans(k=k, seed=seed, maxIter=20).fit(sv)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    train.unpersist()
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors to their PQ codes (array<int>, one code per
+    subspace): argmin sub-centroid per subspace. Arrow-batched numpy
+    (m * k * dim flops per row — genuinely numeric, the documented
+    escape-hatch case); keeps all input columns."""
+    import numpy as np
+
+    cb = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(cb)
+    sub = cb[0].shape[1]
+    cols = df.columns
+
+    def encode(batches):
+        for pdf in batches:
+            vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                s = vecs[:, j * sub : (j + 1) * sub]
+                # (n, k) squared distances to subspace-j centroids
+                d = ((s[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            pdf = pdf.copy()
+            pdf[out_col] = [c.tolist() for c in codes]
+            yield pdf
+
+    schema = ", ".join(f"`{c}` {dict(df.dtypes)[c]}" for c in cols) + f", {out_col} array<int>"
+    return df.mapInPandas(encode, schema=schema)
+
+
+def pq_topk(
+    codes: DataFrame,
+    full: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    topk: int,
+    shortlist: int = 200,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN over the compressed store: asymmetric-distance (ADC) shortlist +
+    exact cosine rerank.
+
+    The per-query distance table (m x k floats, driver-side numpy) turns
+    each row's approximate distance into m literal-array lookups summed —
+    pure codegen over the 8-byte codes; the float vectors are read only for
+    the `shortlist` rerank rows. At corpus scale this is the classic
+    IVF-PQ read profile: scan codes (tiny), fetch vectors (big) for a few
+    hundred rows."""
+    import numpy as np
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    tables = []
+    for j in range(m):
+        q_sub = qv[j * sub : (j + 1) * sub]
+        cents = np.asarray(codebooks[j], dtype=np.float64)
+        tables.append(((cents - q_sub[None, :]) ** 2).sum(axis=1))
+
+    adc = None
+    for j in range(m):
+        lut = F.array(*[F.lit(float(x)) for x in tables[j]])
+        term = F.element_at(lut, F.element_at(F.col(code_col), j + 1) + 1)
+        adc = term if adc is None else adc + term
+    short = (
+        codes.withColumn("__adc", adc)
+        .orderBy(F.col("__adc").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+        .select(id_col)
+    )
+    cand = full.join(F.broadcast(short), id_col, "left_semi")
+    return cosine_topk(cand, query_vec, topk, id_col, vec_col)

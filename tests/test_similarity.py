@@ -178,3 +178,36 @@ def test_knn_join_vectorized_matches_expression(spark, emb):
     b = sorted(tuple(r) for r in sim.knn_join_vectorized(q, c, 7).collect())
     # same neighbor sets and 6dp sims (ulp-level matmul differences heal at 6dp)
     assert a == b
+
+
+def test_pq_encode_matches_numpy_and_adc(spark):
+    import numpy as np
+
+    from esper_tv_spark.operators.similarity import pq_encode, pq_fit, pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    books = pq_fit(emb, m=8, k=16)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    codes = pq_encode(emb, books)
+    # spot-check encode against straight numpy argmin
+    rows = codes.orderBy("vec_id").limit(20).collect()
+    cb = [np.asarray(b) for b in books]
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        for j in range(8):
+            d = ((cb[j] - v[j * 8 : (j + 1) * 8][None, :]) ** 2).sum(axis=1)
+            assert r["pq_code"][j] == int(d.argmin())
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    from esper_tv_spark.operators.similarity import cosine_topk, pq_encode, pq_fit, pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where("vec_id = 7").first()["embedding"]
+    books = pq_fit(emb, m=8, k=16)
+    codes = pq_encode(emb, books).select("vec_id", "pq_code").cache()
+    got = {r["vec_id"] for r in pq_topk(codes, emb, books, q, 10, shortlist=100).collect()}
+    want = {r["vec_id"] for r in cosine_topk(emb, q, 10).collect()}
+    recall = len(got & want) / 10
+    assert recall >= 0.6, f"recall@10 {recall}"
+    codes.unpersist()
