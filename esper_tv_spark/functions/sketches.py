@@ -34,12 +34,11 @@ def _bucket(col, d: int, width: int):
     return F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(width))
 
 
-def build_count_min(
-    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
-) -> DataFrame:
-    """Count-min sketch of key frequencies: (d, bucket, cnt) rows,
-    depth*width cells max. One shuffle bounded by the sketch size, never by
-    key cardinality."""
+def cm_cells(df: DataFrame, key_col: str, depth: int = 4, width: int = 256) -> DataFrame:
+    """Per-occurrence (d, bucket) cell hits — the pure projection half of
+    the sketch. Runs identically on a batch frame or a stream; aggregate it
+    yourself (streaming: feed to streaming/rollup.incremental_rollup with a
+    count metric for an incrementally-maintained sketch)."""
     rows = F.array(
         *[
             F.struct(
@@ -49,8 +48,17 @@ def build_count_min(
             for d in range(depth)
         ]
     )
+    return df.select(F.inline(rows))
+
+
+def build_count_min(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch of key frequencies: (d, bucket, cnt) rows,
+    depth*width cells max. One shuffle bounded by the sketch size, never by
+    key cardinality."""
     return (
-        df.select(F.inline(rows))
+        cm_cells(df, key_col, depth, width)
         .groupBy("d", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -56,3 +56,24 @@ def test_rollup_equals_batch_groupby(spark, tmp_path):
     _run(spark, src, state, str(tmp_path / "ckpt2"))
     again = sorted(map(tuple, read_rollup(spark, state).collect()))
     assert again == got
+
+
+def test_streaming_count_min_sketch(spark, tmp_path):
+    """A streaming CMS is just cm_cells ∘ incremental_rollup: the maintained
+    cell table equals the batch sketch of everything ingested."""
+    from esper_tv_spark.functions.sketches import build_count_min, cm_cells
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).select("doc_id", "source")
+    src = str(tmp_path / "cms_src")
+    docs.where("doc_id % 2 = 0").coalesce(1).write.parquet(src)
+    docs.where("doc_id % 2 = 1").coalesce(1).write.parquet(src, mode="append")
+
+    stream = file_stream(spark, src, docs.schema, max_files_per_trigger=1)
+    cells = cm_cells(stream, "source", depth=4, width=64)
+    state, ckpt = str(tmp_path / "cms_state"), str(tmp_path / "cms_ckpt")
+    q = incremental_rollup(cells, ["d", "bucket"], {"cnt": ("count", None)}, state, ckpt).start()
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, read_rollup(spark, state).collect()))
+    want = sorted(map(tuple, build_count_min(docs, "source", depth=4, width=64).collect()))
+    assert got == want and len(got) > 0
