@@ -41,16 +41,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts normalized to a (microsecond) TimestampType column.
+    """events with ts normalized to a (microsecond, UTC) TimestampType column.
 
-    The driver's events.parquet stores TIMESTAMP(NANOS), which Spark reads as
-    long nanos under spark.sql.legacy.parquet.nanosAsLong (set in
-    esper_tv_spark.session). `div` keeps the nanos->micros conversion in
-    exact integer arithmetic."""
-    ev = _t(spark, sf_dir, "events")
-    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return ev
+    Handles every representation the driver's generator has used across
+    rounds: TIMESTAMP(NANOS) read as long nanos under
+    spark.sql.legacy.parquet.nanosAsLong (`div` keeps the nanos->micros
+    conversion exact), TIMESTAMP_NTZ (naive micros — interpreted as UTC
+    wall-clock via the pinned session timezone, exactly how DuckDB treats a
+    naive parquet timestamp), and TIMESTAMP (already LTZ micros, as-is)."""
+    from esper_tv_spark.session import normalize_ts
+
+    return normalize_ts(_t(spark, sf_dir, "events"), "ts")
 
 
 def _event_intervals(spark: SparkSession, sf_dir: str, event_type: str | None = None) -> DataFrame:
@@ -1307,22 +1308,54 @@ GROUP BY r_name
 
 
 def q51_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (dedup family): all pairs with
-    cosine >= 0.4, exact all-pairs baseline. The SRP-LSH blocked variant of
-    the same operator (operators/dedup.embedding_near_dup_pairs n_planes>0)
-    is the scale path and is recall-tested in tests/test_similarity."""
+    """Embedding-cosine near-duplicate pairs (dedup family), SCALE PATH:
+    signed-random-projection buckets block the comparison, so candidate
+    generation is an equi-join on the bucket key (one shuffle, cost =
+    sum(bucket^2)) — never the O(n^2) all-pairs cross product. The exact
+    all-pairs variant (n_planes=0) remains the documented audit path for
+    sampled corpora; recall of the blocked path is asserted in
+    tests/test_similarity.
+
+    Band math: per-plane collision prob for angle t is 1 - t/pi; a band of
+    k planes collides with p^k; L bands miss with (1-p^k)^L. At the 0.4
+    cosine threshold (t ~ 66deg, p ~ 0.63) 4-plane x 16-band gives ~0.98
+    recall at sf0.01; at larger corpora raise planes (smaller buckets) and
+    bands together."""
     emb = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dup_pairs(emb, threshold=0.4)
+    return dedup.embedding_near_dup_pairs(emb, threshold=0.4, n_planes=4, seed=42, n_bands=16)
 
 
-Q51_SQL = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+def _q51_sql(n_planes: int = 4, n_bands: int = 16, seed: int = 42) -> str:
+    """SRP-blocked near-dup in pure SQL: same plane sets (seeds 42..57),
+    same bucket bits as the Spark srp_bucket, per-band bucket equi-join,
+    distinct candidate pairs, rounded-cosine cut."""
+    from esper_tv_spark.operators.similarity import random_hyperplanes
+
+    rows = []
+    for band in range(n_bands):
+        for i, p in enumerate(random_hyperplanes(64, n_planes, seed + band)):
+            rows.append(f"({band}, {i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+WITH planes(band, i, p) AS (VALUES {values}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT planes.band, e.vec_id,
+         sum(CASE WHEN list_dot_product(e.v, planes.p) > 0 THEN (1::BIGINT << planes.i) ELSE 0 END) AS bucket
+  FROM e, planes GROUP BY planes.band, e.vec_id
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT cand.id_a, cand.id_b,
+       round(list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine_sim
+FROM cand
+JOIN e ea ON ea.vec_id = cand.id_a
+JOIN e eb ON eb.vec_id = cand.id_b
+WHERE round(list_dot_product(ea.v, eb.v)
+            / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.4
 """
 
 
@@ -2547,7 +2580,7 @@ _ORACLES: dict[str, str] = {
     "q45_caption_query_search": Q45_SQL,
     "q49_json_props": Q49_SQL,
     "q50_auto_join_path": Q50_SQL,
-    "q51_near_dup_embeddings": Q51_SQL,
+    "q51_near_dup_embeddings": _q51_sql(),
     "q52_precision_bucket_probability": _q52_sql(),
     "q53_point_in_interval": _q53_sql(),
     "q54_stride_sample": Q54_SQL,

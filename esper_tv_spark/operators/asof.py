@@ -45,21 +45,30 @@ def asof_join(
     out_payload = [f"{c}{suffix}" for c in r_payload]
     matched_ts = f"{ts_right}{suffix}" if ts_right == ts_left or ts_right in left.columns else ts_right
 
+    # The whole right payload travels as ONE struct, so every output column
+    # comes from the SAME matched right row and a legitimately-NULL payload
+    # value is preserved (per-column last(ignorenulls) would stitch columns
+    # from different right rows — pandas merge_asof never does that).
+    r_struct_type = StructType(
+        [StructField("__rts", right.schema[ts_right].dataType)]
+        + [StructField(f"{c}{suffix}", right.schema[c].dataType) for c in r_payload]
+    )
     lhs = left.select(
         *key_cols,
         F.col(ts_left).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left.columns if c not in {*key_cols, ts_left}],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in r_payload],
-        F.lit(None).cast(right.schema[ts_right].dataType).alias("__rts"),
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     rhs = right.select(
         *key_cols,
         F.col(ts_right).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in {*key_cols, ts_left}],
-        *[F.col(c).alias(f"{c}{suffix}") for c in r_payload],
-        F.col(ts_right).alias("__rts"),
+        F.struct(
+            F.col(ts_right).alias("__rts"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in r_payload],
+        ).alias("__r"),
     )
     # right rows sort before left rows at equal ts -> inclusive as-of
     w = (
@@ -67,22 +76,18 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    u = lhs.unionByName(rhs)
-    for c in out_payload + ["__rts"]:
-        u = u.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    u = lhs.unionByName(rhs).withColumn("__r", F.last(F.col("__r"), ignorenulls=True).over(w))
     out = u.where(F.col("__side") == 1)
     if tolerance is not None:
-        stale = F.col("__rts") < F.col("__ts") - F.lit(tolerance)
-        for c in out_payload + ["__rts"]:
-            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
-    out = out.withColumn(matched_ts, F.col("__rts"))
+        stale = F.col("__r.__rts") < F.col("__ts") - F.lit(tolerance)
+        out = out.withColumn("__r", F.when(stale, F.lit(None).cast(r_struct_type)).otherwise(F.col("__r")))
     left_cols = [c for c in left.columns if c not in {ts_left}]
     return out.select(
         *key_cols,
         F.col("__ts").alias(ts_left),
         *[F.col(c) for c in left_cols if c not in key_cols],
-        *out_payload,
-        matched_ts,
+        *[F.col(f"__r.{c}") for c in out_payload],
+        F.col("__r.__rts").alias(matched_ts),
     )
 
 

@@ -299,6 +299,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 0,
     seed: int = 42,
+    n_bands: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim) for
     every pair with rounded cosine >= threshold.
@@ -308,8 +309,12 @@ def embedding_near_dup_pairs(
     n_planes>0 is the scale path: signed-random-projection buckets block the
     comparison so only bucket-cohabiting pairs are scored — candidate
     generation is an equi-join on the bucket key (one shuffle), cost is sum
-    of bucket-size^2. Recall < 1 by design; raise it by unioning several
-    plane sets (different seeds), exactly like MinHash bands."""
+    of bucket-size^2. Recall < 1 for one plane set; `n_bands` unions several
+    independent plane sets (seeds seed, seed+1, ...) exactly like MinHash
+    bands — a pair is a candidate if it collides in ANY band, so miss
+    probability decays geometrically with bands while each band's join
+    stays an equi-join. Candidate pairs are deduped before scoring (each
+    pair's cosine is computed once)."""
     from esper_tv_spark.operators.similarity import cosine, random_hyperplanes, srp_bucket
 
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
@@ -317,10 +322,31 @@ def embedding_near_dup_pairs(
     b = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
     if n_planes > 0:
         dim = len(df.select(vec_col).first()[0])
-        planes = random_hyperplanes(dim, n_planes, seed)
-        a = a.withColumn("bucket", srp_bucket(F.col("va"), planes))
-        b = b.withColumn("bucket", srp_bucket(F.col("vb"), planes))
-        j = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b")).drop("bucket")
+        # one (band, bucket) row per vector per band; the band id is part of
+        # the join key so colliding in band k only matches band k
+        def banded(side: DataFrame, vcol: str) -> DataFrame:
+            parts = []
+            for band in range(n_bands):
+                planes = random_hyperplanes(dim, n_planes, seed + band)
+                parts.append(
+                    side.withColumn("band", F.lit(band)).withColumn(
+                        "bucket", srp_bucket(F.col(vcol), planes)
+                    )
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        ab = banded(a, "va")
+        bb = banded(b, "vb").select("band", "bucket", "id_b", "vb")
+        j = (
+            ab.join(bb, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+        )
+        if n_bands > 1:
+            j = j.dropDuplicates(["id_a", "id_b"])
     else:
         j = a.join(b, F.col("id_a") < F.col("id_b"))
     sim = F.round(cosine(F.col("va"), F.col("vb")), 6)

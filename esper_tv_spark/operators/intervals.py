@@ -300,13 +300,18 @@ def minus(
     payload_cols = [c for c in a.columns if c not in {*key_cols, start, end}]
     bc = coalesce(b.select(*key_cols, start, end), key_cols, start, end).drop("n_merged")
     pb = _prefixed(bc, "b_")
-    # __aid only needs to be UNIQUE per a-row (it keys the per-interval
-    # window below) — monotonically_increasing_id gives that without the
-    # shuffle+sort a row_number window would force on `a`
-    a_id = a.withColumn("__aid", F.monotonically_increasing_id())
+    # The per-interval window needs a unique key per a-row. A
+    # monotonically_increasing_id is nondeterministic under stage retry
+    # (recomputed ids can differ from those already consumed, splitting the
+    # window groups), so instead collapse exact-duplicate a-rows with a
+    # deterministic groupBy, key the window on the FULL a-row, and re-expand
+    # duplicates after the sweep. (Payload columns must be groupable —
+    # scalars/arrays, not maps.) Bonus at scale: duplicates join once.
+    a_cols = list(a.columns)
+    a_uniq = a.groupBy(*a_cols).agg(F.count(F.lit(1)).alias("__dup"))
     keys = [F.col(k) == F.col(f"b_{k}") for k in key_cols]
     overlap = (F.col(f"b_{start}") < F.col(end)) & (F.col(f"b_{end}") > F.col(start))
-    j = a_id.join(pb, keys + [overlap], "left")
+    j = a_uniq.join(pb, keys + [overlap], "left")
 
     # Single window pass over the joined rows (the join subtree is evaluated
     # once — a 3-way union of filtered branches would recompute it 3x):
@@ -315,7 +320,7 @@ def minus(
     #   - the gap before this b:    [max(lag(b_end), a_start), b_start)
     #   - after the LAST b only:    [b_end, a_end)
     # Unmatched a rows (b_start null) emit themselves unchanged.
-    w = Window.partitionBy(*key_cols, "__aid").orderBy(F.col(f"b_{start}"))
+    w = Window.partitionBy(*a_cols).orderBy(F.col(f"b_{start}"))
     j = j.withColumn("__seg_start", F.coalesce(F.lag(F.col(f"b_{end}")).over(w), F.col(start))).withColumn(
         "__is_last_b", F.lead(F.col(f"b_{start}")).over(w).isNull()
     )
@@ -335,10 +340,10 @@ def minus(
         )
     )
     return (
-        j.select(*key_cols, *payload_cols, F.explode(candidates).alias("__seg"))
+        j.select(*key_cols, *payload_cols, "__dup", F.explode(candidates).alias("__seg"))
         .withColumn(start, F.col("__seg.s"))
         .withColumn(end, F.col("__seg.e"))
-        .drop("__seg")
+        .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__dup"))))
         .select(*key_cols, start, end, *payload_cols)
     )
 
@@ -358,18 +363,21 @@ def overlap_measure(
     left join so zero-overlap rows survive with 0)."""
     if coalesce_b:
         b = coalesce(b.select(*key_cols, start, end), key_cols, start, end).drop("n_merged")
-    # unique row id without a window shuffle (see minus)
-    a_id = a.withColumn("__aid", F.monotonically_increasing_id())
+    # deterministic duplicate handling instead of a retry-hazardous
+    # monotonically_increasing_id (see minus): collapse exact duplicates,
+    # aggregate per unique a-row, re-expand
+    a_cols = list(a.columns)
+    a_uniq = a.groupBy(*a_cols).agg(F.count(F.lit(1)).alias("__dup"))
     pb = _prefixed(b, "b_")
     keys = [F.col(k) == F.col(f"b_{k}") for k in key_cols]
     overlap = (F.col(f"b_{start}") < F.col(end)) & (F.col(f"b_{end}") > F.col(start))
-    j = a_id.join(pb, keys + [overlap], "left")
+    j = a_uniq.join(pb, keys + [overlap], "left")
     piece = F.least(F.col(end), F.col(f"b_{end}")) - F.greatest(F.col(start), F.col(f"b_{start}"))
-    out_cols = [c for c in a.columns]
     return (
-        j.groupBy(*[F.col(c) for c in out_cols], F.col("__aid"))
+        j.groupBy(*[F.col(c) for c in a_cols], F.col("__dup"))
         .agg(F.sum(F.when(F.col(f"b_{start}").isNotNull(), piece).otherwise(F.lit(0))).alias(out_col))
-        .drop("__aid")
+        .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__dup"))))
+        .drop("__i", "__dup")
     )
 
 

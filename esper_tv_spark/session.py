@@ -44,6 +44,27 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def normalize_ts(df, col: str = "ts"):
+    """Normalize an event-time column to microsecond TimestampType (LTZ),
+    whatever parquet representation the data generator used:
+
+    - long nanos (TIMESTAMP(NANOS) under nanosAsLong) -> exact integer
+      nanos->micros conversion, then timestamp_micros;
+    - TIMESTAMP_NTZ (naive micros) -> cast to LTZ, interpreting the
+      wall-clock in the pinned UTC session timezone — exactly how DuckDB
+      treats a naive parquet timestamp, so oracles agree;
+    - TIMESTAMP (already LTZ) -> unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    t = dict(df.dtypes).get(col)
+    if t in ("bigint", "long"):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if t == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def get_spark(
     app_name: str = "esper-tv-spark",
     cpus: int | None = None,

@@ -77,7 +77,14 @@ def streaming_asof_enrich(
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         last = list(state.get) if state.exists else None
-        for pdf in pdf_iter:
+        # applyInPandasWithState splits a group into ~10k-row Arrow chunks
+        # with no global order; concat them ALL before sorting so the
+        # "within a batch any order is fine" contract holds for keys larger
+        # than one chunk. State stays O(1); the per-key batch data was
+        # already the memory bound.
+        chunks = [p for p in pdf_iter if len(p)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values(["__ts", "__side"], kind="mergesort")
             out_rows = []
             # (not itertuples: leading-underscore names get positionalized)

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,13 +32,24 @@ _MERGE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
 
 
 def _committed(spark: SparkSession, ledger_dir: str) -> list[int]:
+    """Committed epochs from the ledger; [] ONLY for a ledger that does not
+    exist yet. Any other read failure (FS hiccup, partial file) propagates
+    and fails the batch — swallowing it would merge against nothing and
+    silently reset the rollup to this batch's partial."""
     try:
         return [
             r[0]
             for r in spark.read.parquet(ledger_dir).select("epoch_id").collect()
         ]
-    except Exception:
-        return []
+    except AnalysisException as e:
+        cond = (
+            e.getCondition()
+            if hasattr(e, "getCondition")
+            else getattr(e, "getErrorClass", lambda: None)()
+        )
+        if cond == "PATH_NOT_FOUND" or "Path does not exist" in str(e):
+            return []
+        raise
 
 
 def read_rollup(spark: SparkSession, state_dir: str) -> DataFrame:

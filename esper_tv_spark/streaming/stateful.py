@@ -54,7 +54,12 @@ def coalesce_stream(
             cur_s = None
             cur_e = n = 0
         closed: list[tuple] = []
-        for pdf in pdf_iter:
+        # concat ALL Arrow chunks before sorting: applyInPandasWithState
+        # splits a group into ~10k-row chunks with no cross-chunk order, so
+        # per-chunk sorts would process large keys out of order
+        chunks = [p for p in pdf_iter if len(p)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values([start_col, end_col])
             for s, e in zip(pdf[start_col], pdf[end_col]):
                 s, e = int(s), int(e)
@@ -106,7 +111,6 @@ def coalesce_stream_timeout(
     """
     out_schema = f"{key_col} long, {start_col} long, {end_col} long, n_merged long"
     state_schema = "s long, e long, n long"
-    gap_ms = gap // 1000
 
     def fn(
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -127,7 +131,9 @@ def coalesce_stream_timeout(
             cur_s = None
             cur_e = n = 0
         closed: list[tuple] = []
-        for pdf in pdf_iter:
+        chunks = [p for p in pdf_iter if len(p)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values([start_col, end_col])
             for s, e in zip(pdf[start_col], pdf[end_col]):
                 s, e = int(s), int(e)
@@ -142,10 +148,13 @@ def coalesce_stream_timeout(
                     cur_s, cur_e, n = s, e, 1
         if cur_s is not None:
             state.update((cur_s, cur_e, n))
-            # fire when the watermark passes the merge horizon; clamp above
-            # the current watermark (a timeout timestamp at or before it is
-            # rejected by the state store)
-            horizon_ms = cur_e // 1000 + gap_ms
+            # fire when the watermark passes the merge horizon; CEIL the
+            # micros->ms conversion (flooring could fire up to ~2ms before
+            # the watermark truly passes end+gap in micros, splitting an
+            # on-time row into a new interval); clamp above the current
+            # watermark (a timeout timestamp at or before it is rejected by
+            # the state store)
+            horizon_ms = -((cur_e + gap) // -1000)
             wm = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max(horizon_ms, wm + 1))
         if closed:

@@ -21,9 +21,10 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def events_batch(spark):
+    from esper_tv_spark.session import normalize_ts
+
     df = spark.read.parquet(os.path.join(SF, "events.parquet"))
-    # nanos -> micros timestamp (see esper_tv_spark.session)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(df, "ts")
 
 
 def run_stream_to_memory(spark, stream_df, name):

@@ -13,9 +13,9 @@ SF = "/root/testdata/sf0.001"
 
 
 def _intervals(spark, event_type):
-    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
-    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from esper_tv_spark.session import normalize_ts
+
+    ev = normalize_ts(spark.read.parquet(os.path.join(SF, "events.parquet")), "ts")
     return ev.where(F.col("event_type") == event_type).select(
         "user_id", "event_id", F.unix_micros("ts").alias("t")
     )
