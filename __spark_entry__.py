@@ -1833,12 +1833,34 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 
 def q46_asset_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode pipeline (Arrow-batched mapInPandas over binary
-    payload columns; deterministic stub decoder — see operators/multimodal).
-    Not SQL-expressible -> rows-only check."""
+    payload columns). The payloads are REAL binary-PPM images decoded by a
+    pure-numpy format parser (operators/multimodal.ppm_decode — PPM is
+    uncompressed, so no codec lib is needed); their pixels are a closed
+    form of asset_id, so a DuckDB oracle recomputes the decoded stats
+    independently — the decode stage is hash-matched, not rows-only.
+    Compressed formats (JPEG/PNG) still route through set_decoder."""
     from esper_tv_spark.operators import multimodal as mm
 
-    assets = mm.make_asset_table(spark, n=200)
+    assets = mm.make_ppm_asset_table(spark, n=200)
     return mm.decode_stats(assets)
+
+
+Q46_SQL = """
+WITH a AS (
+  SELECT range AS asset_id,
+         4 + range % 5 AS w, 4 + (range * 3) % 5 AS h
+  FROM range(200)
+),
+px AS (
+  SELECT a.asset_id, a.w, a.h,
+         (a.asset_id * 7 + i.range * 13) % 256 AS val
+  FROM a, range(192) i WHERE i.range < a.w * a.h * 3
+)
+SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(sum(val) AS DOUBLE) / (w * h * 3) AS mean_luma
+FROM px GROUP BY asset_id, w, h ORDER BY asset_id
+"""
 
 
 def q47_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1886,12 +1908,74 @@ ORDER BY cosine_sim DESC, b.vec_id ASC LIMIT 10
 
 
 def q48_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMeans cluster sizes over the embeddings (reference kmeans,
-    face_embeddings.py:99-109; pyspark.ml). Iterative algorithm -> rows-only
-    check."""
+    """KMeans cluster sizes via one closed-form Lloyd ASSIGNMENT step with
+    deterministic init (centroids = the 8 smallest-id vectors) — the
+    hash-matchable half of the reference's kmeans (face_embeddings.py:
+    99-109). The full iterative fit (pyspark.ml KMeans) remains in
+    similarity.kmeans_assign, covered by pytest; an assignment step with
+    frozen centroids is also exactly what the scoring path runs at 100 TB."""
     emb = _t(spark, sf_dir, "embeddings")
-    assigned = similarity.kmeans_assign(emb, k=8)
-    return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
+    assigned = similarity.lloyd_assign(emb, k=8)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("vec_id").alias("id_sum"))
+        .orderBy("cluster")
+    )
+
+
+Q48_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cluster, list_transform(v, x -> round(x, 6)) AS cv FROM e WHERE vec_id < 8),
+d AS (
+  SELECT e.vec_id, c.cluster,
+         round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM e, c
+),
+a AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rn
+  FROM d
+)
+SELECT cluster, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS id_sum
+FROM a WHERE rn = 1 GROUP BY cluster ORDER BY cluster
+"""
+
+
+def q78_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-coefficient logistic scoring at scale (reference logreg
+    predict, face_embeddings.py:112-126): the model (64 weights + bias,
+    pinned — training itself is covered in pytest where scoring parity
+    with pyspark.ml is asserted) scores every embedding as a pure
+    expression; output is the per-(label, pred) confusion census. Rounded
+    logits, no exp(): thresholding p>0.5 is logit>0, so the contract
+    avoids libm differences across engines."""
+    from esper_tv_spark.operators.similarity import logreg_score, random_hyperplanes
+
+    w = random_hyperplanes(64, 1, seed=5)[0]
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = logreg_score(emb, w, bias=-0.05)
+    return (
+        scored.groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vec_id").alias("id_sum"))
+        .orderBy("label", "pred")
+    )
+
+
+def _q78_sql() -> str:
+    from esper_tv_spark.operators.similarity import random_hyperplanes
+
+    w = random_hyperplanes(64, 1, seed=5)[0]
+    wlit = f"[{', '.join(repr(float(x)) for x in w)}]::DOUBLE[]"
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, label,
+             round(list_dot_product(v, {wlit}) + -0.05, 6) AS logit
+      FROM e)
+SELECT label, CASE WHEN logit > 0 THEN 1 ELSE 0 END AS pred,
+       count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_sum
+FROM s GROUP BY label, pred ORDER BY label, pred
+"""
 
 
 def q63_sentiment_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2439,6 +2523,119 @@ GROUP BY source ORDER BY source
 """
 
 
+_CORRUPT_NEXT = {
+    "click": "error",
+    "error": "purchase",
+    "purchase": "signup",
+    "signup": "view",
+    "view": "click",
+}
+
+
+def q77_bootstrap_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap bias/std of confusion-adjusted per-class totals — the
+    reference's headline statistical method (validation.py:67-81, 201-292:
+    10k-trial bootstrap of gender screen-time totals with confusion-matrix
+    adjustment). Here the 'classifier' is a deterministic 15% cyclic
+    corruption of event_type (so truth is known), sample units are users,
+    and the estimator is domain/validation.bootstrap_adjusted_totals —
+    seeded Knuth-hash resampling + integer-exact trial statistics, fully
+    replayable in ANSI SQL."""
+    from esper_tv_spark.domain.validation import bootstrap_adjusted_totals
+
+    ev = _t(spark, sf_dir, "events")
+    corrupt = (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(20) < 3
+    nxt = F.col("event_type")
+    for src, dst in reversed(list(_CORRUPT_NEXT.items())):
+        nxt = F.when(F.col("event_type") == src, F.lit(dst)).otherwise(nxt)
+    labeled = ev.select(
+        "user_id",
+        F.when(corrupt, nxt).otherwise(F.col("event_type")).alias("pred"),
+        F.col("event_type").alias("truth"),
+    )
+    out = bootstrap_adjusted_totals(
+        labeled, "user_id", "pred", "truth", trials=200, k=100, seed=42
+    )
+    return out.orderBy("cls", "variant")
+
+
+_CORRUPT_CASE = (
+    "CASE event_type "
+    + " ".join(f"WHEN '{s}' THEN '{d}'" for s, d in _CORRUPT_NEXT.items())
+    + " END"
+)
+
+Q77_SQL = f"""
+WITH dets AS (
+  SELECT user_id AS unit,
+         CASE WHEN (event_id * 2654435761) % 4294967296 % 20 < 3
+              THEN {_CORRUPT_CASE} ELSE event_type END AS pred,
+         event_type AS truth
+  FROM events
+),
+cmat AS (SELECT truth, pred, count(*) AS n FROM dets GROUP BY truth, pred),
+colsum AS (SELECT pred, CAST(sum(n) AS BIGINT) AS col_n FROM cmat GROUP BY pred),
+p4 AS (
+  SELECT cmat.truth, cmat.pred,
+         CAST(round(10000.0 * CAST(cmat.n AS DOUBLE) / CAST(colsum.col_n AS DOUBLE)) AS BIGINT) AS p4
+  FROM cmat JOIN colsum ON cmat.pred = colsum.pred
+),
+unit_counts AS (SELECT unit, pred, count(*) AS cnt FROM dets GROUP BY unit, pred),
+unit_idx AS (
+  SELECT unit, row_number() OVER (ORDER BY unit) - 1 AS idx
+  FROM (SELECT DISTINCT unit FROM dets)
+),
+nu AS (SELECT count(*) AS n_units FROM unit_idx),
+grid AS (
+  SELECT t.range AS t,
+         ((42 + t.range * 100 + j.range) * 2654435761) % 4294967296 % (SELECT n_units FROM nu) AS idx
+  FROM range(200) t, range(100) j
+),
+draws AS (SELECT g.t, u.unit FROM grid g JOIN unit_idx u ON g.idx = u.idx),
+totals_t AS (
+  SELECT d.t, c.pred, CAST(sum(c.cnt) AS BIGINT) AS total
+  FROM draws d JOIN unit_counts c ON d.unit = c.unit GROUP BY d.t, c.pred
+),
+unadj_t AS (SELECT t, pred AS cls, total * 10000 AS s FROM totals_t),
+adj_t AS (
+  SELECT tt.t, p4.truth AS cls, CAST(sum(tt.total * p4.p4) AS BIGINT) AS s
+  FROM totals_t tt JOIN p4 ON tt.pred = p4.pred GROUP BY tt.t, p4.truth
+),
+full_tot AS (SELECT pred, count(*) AS total FROM dets GROUP BY pred),
+est_unadj AS (SELECT pred AS cls, total * 10000 AS est_s FROM full_tot),
+est_adj AS (
+  SELECT p4.truth AS cls, CAST(sum(f.total * p4.p4) AS BIGINT) AS est_s
+  FROM full_tot f JOIN p4 ON f.pred = p4.pred GROUP BY p4.truth
+),
+true_tot AS (SELECT truth AS cls, count(*) AS true_total FROM dets GROUP BY truth),
+summ_u AS (
+  SELECT cls, CAST(sum(s) AS BIGINT) AS sum_s, CAST(sum(s * s) AS BIGINT) AS sum_sq
+  FROM unadj_t GROUP BY cls
+),
+summ_a AS (
+  SELECT cls, CAST(sum(s) AS BIGINT) AS sum_s, CAST(sum(s * s) AS BIGINT) AS sum_sq
+  FROM adj_t GROUP BY cls
+),
+out_u AS (
+  SELECT s.cls, 'unadjusted' AS variant,
+         CAST(e.est_s AS DOUBLE) / 10000.0 AS est,
+         CAST(s.sum_s AS DOUBLE) / 200.0 / 10000.0 - CAST(tt.true_total AS DOUBLE) AS bias,
+         sqrt(CAST(s.sum_sq AS DOUBLE) / 200.0 / 10000.0 / 10000.0
+              - (CAST(s.sum_s AS DOUBLE) / 200.0 / 10000.0) * (CAST(s.sum_s AS DOUBLE) / 200.0 / 10000.0)) AS std
+  FROM summ_u s JOIN est_unadj e ON s.cls = e.cls JOIN true_tot tt ON s.cls = tt.cls
+),
+out_a AS (
+  SELECT s.cls, 'adjusted' AS variant,
+         CAST(e.est_s AS DOUBLE) / 10000.0 AS est,
+         CAST(s.sum_s AS DOUBLE) / 200.0 / 10000.0 - CAST(tt.true_total AS DOUBLE) AS bias,
+         sqrt(CAST(s.sum_sq AS DOUBLE) / 200.0 / 10000.0 / 10000.0
+              - (CAST(s.sum_s AS DOUBLE) / 200.0 / 10000.0) * (CAST(s.sum_s AS DOUBLE) / 200.0 / 10000.0)) AS std
+  FROM summ_a s JOIN est_adj e ON s.cls = e.cls JOIN true_tot tt ON s.cls = tt.cls
+)
+SELECT * FROM out_u UNION ALL SELECT * FROM out_a ORDER BY cls, variant
+"""
+
+
 # ==========================================================================
 # driver contract
 # ==========================================================================
@@ -2530,6 +2727,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_count_min_heavy_hitters": q74_count_min_heavy_hitters,
     "q75_bm25_search": q75_bm25_search,
     "q76_corpus_mix": q76_corpus_mix,
+    "q77_bootstrap_validation": q77_bootstrap_validation,
+    "q78_logreg_score": q78_logreg_score,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2607,6 +2806,10 @@ _ORACLES: dict[str, str] = {
     "q74_count_min_heavy_hitters": Q74_SQL,
     "q75_bm25_search": _q75_sql(),
     "q76_corpus_mix": Q76_SQL,
+    "q77_bootstrap_validation": Q77_SQL,
+    "q48_kmeans_clusters": Q48_SQL,
+    "q78_logreg_score": _q78_sql(),
+    "q46_asset_decode_stats": Q46_SQL,
 }
 
 

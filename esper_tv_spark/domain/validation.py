@@ -21,7 +21,7 @@ replacing the driver sweep entirely.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from esper_tv_spark.operators.intervals import overlap_join
@@ -127,4 +127,144 @@ def segment_overlap_confusion(
     return (
         j.groupBy(F.col("a_auto_label").alias("auto_label"), F.col("b_hand_label").alias("hand_label"))
         .agg(F.sum("overlap_length").alias("overlap_total"))
+    )
+
+
+# --------------------------------------------------------------------------
+# bootstrap bias/std estimation (validation.py:67-81, 201-292)
+# --------------------------------------------------------------------------
+
+_KNUTH = 2654435761  # engine-portable multiplicative hash (same as corpus.py)
+_MOD = 4294967296
+
+
+def bootstrap_adjusted_totals(
+    labeled: DataFrame,
+    unit_col: str,
+    pred_col: str,
+    true_col: str,
+    trials: int = 200,
+    k: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """Bootstrap bias/std of per-class detection totals, with and without
+    confusion-matrix adjustment — the reference's screentime_validation
+    (validation.py:201-292) + bootstrap (validation.py:67-81), fully
+    relational and deterministic.
+
+    `labeled` has one row per detection: (unit_col, pred_col, true_col) —
+    the sample unit (frame/video/user), the classifier label, and the hand
+    label. Computes, per predicted class and variant in
+    {unadjusted, adjusted}:
+
+    - est:  the statistic on the full sample (adjusted = confusion-corrected
+      multicount totals, reference's multicount_adj);
+    - bias: mean over `trials` bootstrap resamples (k units drawn with
+      replacement) of (stat_t - true_total);
+    - std:  population std of the trial statistics (reference uses np.std).
+
+    Determinism/portability: resampling uses the Knuth multiplicative hash
+    over the trial/draw counter — idx = ((seed + t*k + j) * 2654435761 mod
+    2^32) mod n_units — so a SQL engine replays the identical draws; the
+    confusion correction P(true=g | pred=g2) is scaled to integer 1e-4
+    precision and every per-trial statistic is an exact BIGINT, so bias/std
+    come out bit-identical across engines (the only float ops are the final
+    divisions and one sqrt, in a fixed expression shape). Per-trial scaled
+    totals must stay under ~3e9 (k * per-unit detections * 1e4) — far above
+    any hand-labeled validation sample.
+
+    Scale shape: the validation sample is small by construction (hand
+    labels), so the unit index window and the trials x draws grid
+    (trials*k rows) are negligible; everything else is broadcast-sized
+    joins + exact aggregations. Output: (cls, variant, est, bias, std).
+    """
+    sc = 10_000  # P and stat scaling: 1e-4 precision
+
+    dets = labeled.select(
+        F.col(unit_col).alias("unit"),
+        F.col(pred_col).alias("pred"),
+        F.col(true_col).alias("truth"),
+    )
+    # confusion counts + column-normalized P4(true=g | pred=g2), integer-scaled
+    cmat = dets.groupBy("truth", "pred").agg(F.count(F.lit(1)).alias("n"))
+    colsum = cmat.groupBy("pred").agg(F.sum("n").alias("col_n"))
+    p4 = cmat.join(colsum, "pred").select(
+        "truth",
+        "pred",
+        F.round(F.lit(float(sc)) * F.col("n").cast("double") / F.col("col_n").cast("double"))
+        .cast("long")
+        .alias("p4"),
+    )
+
+    # per-unit predicted counts (the pred_sample rows) + dense 0..n-1 index
+    unit_counts = dets.groupBy("unit", "pred").agg(F.count(F.lit(1)).alias("cnt"))
+    units = dets.select("unit").distinct()
+    w = Window.orderBy("unit")
+    unit_idx = units.withColumn("__idx", F.row_number().over(w) - F.lit(1))
+    n_units = units.agg(F.count(F.lit(1)).alias("n_units"))
+
+    # trials x draws grid -> drawn unit index (Knuth hash, engine-portable)
+    grid = (
+        labeled.sparkSession.range(0, trials)
+        .select(F.col("id").alias("t"), F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"))
+        .crossJoin(F.broadcast(n_units))
+        .select(
+            "t",
+            (
+                ((F.lit(seed) + F.col("t") * F.lit(k) + F.col("j")) * F.lit(_KNUTH))
+                % F.lit(_MOD)
+                % F.col("n_units")
+            ).alias("__idx"),
+        )
+    )
+    draws = grid.join(F.broadcast(unit_idx), "__idx").select("t", "unit")
+
+    # per-trial per-class totals (exact ints); a unit drawn twice counts twice
+    totals_t = (
+        draws.join(unit_counts, "unit").groupBy("t", "pred").agg(F.sum("cnt").alias("total"))
+    )
+    # unadjusted stat, scaled: total * 1e4; adjusted: sum_g2 total[g2]*P4[g,g2]
+    unadj_t = totals_t.select(
+        "t", F.col("pred").alias("cls"), (F.col("total") * F.lit(sc)).alias("s")
+    )
+    adj_t = (
+        totals_t.join(p4, "pred")
+        .groupBy("t", F.col("truth").alias("cls"))
+        .agg(F.sum(F.col("total") * F.col("p4")).alias("s"))
+    )
+
+    # full-sample est (same scaled forms) and true totals
+    full = dets.groupBy("pred").agg(F.count(F.lit(1)).alias("total"))
+    est_unadj = full.select(F.col("pred").alias("cls"), (F.col("total") * F.lit(sc)).alias("est_s"))
+    est_adj = (
+        full.join(p4, "pred")
+        .groupBy(F.col("truth").alias("cls"))
+        .agg(F.sum(F.col("total") * F.col("p4")).alias("est_s"))
+    )
+    true_tot = dets.groupBy(F.col("truth").alias("cls")).agg(
+        F.count(F.lit(1)).alias("true_total")
+    )
+
+    def summarize(stats_t: DataFrame, est: DataFrame, variant: str) -> DataFrame:
+        per_cls = stats_t.groupBy("cls").agg(
+            F.sum("s").alias("sum_s"), F.sum(F.col("s") * F.col("s")).alias("sum_sq")
+        )
+        t = float(trials)
+        scd = float(sc)
+        mean = F.col("sum_s").cast("double") / F.lit(t) / F.lit(scd)
+        meansq = F.col("sum_sq").cast("double") / F.lit(t) / F.lit(scd) / F.lit(scd)
+        return (
+            per_cls.join(est, "cls")
+            .join(true_tot, "cls")
+            .select(
+                "cls",
+                F.lit(variant).alias("variant"),
+                (F.col("est_s").cast("double") / F.lit(scd)).alias("est"),
+                (mean - F.col("true_total").cast("double")).alias("bias"),
+                F.sqrt(meansq - mean * mean).alias("std"),
+            )
+        )
+
+    return summarize(unadj_t, est_unadj, "unadjusted").unionByName(
+        summarize(adj_t, est_adj, "adjusted")
     )

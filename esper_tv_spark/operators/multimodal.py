@@ -51,7 +51,50 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return rng.reshape(ht, w, 3)
 
 
-_decoder: Callable[[bytes], np.ndarray] = _fake_decode
+def ppm_decode(payload: bytes) -> np.ndarray:
+    """REAL decoder for binary PPM (P6) images, pure numpy — PPM is an
+    uncompressed format, so no codec library is needed. Parses the
+    magic/width/height/maxval header (with `#` comments), then reshapes the
+    raw RGB bytes to (h, w, 3). Raises DecoderNotAvailable on anything that
+    is not a P6 payload (the caller may fall back to another decoder)."""
+    if not payload or not payload.startswith(b"P6"):
+        raise DecoderNotAvailable("not a binary PPM (P6) payload")
+    # header = 4 whitespace-separated tokens: magic, width, height, maxval;
+    # comments run '#'..newline. After maxval exactly ONE whitespace byte
+    # precedes the raw pixel data.
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < 4:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval != 255:
+        raise DecoderNotAvailable(f"unsupported maxval {maxval}")
+    body = payload[i : i + w * h * 3]
+    if len(body) != w * h * 3:
+        raise DecoderNotAvailable("truncated PPM body")
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _sniff_decode(payload: bytes) -> np.ndarray:
+    """Default decoder: real PPM when the payload is P6, deterministic fake
+    otherwise (the container has no codec libs for JPEG/PNG)."""
+    if payload.startswith(b"P6"):
+        return ppm_decode(payload)
+    return _fake_decode(payload)
+
+
+_decoder: Callable[[bytes], np.ndarray] = _sniff_decode
 
 
 def set_decoder(fn: Callable[[bytes], np.ndarray]) -> None:
@@ -67,6 +110,24 @@ def make_asset_table(spark, n: int = 50, seed: int = 42) -> DataFrame:
     for i in range(n):
         payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (1 + i % 7)
         rows.append((i, bytearray(payload), (8, 8, "fake")))
+    return spark.createDataFrame(
+        rows, f"asset_id long, payload binary, meta struct<{IMAGE_META_SCHEMA}>"
+    )
+
+
+def make_ppm_asset_table(spark, n: int = 200) -> DataFrame:
+    """Synthetic asset table with REAL binary-PPM payloads whose pixels are
+    a closed-form function of asset_id — width = 4 + id % 5, height =
+    4 + (id*3) % 5, byte i = (id*7 + i*13) % 256 — so decoded stats
+    (dimensions, mean) are independently computable by a SQL oracle. This
+    upgrades the multimodal decode pipeline from rows-only to
+    hash-matched: the decode is a REAL format parse, not a stub."""
+    rows = []
+    for a in range(n):
+        w, h = 4 + a % 5, 4 + (a * 3) % 5
+        body = bytes((a * 7 + i * 13) % 256 for i in range(w * h * 3))
+        payload = b"P6\n%d %d\n255\n" % (w, h) + body
+        rows.append((a, bytearray(payload), (w, h, "ppm")))
     return spark.createDataFrame(
         rows, f"asset_id long, payload binary, meta struct<{IMAGE_META_SCHEMA}>"
     )

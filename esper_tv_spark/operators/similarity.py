@@ -16,7 +16,7 @@ face_embeddings.py) exposes knn / dist / mean / kmeans / logreg over
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -404,6 +404,80 @@ def knn_predict(
         votes.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .select(F.col("q_id").alias(id_col), F.col(label_col).alias("pred_label"))
+    )
+
+
+def lloyd_assign(
+    df: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """One Lloyd ASSIGNMENT step with given (or deterministically
+    initialized) centroids — the closed-form, engine-portable half of
+    kmeans (reference kmeans, face_embeddings.py:99-109). The full
+    iterative fit stays in kmeans_assign (pyspark.ml); this step is what a
+    SQL oracle can replay bit-for-bit, and it is also the production
+    scoring path once a model is frozen: centroids broadcast, squared
+    distance = |x|^2 - 2x.c + |c|^2 rounded at `round_digits`, argmin with
+    ties to the smaller cluster id.
+
+    `centroids` is (cluster, cvec) or None -> fixed init = the k vectors
+    with the smallest ids. Scale shape: broadcast nested loop over k
+    centroids per row + one per-row argmin window keyed by id (no
+    shuffle of df when id is unique per row — the window partitions are
+    single rows; Catalyst still plans an exchange, so for very large df
+    prefer min_by-style aggregation per id, same semantics)."""
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    if centroids is None:
+        centroids = vecs.where(F.col(id_col) < k).select(
+            F.col(id_col).alias("cluster"), F.col("__v").alias("__c")
+        )
+    else:
+        centroids = centroids.select(
+            "cluster", F.col("cvec").cast("array<double>").alias("__c")
+        )
+    cents = centroids.withColumn("__c", F.transform("__c", lambda x: F.round(x, round_digits)))
+    d2 = F.round(
+        dot(F.col("__v"), F.col("__v"))
+        - F.lit(2.0) * dot(F.col("__v"), F.col("__c"))
+        + dot(F.col("__c"), F.col("__c")),
+        round_digits,
+    )
+    scored = vecs.join(F.broadcast(cents)).select(
+        F.col(id_col), F.col("cluster"), d2.alias("__d2")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__d2").asc(), F.col("cluster").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "cluster")
+    )
+
+
+def logreg_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Score every vector with a FIXED logistic-regression coefficient
+    vector (reference logreg predict, face_embeddings.py:112-126) — the
+    train-anywhere / score-at-scale split: the model is |dim|+1 floats, the
+    scoring is a pure expression (whole-stage codegen, no model object, no
+    Python). Output: (id, logit, pred) where pred = logit > 0 (p > 0.5).
+    The logit is rounded at `round_digits` so a SQL engine replays it
+    exactly; probabilities (sigmoid) are monotone in the logit, so
+    thresholding needs no exp() — which keeps the contract free of libm
+    differences across engines."""
+    v = F.col(vec_col).cast("array<double>")
+    z = F.round(dot(v, lit_vector(weights)) + F.lit(float(bias)), round_digits)
+    return df.withColumn("logit", z).withColumn(
+        "pred", F.when(F.col("logit") > 0, F.lit(1)).otherwise(F.lit(0))
     )
 
 

@@ -65,3 +65,23 @@ def test_decoder_swap_and_empty_payload(spark):
         mm.set_decoder(orig)
     with pytest.raises(mm.DecoderNotAvailable):
         mm._fake_decode(b"")
+
+
+def test_ppm_decode_roundtrip():
+    """ppm_decode is a REAL format parser: encode a known array to P6 (with
+    a header comment) and get the identical pixels back."""
+    import numpy as np
+
+    from esper_tv_spark.operators.multimodal import DecoderNotAvailable, ppm_decode
+
+    img = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(3, 5, 3)
+    payload = b"P6\n# comment\n5 3\n255\n" + img.tobytes()
+    out = ppm_decode(payload)
+    assert out.shape == (3, 5, 3)
+    assert (out == img).all()
+    import pytest as _pytest
+
+    with _pytest.raises(DecoderNotAvailable):
+        ppm_decode(b"P6\n5 3\n255\n" + img.tobytes()[:-1])  # truncated
+    with _pytest.raises(DecoderNotAvailable):
+        ppm_decode(b"\x89PNG....")  # not PPM

@@ -211,3 +211,95 @@ def test_pq_topk_recall_vs_exact(spark):
     recall = len(got & want) / 10
     assert recall >= 0.6, f"recall@10 {recall}"
     codes.unpersist()
+
+
+def test_lloyd_assign_vs_numpy(spark):
+    """The closed-form assignment step must equal a numpy argmin replay
+    (same 6-dp rounding, ties to smaller cluster id)."""
+    import numpy as np
+
+    from esper_tv_spark.operators.similarity import lloyd_assign
+
+    rs = np.random.RandomState(3)
+    vecs = rs.randn(40, 6)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["cluster"] for r in lloyd_assign(df, k=4).collect()}
+    cents = np.round(vecs[:4], 6)
+    for i, v in enumerate(vecs):
+        d2 = np.round((v @ v) - 2.0 * (cents @ v) + (cents * cents).sum(axis=1), 6)
+        want = int(np.lexsort((np.arange(4), d2))[0])
+        assert got[i] == want, i
+
+
+def test_lloyd_assign_equals_full_kmeans_fixpoint(spark):
+    """On well-separated blobs, assignment with the CONVERGED pyspark.ml
+    centroids reproduces the ml model's own partition — the two halves of
+    kmeans agree."""
+    import numpy as np
+
+    from esper_tv_spark.operators.similarity import kmeans_assign, lloyd_assign
+
+    rs = np.random.RandomState(9)
+    blobs = np.concatenate(
+        [rs.randn(30, 5) * 0.1 + c for c in (np.zeros(5), np.ones(5) * 5, -np.ones(5) * 5)]
+    )
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(blobs)],
+        "vec_id long, embedding array<double>",
+    )
+    ml = kmeans_assign(df, k=3, seed=11)
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select("vec_id", array_to_vector(F.col("embedding")).alias("features"))
+    model = KMeans(k=3, seed=11).fit(feat)
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster long, cvec array<double>",
+    )
+    closed = lloyd_assign(df, centroids=cents)
+    both = (
+        ml.withColumnRenamed("cluster", "ml_cluster")
+        .join(closed, "vec_id")
+        .collect()
+    )
+    assert all(r["ml_cluster"] == r["cluster"] for r in both)
+
+
+def test_logreg_score_matches_pyspark_ml(spark):
+    """Fixed-coefficient scoring must reproduce pyspark.ml's own
+    predictions when given that model's coefficients — the
+    train-anywhere/score-at-scale split loses nothing."""
+    import numpy as np
+
+    from esper_tv_spark.operators.similarity import logreg_score
+
+    rs = np.random.RandomState(17)
+    w_true = rs.randn(6)
+    X = rs.randn(200, 6)
+    y = (X @ w_true + 0.1 * rs.randn(200) > 0).astype(int)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist(), int(y[i])) for i in range(200)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        "vec_id",
+        array_to_vector(F.col("embedding")).alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+    model = LogisticRegression(maxIter=50).fit(feat)
+    ml_pred = {
+        r["vec_id"]: int(r["prediction"])
+        for r in model.transform(feat).select("vec_id", "prediction").collect()
+    }
+    scored = logreg_score(
+        df, [float(c) for c in model.coefficients], float(model.intercept)
+    )
+    ours = {r["vec_id"]: r["pred"] for r in scored.collect()}
+    assert ours == ml_pred

@@ -61,3 +61,88 @@ def test_segment_overlap_confusion(spark):
         for r in val.segment_overlap_confusion(auto, hand, ["video_id"]).collect()
     }
     assert got == {("sp1", "sp1"): 10, ("sp2", "sp1"): 2, ("sp2", "sp2"): 8}
+
+
+def test_bootstrap_adjusted_totals_vs_python(spark):
+    """The bootstrap estimator must equal a plain-Python replay of the same
+    seeded Knuth draws, per class and variant, to float equality."""
+    import math
+    from collections import Counter
+
+    from esper_tv_spark.domain.validation import bootstrap_adjusted_totals
+
+    rows = []
+    classes = ["a", "b", "c"]
+    # deterministic noisy detections across 12 units
+    for u in range(12):
+        for d in range(5 + (u % 4)):
+            true = classes[(u + d) % 3]
+            pred = classes[(u + d + (1 if (u * 7 + d) % 5 == 0 else 0)) % 3]
+            rows.append((u, pred, true))
+    df = spark.createDataFrame(rows, "unit long, pred string, truth string")
+    trials, k, seed, sc = 50, 8, 7, 10_000
+    got = {
+        (r["cls"], r["variant"]): (r["est"], r["bias"], r["std"])
+        for r in bootstrap_adjusted_totals(
+            df, "unit", "pred", "truth", trials=trials, k=k, seed=seed
+        ).collect()
+    }
+
+    # ---- python replay ----
+    cmat = Counter((t, p) for _, p, t in rows)
+    colsum = Counter(p for _, p, _ in rows)
+    p4 = {
+        (t, p): int(round(sc * cmat[(t, p)] / colsum[p]))
+        for (t, p) in cmat
+    }
+    unit_counts = Counter((u, p) for u, p, _ in rows)
+    units = sorted({u for u, _, _ in rows})
+    n = len(units)
+    true_tot = Counter(t for _, _, t in rows)
+    full = Counter(p for _, p, _ in rows)
+
+    def stats_for(trial):
+        drawn = [
+            units[((seed + trial * k + j) * 2654435761) % 4294967296 % n]
+            for j in range(k)
+        ]
+        tot = Counter()
+        for u in drawn:
+            for c in classes:
+                tot[c] += unit_counts[(u, c)]
+        unadj = {c: tot[c] * sc for c in classes}
+        adj = {
+            g: sum(tot[g2] * p4.get((g, g2), 0) for g2 in classes) for g in classes
+        }
+        return unadj, adj
+
+    sums = {v: Counter() for v in ("unadjusted", "adjusted")}
+    sqs = {v: Counter() for v in ("unadjusted", "adjusted")}
+    for t in range(trials):
+        unadj, adj = stats_for(t)
+        for c in classes:
+            sums["unadjusted"][c] += unadj[c]
+            sqs["unadjusted"][c] += unadj[c] * unadj[c]
+            sums["adjusted"][c] += adj[c]
+            sqs["adjusted"][c] += adj[c] * adj[c]
+    est = {
+        "unadjusted": {c: full[c] * sc for c in classes},
+        "adjusted": {
+            g: sum(full[g2] * p4.get((g, g2), 0) for g2 in classes) for g in classes
+        },
+    }
+    for variant in ("unadjusted", "adjusted"):
+        for c in classes:
+            mean = sums[variant][c] / trials / sc
+            meansq = sqs[variant][c] / trials / sc / sc
+            want = (
+                est[variant][c] / sc,
+                mean - true_tot[c],
+                math.sqrt(meansq - mean * mean),
+            )
+            have = got[(c, variant)]
+            assert have == pytest.approx(want, abs=1e-9), (c, variant)
+    # adjustment must pull estimates toward truth on this noisy-classifier data
+    adj_err = sum(abs(got[(c, "adjusted")][0] - true_tot[c]) for c in classes)
+    unadj_err = sum(abs(got[(c, "unadjusted")][0] - true_tot[c]) for c in classes)
+    assert adj_err < unadj_err
