@@ -546,7 +546,7 @@ def q19_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same user, with the clipped intersection length."""
     a = _event_intervals(spark, sf_dir, "view")
     b = _event_intervals(spark, sf_dir, "error")
-    j = intervals.overlap_join(a, b, ["user_id"], clip=False)
+    j = intervals.overlap_join(a, b, ["user_id"], clip=False, band="auto")
     return j.select(
         F.col("a_user_id").alias("user_id"),
         F.col("a_event_id").alias("view_id"),
@@ -614,7 +614,7 @@ def q21_interval_overlap_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
     there): micros of each purchase interval overlapped by error time."""
     a = _event_intervals(spark, sf_dir, "purchase").select("user_id", "event_id", "start", "end")
     b = _event_intervals(spark, sf_dir, "error").select("user_id", "start", "end")
-    out = intervals.overlap_measure(a, b, ["user_id"])
+    out = intervals.overlap_measure(a, b, ["user_id"], band="auto")
     return out.select("user_id", "event_id", F.col("overlap_total").alias("overlap_us"))
 
 
@@ -646,7 +646,9 @@ def q22_interval_merge_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals that start within 10 minutes after the view ends."""
     a = _event_intervals(spark, sf_dir, "view").select("user_id", "start", "end")
     b = _event_intervals(spark, sf_dir, "purchase").select("user_id", "start", "end")
-    out = intervals.merge_join(a, b, ["user_id"], intervals.t_before(600_000_000))
+    out = intervals.merge_join(
+        a, b, ["user_id"], intervals.t_before(600_000_000), band="auto", reach=600_000_000
+    )
     return out.select("user_id", F.col("start").alias("istart"), F.col("end").alias("iend"))
 
 
@@ -1962,6 +1964,57 @@ def q78_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q79_label_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label write-back composite (reference identity.py:165-199: calibrated
+    probabilities bulk-created into a derived DB table, later re-read and
+    aggregated). Batch-side derived-table update loop: the q52 interp
+    probabilities are MATERIALIZED via sources/catalog.write_derived_table
+    (overwrite-then-commit job ledger, idempotent backfill), the committed
+    table is re-read, and the screen-time aggregate runs over the re-read
+    rows — proving the write/read round trip preserves values exactly
+    (parquet doubles are binary-exact). Oracle computes the same aggregate
+    straight from lineitem, so any round-trip corruption would hash-fail."""
+    import tempfile
+
+    from esper_tv_spark.functions.interp import interp_expr
+    from esper_tv_spark.sources.catalog import read_derived_table, write_derived_table
+
+    li = _t(spark, sf_dir, "lineitem")
+    score = F.col("l_discount") * F.lit(10.0)
+    labels = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_quantity").alias("x"),
+        interp_expr(score, _PREC_XS, _PREC_YS).alias("p"),
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), f"esper_tv_writeback_{sf_tag}")
+    write_derived_table(labels, base, job=f"precision_labels_{sf_tag}")
+    back = read_derived_table(spark, base)
+    return back.groupBy("l_returnflag").agg(
+        exact_sum(F.col("p") * F.col("x"), 4).alias("expected_sum"),
+        exact_sum(F.col("p") * (F.lit(1.0) - F.col("p")) * F.col("x") * F.col("x"), 4).alias(
+            "variance_sum"
+        ),
+        F.count(F.lit(1)).alias("n_labels"),
+    )
+
+
+def _q79_sql() -> str:
+    from esper_tv_spark.functions.interp import interp_sql
+
+    p = interp_sql("l_discount * CAST(10.0 AS DOUBLE)", _PREC_XS, _PREC_YS)
+    return f"""
+WITH t AS (SELECT l_returnflag, l_quantity AS x, {p} AS p FROM lineitem)
+SELECT l_returnflag,
+       {exact_sum_sql('p * x', 4)} AS expected_sum,
+       {exact_sum_sql('p * (1.0 - p) * x * x', 4)} AS variance_sum,
+       count(*) AS n_labels
+FROM t GROUP BY l_returnflag
+"""
+
+
 def _q78_sql() -> str:
     from esper_tv_spark.operators.similarity import random_hyperplanes
 
@@ -2729,6 +2782,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_corpus_mix": q76_corpus_mix,
     "q77_bootstrap_validation": q77_bootstrap_validation,
     "q78_logreg_score": q78_logreg_score,
+    "q79_label_writeback": q79_label_writeback,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2810,6 +2864,7 @@ _ORACLES: dict[str, str] = {
     "q48_kmeans_clusters": Q48_SQL,
     "q78_logreg_score": _q78_sql(),
     "q46_asset_decode_stats": Q46_SQL,
+    "q79_label_writeback": _q79_sql(),
 }
 
 

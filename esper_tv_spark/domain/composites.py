@@ -62,7 +62,7 @@ def interview_query(
         hosts = hosts.cache()
         guest = guest.cache()
     gwh = iv.coalesce(
-        iv.overlap_join(guest, hosts, key, clip=True).select(
+        iv.overlap_join(guest, hosts, key, clip=True, band="auto").select(
             F.col("a_video_id").alias("video_id"), "start", "end"
         ),
         key,
@@ -70,10 +70,18 @@ def interview_query(
     if cache_inputs:
         gwh = gwh.cache()
     pred = _overlaps_before_after(epsilon)
+    # band="auto" + reach=epsilon: the ovl|before|after predicate bounds the
+    # pair gap by epsilon, so the banded equi-join path applies (band width
+    # clamps to >= reach inside interval_join)
+    reach = int(-(-epsilon // 1))
     candidates = iv.coalesce(
         iv.set_union(
-            iv.merge_join(gwh, hosts.select(*key, "start", "end"), key, pred),
-            iv.merge_join(gwh, guest.select(*key, "start", "end"), key, pred),
+            iv.merge_join(
+                gwh, hosts.select(*key, "start", "end"), key, pred, band="auto", reach=reach
+            ),
+            iv.merge_join(
+                gwh, guest.select(*key, "start", "end"), key, pred, band="auto", reach=reach
+            ),
         ),
         key,
     ).drop("n_merged")

@@ -173,7 +173,8 @@ def interval_join(
     pred: Callable[[Column, Column, Column, Column], Column] = t_overlaps,
     start: str = "start",
     end: str = "end",
-    band: int | None = None,
+    band: int | str | None = None,
+    reach: int = 0,
 ) -> DataFrame:
     """θ-join on intervals: pairs (a, b) sharing `key_cols` and satisfying
     `pred` on their spans. Output columns are prefixed a_/b_.
@@ -181,15 +182,29 @@ def interval_join(
     Rekall join(pred, merge_op) (interview.py:118-121) is this plus a
     projection; `overlaps` (rekall_query.py:323-333) is pred=t_overlaps.
 
-    With `band=W` (predicate must be overlap-like and local), both sides
-    are exploded into the W-sized buckets their span covers and the join
-    becomes an equi-join on (key, band) — the pair is emitted only from the
-    bucket containing max(a_start, b_start), so no dedup pass is needed.
-    This is the scale path: Catalyst gets a hash-joinable key and the
-    per-task cross product is bounded by bucket population, the same
+    With a band (the scale path), both sides are exploded into W-sized
+    buckets and the join becomes an equi-join on (key, band) — the pair is
+    emitted only from the bucket containing max(a_start, b_start), so no
+    dedup pass is needed. Catalyst gets a hash-joinable key and the
+    per-task cross product is bounded by bucket population — the same
     pruning the reference's working_window does for its Python loops
     (rekall_query.py:133-140).
+
+    band=W      explicit width. band="auto" chooses W from interval-length
+                stats (plans/banding.choose_band_width — one sampled
+                aggregate pass per call site, clamped to >= reach so
+                before-style joins don't explode into reach/W bands).
+    reach=d     for non-overlapping local predicates (t_before(d),
+                t_after(d), or their disjunction with overlaps): BOTH
+                sides' spans are extended by d on the right when banding,
+                so any pair within gap d shares the bucket of
+                max(a_start, b_start). The pred must bound the gap by
+                `reach` (t_overlaps alone: reach=0).
     """
+    if band == "auto":
+        from esper_tv_spark.plans.banding import choose_band_width
+
+        band = max(choose_band_width(a, b, start=start, end=end), reach, 1)
     pa, pb = _prefixed(a, "a_"), _prefixed(b, "b_")
     a_s, a_e = F.col(f"a_{start}"), F.col(f"a_{end}")
     b_s, b_e = F.col(f"b_{start}"), F.col(f"b_{end}")
@@ -199,16 +214,21 @@ def interval_join(
         joined = pa.join(pb, keys, "inner").where(cond) if keys else pa.crossJoin(pb).where(cond)
         return joined
 
-    def banded(df: DataFrame, prefix: str) -> DataFrame:
+    def banded(df: DataFrame, prefix: str, extend: int) -> DataFrame:
         s_col = F.col(f"{prefix}{start}")
         e_col = F.col(f"{prefix}{end}")
+        # tight upper bucket for pure overlap (e-1: strict inequality);
+        # extended by `reach` on the a side so before-pairs share a bucket
+        # even on band boundaries; greatest(..) keeps empty intervals in
+        # their own single bucket instead of dropping them
+        hi = e_col + F.lit(extend) if extend else F.greatest(e_col - F.lit(1), s_col)
         return df.withColumn(
             "__band",
-            F.explode(F.sequence(F.floor(s_col / F.lit(band)), F.floor((e_col - F.lit(1)) / F.lit(band)))),
+            F.explode(F.sequence(F.floor(s_col / F.lit(band)), F.floor(hi / F.lit(band)))),
         )
 
-    ja = banded(pa, "a_")
-    jb = banded(pb, "b_").withColumnRenamed("__band", "__band_b")
+    ja = banded(pa, "a_", reach)
+    jb = banded(pb, "b_", reach).withColumnRenamed("__band", "__band_b")
     emit_once = F.col("__band") == F.floor(F.greatest(a_s, b_s) / F.lit(band))
     joined = ja.join(jb, keys + [F.col("__band") == F.col("__band_b")], "inner").where(cond & emit_once)
     return joined.drop("__band", "__band_b")
@@ -221,7 +241,7 @@ def overlap_join(
     start: str = "start",
     end: str = "end",
     clip: bool = True,
-    band: int | None = None,
+    band: int | str | None = None,
 ) -> DataFrame:
     """Overlapping pairs with the clipped intersection span
     (reference interval_overlap_join, spark_util.py:247-269 — there a
@@ -265,11 +285,12 @@ def merge_join(
     pred: Callable[[Column, Column, Column, Column], Column],
     start: str = "start",
     end: str = "end",
-    band: int | None = None,
+    band: int | str | None = None,
+    reach: int = 0,
 ) -> DataFrame:
     """Cross-merge pairs satisfying pred into spanning intervals — rekall
     merge (interview_with_person_x.py:46-57, interview.py:87-93)."""
-    j = interval_join(a, b, key_cols, pred, start, end, band)
+    j = interval_join(a, b, key_cols, pred, start, end, band, reach)
     out = j
     for k in key_cols:
         out = out.withColumn(k, F.col(f"a_{k}"))
@@ -356,11 +377,18 @@ def overlap_measure(
     end: str = "end",
     out_col: str = "overlap_total",
     coalesce_b: bool = True,
+    band: int | str | None = None,
 ) -> DataFrame:
     """Annotate each interval of `a` with its total overlap against the set
     `b` (reference annotate_interval_overlap, spark_util.py:594-622 — there a
     broadcast-dict UDF; here a range join + sum(least(e)-greatest(s)), with a
-    left join so zero-overlap rows survive with 0)."""
+    left join so zero-overlap rows survive with 0).
+
+    With `band` (W or "auto"), the overlap pairs come from the banded
+    equi-join scale path instead of the keyed range join; zero-overlap rows
+    are restored by joining the per-interval sums back onto the distinct
+    a-rows (banding a LEFT join directly would duplicate unmatched rows
+    per band)."""
     if coalesce_b:
         b = coalesce(b.select(*key_cols, start, end), key_cols, start, end).drop("n_merged")
     # deterministic duplicate handling instead of a retry-hazardous
@@ -368,6 +396,22 @@ def overlap_measure(
     # aggregate per unique a-row, re-expand
     a_cols = list(a.columns)
     a_uniq = a.groupBy(*a_cols).agg(F.count(F.lit(1)).alias("__dup"))
+    if band is not None:
+        ij = interval_join(
+            a_uniq, b.select(*key_cols, start, end), key_cols, t_overlaps, start, end, band
+        )
+        piece = F.least(F.col(f"a_{end}"), F.col(f"b_{end}")) - F.greatest(
+            F.col(f"a_{start}"), F.col(f"b_{start}")
+        )
+        sums = ij.groupBy(*[F.col(f"a_{c}").alias(c) for c in a_cols]).agg(
+            F.sum(piece).alias(out_col)
+        )
+        return (
+            a_uniq.join(sums, a_cols, "left")
+            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0)))
+            .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__dup"))))
+            .drop("__i", "__dup")
+        )
     pb = _prefixed(b, "b_")
     keys = [F.col(k) == F.col(f"b_{k}") for k in key_cols]
     overlap = (F.col(f"b_{start}") < F.col(end)) & (F.col(f"b_{end}") > F.col(start))

@@ -90,6 +90,47 @@ def save_bucketed(
     writer.saveAsTable(table_name)
 
 
+def write_derived_table(df: DataFrame, base_dir: str, job: str) -> bool:
+    """Batch label write-back (reference identity.py:165-199: bulk_create of
+    derived probability labels into FaceIdentity) — materialize a computed
+    label table with the job-ledger commit discipline:
+
+    - data lands under ``base_dir/data/job=<job>`` (overwrite: a rerun that
+      crashed before commit rewrites, never duplicates);
+    - the job id is appended to ``base_dir/_ledger`` only AFTER the data
+      write (commit point);
+    - a job already in the ledger is skipped entirely, so backfills are
+      idempotent.
+
+    The batch twin of streaming/ingest.write_with_ledger. Returns True if
+    this call wrote (False = already committed)."""
+    spark = df.sparkSession
+    ledger_dir = os.path.join(base_dir, "_ledger")
+    try:
+        committed = {r[0] for r in spark.read.parquet(ledger_dir).select("job").collect()}
+    except Exception:
+        committed = set()
+    if job in committed:
+        return False
+    df.write.mode("overwrite").parquet(os.path.join(base_dir, "data", f"job={job}"))
+    spark.createDataFrame([(job,)], "job string").write.mode("append").parquet(ledger_dir)
+    return True
+
+
+def read_derived_table(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Union of all COMMITTED jobs of a derived table (uncommitted data —
+    crash between write and ledger append — is invisible)."""
+    ledger_dir = os.path.join(base_dir, "_ledger")
+    jobs = [r[0] for r in spark.read.parquet(ledger_dir).select("job").collect()]
+    if not jobs:
+        raise FileNotFoundError(f"no committed jobs under {base_dir}")
+    out = None
+    for j in sorted(jobs):
+        part = spark.read.parquet(os.path.join(base_dir, "data", f"job={j}"))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def save_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV export sink (reference: qs.save_to_csv / COPY TO CSV,
     base_models.py:42-46)."""

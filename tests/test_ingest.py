@@ -59,3 +59,27 @@ def test_ingest_csv_explicit_schema(spark, tmp_path):
     df = ingest.ingest_csv(spark, p, schema)
     assert [tuple(r) for r in df.orderBy("a").collect()] == [(1, "foo"), (2, "bar")]
     assert df.schema == schema
+
+
+def test_write_derived_table_idempotent_and_crash_safe(spark, tmp_path):
+    """Batch label write-back: a committed job never double-writes, and
+    data without a ledger row (crash before commit) is invisible."""
+    import os
+
+    from esper_tv_spark.sources.catalog import read_derived_table, write_derived_table
+
+    base = str(tmp_path / "derived")
+    df = spark.createDataFrame([(1, 0.9), (2, 0.7)], "id long, p double")
+    assert write_derived_table(df, base, job="j1") is True
+    assert write_derived_table(df, base, job="j1") is False  # committed -> skip
+    got = {(r["id"], r["p"]) for r in read_derived_table(spark, base).collect()}
+    assert got == {(1, 0.9), (2, 0.7)}
+
+    # simulate crash-before-commit: data directory exists, no ledger row
+    df2 = spark.createDataFrame([(3, 0.5)], "id long, p double")
+    df2.write.mode("overwrite").parquet(os.path.join(base, "data", "job=j2"))
+    got = {r["id"] for r in read_derived_table(spark, base).collect()}
+    assert got == {1, 2}  # j2 invisible until committed
+    assert write_derived_table(df2, base, job="j2") is True
+    got = {r["id"] for r in read_derived_table(spark, base).collect()}
+    assert got == {1, 2, 3}

@@ -242,3 +242,67 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_banded_reach_matches_plain_before_after(spark):
+    """The reach-extended banded join must reproduce the unbanded result for
+    gap predicates (before/after/disjunction), including pairs that straddle
+    band boundaries."""
+    rows_a = [(1, s, s + 10) for s in range(0, 500, 37)]
+    rows_b = [(1, s, s + 8) for s in range(5, 500, 29)]
+    a = spark.createDataFrame(rows_a, "key long, start long, end long")
+    b = spark.createDataFrame(rows_b, "key long, start long, end long")
+
+    def ovl_before_after(a_s, a_e, b_s, b_e):
+        return (
+            iv.t_overlaps(a_s, a_e, b_s, b_e)
+            | iv.t_before(25)(a_s, a_e, b_s, b_e)
+            | iv.t_after(25)(a_s, a_e, b_s, b_e)
+        )
+
+    plain = sorted(
+        (r["a_start"], r["b_start"])
+        for r in iv.interval_join(a, b, ["key"], ovl_before_after).collect()
+    )
+    for band in (16, 50, "auto"):
+        banded = sorted(
+            (r["a_start"], r["b_start"])
+            for r in iv.interval_join(
+                a, b, ["key"], ovl_before_after, band=band, reach=25
+            ).collect()
+        )
+        assert banded == plain, band
+
+
+def test_overlap_measure_banded_matches_plain(spark):
+    """Banded overlap_measure (inner join + join-back) keeps zero-overlap
+    rows and exact totals, duplicates included."""
+    a = spark.createDataFrame(
+        [(1, 0, 100), (1, 0, 100), (1, 500, 600), (2, 0, 50)],
+        "key long, start long, end long",
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 30), (1, 20, 60), (2, 200, 300)], "key long, start long, end long"
+    )
+    plain = sorted(
+        tuple(r) for r in iv.overlap_measure(a, b, ["key"]).collect()
+    )
+    banded = sorted(
+        tuple(r) for r in iv.overlap_measure(a, b, ["key"], band=64).collect()
+    )
+    assert banded == plain
+    assert (1, 500, 600, 0) in banded  # zero-overlap row survives with 0
+
+
+def test_choose_band_width_skewed(spark):
+    """On a skewed length mix the p95 heuristic lands near the long tail —
+    wide enough that long intervals span ~1-2 bands, far below the span of
+    the timeline (buckets stay tight)."""
+    from esper_tv_spark.plans.banding import choose_band_width
+
+    rows = [(i, i * 1000, i * 1000 + 10) for i in range(950)]  # short: len 10
+    rows += [(10_000 + i, i * 1000, i * 1000 + 5_000) for i in range(50)]  # long tail
+    df = spark.createDataFrame(rows, "key long, start long, end long")
+    w = choose_band_width(df)
+    assert 10 < w <= 5_000
+    assert w >= 1_000  # p95 sits in the long tail, not the short mass
