@@ -2695,83 +2695,39 @@ SELECT * FROM out_u UNION ALL SELECT * FROM out_a ORDER BY cls, variant
 
 # ORDERING CONTRACT: the driver's correctness harness checks only the FIRST
 # 50 dict entries (round-1 lesson: 12 registered queries fell past the
-# cutoff and got no correctness row).  The window therefore leads with the
-# flagship composites + LLM-pipeline set + new operators, then the core
-# coverage set; near-duplicate relational variants (operator families that
-# already have an in-window representative) sit past position 50.
+# cutoff and got no correctness row).  Round-3 rotation: every query that is
+# NEW this round (q77-q79), UPGRADED to an oracle (q46/q48), RE-PLANNED
+# (banded q19/q21/q22/q34, deterministic-minus q20, banded-SRP q51), or
+# NEVER driver-checked in any round (q41/q42/q54/q61/q62/q72-q76) sits in
+# the window, alongside the pinned flagships and the families touched by
+# the event-timestamp normalization.  Queries below the cutoff were
+# driver-green in round 1 or 2 with unchanged code paths — their record
+# stands (CORRECTNESS_r01/r02) and all are still verified by
+# tools/check.py locally.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- flagship composites + LLM-data-pipeline set (unchecked in round 1) --
+    # -- pinned flagships --
     "q55_panel_scene_graph": q55_panel_scene_graph,
     "q56_commercial_detection": q56_commercial_detection,
     "q58_clean_corpus": q58_clean_corpus,
     "q47_ann_topk": q47_ann_topk,
-    "q57_knn_predict": q57_knn_predict,
-    "q59_bpe_token_counts": q59_bpe_token_counts,
-    "q60_winnow_pairs": q60_winnow_pairs,
-    "q46_asset_decode_stats": q46_asset_decode_stats,
-    # -- new in round 2 --
-    "q63_sentiment_rank": q63_sentiment_rank,
-    "q64_pos_tags": q64_pos_tags,
-    "q65_nearest_centroid": q65_nearest_centroid,
-    "q66_coverage_sweep": q66_coverage_sweep,
-    "q67_decontaminate": q67_decontaminate,
-    "q68_stratified_sample": q68_stratified_sample,
-    "q69_chunk_documents": q69_chunk_documents,
-    "q70_asof_join": q70_asof_join,
-    "q71_dedup_groups": q71_dedup_groups,
-    # -- core coverage set --
-    "q01_pricing_summary": q01_pricing_summary,
-    "q03_region_revenue": q03_region_revenue,
-    "q07_balance_percentile": q07_balance_percentile,
     "q08_weighted_screen_time": q08_weighted_screen_time,
-    "q12_customer_setops": q12_customer_setops,
-    "q16_events_hourly": q16_events_hourly,
-    "q17_event_sessions": q17_event_sessions,
-    "q18_interval_coalesce": q18_interval_coalesce,
+    # -- new in round 3 --
+    "q77_bootstrap_validation": q77_bootstrap_validation,
+    "q78_logreg_score": q78_logreg_score,
+    "q79_label_writeback": q79_label_writeback,
+    # -- upgraded rows-only -> oracle this round --
+    "q46_asset_decode_stats": q46_asset_decode_stats,
+    "q48_kmeans_clusters": q48_kmeans_clusters,
+    # -- re-planned this round (banded / deterministic row-ids / SRP bands) --
+    "q51_near_dup_embeddings": q51_near_dup_embeddings,
     "q19_interval_overlap_pairs": q19_interval_overlap_pairs,
     "q20_interval_minus": q20_interval_minus,
     "q21_interval_overlap_measure": q21_interval_overlap_measure,
     "q22_interval_merge_near": q22_interval_merge_near,
-    "q23_phrase_search": q23_phrase_search,
-    "q25_doc_quality": q25_doc_quality,
-    "q26_language_id": q26_language_id,
-    "q27_doc_fingerprints": q27_doc_fingerprints,
-    "q28_minhash_lsh_pairs": q28_minhash_lsh_pairs,
-    "q29_simhash": q29_simhash,
-    "q31_knn": q31_knn,
-    "q32_label_centroids": q32_label_centroids,
     "q34_interview_composite": q34_interview_composite,
-    "q35_sliding_topic": q35_sliding_topic,
-    "q37_jaccard_verify": q37_jaccard_verify,
-    "q38_knn_join": q38_knn_join,
-    "q40_views_before_purchase": q40_views_before_purchase,
-    "q43_latest_event_per_user": q43_latest_event_per_user,
-    "q44_lowercase_segments": q44_lowercase_segments,
-    "q45_caption_query_search": q45_caption_query_search,
-    "q49_json_props": q49_json_props,
-    "q50_auto_join_path": q50_auto_join_path,
-    "q51_near_dup_embeddings": q51_near_dup_embeddings,
-    "q52_precision_bucket_probability": q52_precision_bucket_probability,
-    "q53_point_in_interval": q53_point_in_interval,
-    # ---- position 50 cutoff: variants below have an in-window twin ----
-    "q09_sum_distinct_orders": q09_sum_distinct_orders,
-    "q14_math_ops": q14_math_ops,
-    "q15_rollup_revenue": q15_rollup_revenue,
-    "q24_word_counts": q24_word_counts,
+    # -- never driver-checked in rounds 1-2 --
     "q41_split_chunks": q41_split_chunks,
     "q42_hourly_profile": q42_hourly_profile,
-    "q02_top_revenue_orders": q02_top_revenue_orders,
-    "q04_late_ship_priority": q04_late_ship_priority,
-    "q05_quiet_customers": q05_quiet_customers,
-    "q06_top_order_per_customer": q06_top_order_per_customer,
-    "q10_orders_with_seven_items": q10_orders_with_seven_items,
-    "q11_orders_by_dateparts": q11_orders_by_dateparts,
-    "q13_part_string_ops": q13_part_string_ops,
-    "q30_source_token_stats": q30_source_token_stats,
-    "q33_embedding_norms": q33_embedding_norms,
-    "q36_trigram_tf": q36_trigram_tf,
-    "q39_status_priority_cube": q39_status_priority_cube,
-    "q48_kmeans_clusters": q48_kmeans_clusters,
     "q54_stride_sample": q54_stride_sample,
     "q61_median_price": q61_median_price,
     "q62_grouping_sets": q62_grouping_sets,
@@ -2780,9 +2736,62 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_count_min_heavy_hitters": q74_count_min_heavy_hitters,
     "q75_bm25_search": q75_bm25_search,
     "q76_corpus_mix": q76_corpus_mix,
-    "q77_bootstrap_validation": q77_bootstrap_validation,
-    "q78_logreg_score": q78_logreg_score,
-    "q79_label_writeback": q79_label_writeback,
+    # -- event-time family (touched by the ts normalization) + core set --
+    "q16_events_hourly": q16_events_hourly,
+    "q17_event_sessions": q17_event_sessions,
+    "q18_interval_coalesce": q18_interval_coalesce,
+    "q40_views_before_purchase": q40_views_before_purchase,
+    "q43_latest_event_per_user": q43_latest_event_per_user,
+    "q53_point_in_interval": q53_point_in_interval,
+    "q66_coverage_sweep": q66_coverage_sweep,
+    "q70_asof_join": q70_asof_join,
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_region_revenue": q03_region_revenue,
+    "q07_balance_percentile": q07_balance_percentile,
+    "q12_customer_setops": q12_customer_setops,
+    "q23_phrase_search": q23_phrase_search,
+    "q25_doc_quality": q25_doc_quality,
+    "q26_language_id": q26_language_id,
+    "q27_doc_fingerprints": q27_doc_fingerprints,
+    "q28_minhash_lsh_pairs": q28_minhash_lsh_pairs,
+    "q29_simhash": q29_simhash,
+    "q31_knn": q31_knn,
+    "q32_label_centroids": q32_label_centroids,
+    "q35_sliding_topic": q35_sliding_topic,
+    "q37_jaccard_verify": q37_jaccard_verify,
+    "q38_knn_join": q38_knn_join,
+    "q57_knn_predict": q57_knn_predict,
+    # ---- position 50 cutoff: rows below were driver-green in r1/r2 with
+    # ---- unchanged code paths; their record stands
+    "q44_lowercase_segments": q44_lowercase_segments,
+    "q45_caption_query_search": q45_caption_query_search,
+    "q49_json_props": q49_json_props,
+    "q50_auto_join_path": q50_auto_join_path,
+    "q52_precision_bucket_probability": q52_precision_bucket_probability,
+    "q59_bpe_token_counts": q59_bpe_token_counts,
+    "q60_winnow_pairs": q60_winnow_pairs,
+    "q63_sentiment_rank": q63_sentiment_rank,
+    "q64_pos_tags": q64_pos_tags,
+    "q65_nearest_centroid": q65_nearest_centroid,
+    "q67_decontaminate": q67_decontaminate,
+    "q68_stratified_sample": q68_stratified_sample,
+    "q69_chunk_documents": q69_chunk_documents,
+    "q71_dedup_groups": q71_dedup_groups,
+    "q02_top_revenue_orders": q02_top_revenue_orders,
+    "q04_late_ship_priority": q04_late_ship_priority,
+    "q05_quiet_customers": q05_quiet_customers,
+    "q06_top_order_per_customer": q06_top_order_per_customer,
+    "q09_sum_distinct_orders": q09_sum_distinct_orders,
+    "q10_orders_with_seven_items": q10_orders_with_seven_items,
+    "q11_orders_by_dateparts": q11_orders_by_dateparts,
+    "q13_part_string_ops": q13_part_string_ops,
+    "q14_math_ops": q14_math_ops,
+    "q15_rollup_revenue": q15_rollup_revenue,
+    "q24_word_counts": q24_word_counts,
+    "q30_source_token_stats": q30_source_token_stats,
+    "q33_embedding_norms": q33_embedding_norms,
+    "q36_trigram_tf": q36_trigram_tf,
+    "q39_status_priority_cube": q39_status_priority_cube,
 }
 
 _ORACLES: dict[str, str] = {

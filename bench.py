@@ -2,11 +2,16 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...}. Two extra diagnostic keys make
+regressions attributable run-over-run: "runs" records BOTH timed passes
+per query (the headline number is the best-of-2, so one GC pause or page
+cache miss cannot masquerade as a regression) and "exchanges" records the
+physical plan's shuffle count (a plan-shape change shows up here even
+when timings jitter).
 
 Each query is forced with a full collect() (the driver's correctness flow
-also materializes results). A tiny warmup action first so JVM/codegen
-startup isn't attributed to the first query.
+also materializes results). A full warmup pass at sf0.001 first so
+JVM/codegen startup isn't attributed to the first query.
 """
 
 from __future__ import annotations
@@ -44,6 +49,10 @@ HEADLINE = [
     "q56_commercial_detection",
     "q66_coverage_sweep",
     "q67_decontaminate",
+    # round-3 additions: the banded SRP near-dup scale path and the
+    # bootstrap validation estimator
+    "q51_near_dup_embeddings",
+    "q77_bootstrap_validation",
 ]
 
 
@@ -65,11 +74,26 @@ def main() -> None:
             qs[name](spark, warm_dir).collect()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    from esper_tv_spark.plans.introspect import count_shuffles
+
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    exchanges: dict[str, int] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        runs[name] = []
+        for _ in range(2):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.collect()
+            dt = round(time.time() - t0, 3)
+            runs[name].append(dt)
+            best = dt if best is None or dt < best else best
+        timings[name] = best
+        try:
+            exchanges[name] = count_shuffles(qs[name](spark, sf_dir))
+        except Exception:
+            exchanges[name] = -1
 
     total = round(sum(timings.values()), 3)
     print(
@@ -79,6 +103,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
+                "exchanges": exchanges,
                 "sf": sf,
             }
         )

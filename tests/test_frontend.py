@@ -4,6 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from esper_tv_spark.frontend import run_query, to_result_json
+from esper_tv_spark.frontend.result_json import bbox_result, frame_result, track_result
 from esper_tv_spark.frontend.dsl import DSLError
 from esper_tv_spark.operators.text import query_search
 
@@ -154,3 +155,42 @@ def test_dsl_count_col_and_missing_col_validation(spark):
     # non-count agg without a col is a DSLError too
     with _pytest.raises(DSLError):
         run_query({"t": df}, {"table": "t", "agg": {"s": {"fn": "sum"}}})
+
+
+def test_frame_result_shape(spark):
+    df = spark.createDataFrame(
+        [(1, 4), (1, 0), (1, 2), (2, 0), (1, 3)], "video_id long, frame_no long"
+    )
+    out = frame_result(df, stride=2, limit=3)
+    assert out["type"] == "Frame"
+    els = [g["elements"][0] for g in out["result"]]
+    # stride keeps frames 0,2,4; ordered by (video, frame); limit 3
+    assert [(e["video"], e["min_frame"]) for e in els] == [(1, 0), (1, 2), (1, 4)]
+    assert all(e["objects"] == [] for e in els)
+
+
+def test_bbox_result_frame_major(spark):
+    rows = [
+        (10, 1, 0, 0.1, 0.1, 0.2, 0.2),
+        (11, 1, 0, 0.3, 0.3, 0.4, 0.4),
+        (12, 1, 5, 0.5, 0.5, 0.6, 0.6),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, video_id long, frame_no long, bbox_x1 double, bbox_y1 double, bbox_x2 double, bbox_y2 double"
+    )
+    out = bbox_result(df)
+    assert out["type"] == "Face" and out["count"] == 2
+    first = out["result"][0]["elements"][0]
+    assert first["min_frame"] == 0 and len(first["objects"]) == 2
+    assert [o["id"] for o in first["objects"]] == [10, 11]
+
+
+def test_track_result_metadata(spark):
+    df = spark.createDataFrame(
+        [(1, 100, 200, "host"), (1, 50, 80, "guest")],
+        "video_id long, start long, end long, role string",
+    )
+    out = track_result(df, payload_cols=["role"])
+    els = [g["elements"][0] for g in out["result"]]
+    assert els[0]["min_frame"] == 50 and els[0]["metadata"] == {"role": "guest"}
+    assert els[1]["max_frame"] == 200 and els[1]["metadata"] == {"role": "host"}

@@ -30,10 +30,12 @@ def _avg_coverage(spans, lo, hi) -> float:
 
 def test_zorder_prunes_on_both_columns(spark, tmp_path):
     # two independent dimensions: day bucket and user id
+    from esper_tv_spark.session import normalize_ts
+
     df = (
-        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        normalize_ts(spark.read.parquet("/root/testdata/sf0.01/events.parquet"), "ts")
         .select(
-            (F.col("ts").cast("long") / F.lit(86_400_000_000_000)).cast("long").alias("day"),
+            (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
             "user_id",
             "event_id",
         )
