@@ -1321,10 +1321,18 @@ def q51_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Band math: per-plane collision prob for angle t is 1 - t/pi; a band of
     k planes collides with p^k; L bands miss with (1-p^k)^L. At the 0.4
     cosine threshold (t ~ 66deg, p ~ 0.63) 4-plane x 16-band gives ~0.98
-    recall at sf0.01; at larger corpora raise planes (smaller buckets) and
-    bands together."""
+    recall at sf0.01. Planes scale with corpus size (target bucket
+    occupancy ~31 vectors, so per-band candidate volume stays
+    n_buckets * 31^2 ~ linear in n, never quadratic): 4 planes at sf0.01
+    (= the oracle's plane set), 7 at sf0.1."""
+    import math
+
     emb = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dup_pairs(emb, threshold=0.4, n_planes=4, seed=42, n_bands=16)
+    n = emb.count()
+    n_planes = max(2, round(math.log2(max(n, 64) / 31.25)))
+    return dedup.embedding_near_dup_pairs(
+        emb, threshold=0.4, n_planes=n_planes, seed=42, n_bands=16
+    )
 
 
 def _q51_sql(n_planes: int = 4, n_bands: int = 16, seed: int = 42) -> str:
@@ -1962,6 +1970,54 @@ def q78_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("vec_id").alias("id_sum"))
         .orderBy("label", "pred")
     )
+
+
+def q80_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors with a deterministic coarse
+    quantizer (similarity.ivf_topk_deterministic): cell assignment, probe
+    selection (top-3 cells by centroid cosine), and in-cell exact rerank
+    are ALL replayed by the oracle — the index structure itself is
+    hash-checked, complementing q47's SRP-LSH path. The KMeans-trained IVF
+    (ivf_fit/ivf_topk) remains the data-adaptive variant, recall-tested in
+    pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.ivf_topk_deterministic(emb, qv, 10, n_cells=16, n_probe=3)
+
+
+Q80_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+c AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS cv FROM e WHERE vec_id < 16),
+d AS (
+  SELECT e.vec_id, c.cell,
+         round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM e, c
+),
+assign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+  FROM d
+),
+probe AS (
+  SELECT c.cell FROM c, q
+  ORDER BY round(list_dot_product(c.cv, q.qv)
+                 / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+           c.cell ASC
+  LIMIT 3
+),
+cand AS (
+  SELECT e.vec_id, e.v FROM e
+  JOIN assign ON assign.vec_id = e.vec_id AND assign.rn = 1
+  WHERE assign.cell IN (SELECT cell FROM probe)
+)
+SELECT cand.vec_id,
+       round(list_dot_product(cand.v, q.qv)
+             / (sqrt(list_dot_product(cand.v, cand.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+FROM cand, q
+ORDER BY cosine_sim DESC, cand.vec_id ASC LIMIT 10
+"""
 
 
 def q79_label_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2715,6 +2771,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_bootstrap_validation": q77_bootstrap_validation,
     "q78_logreg_score": q78_logreg_score,
     "q79_label_writeback": q79_label_writeback,
+    "q80_ivf_ann": q80_ivf_ann,
     # -- upgraded rows-only -> oracle this round --
     "q46_asset_decode_stats": q46_asset_decode_stats,
     "q48_kmeans_clusters": q48_kmeans_clusters,
@@ -2760,9 +2817,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_sliding_topic": q35_sliding_topic,
     "q37_jaccard_verify": q37_jaccard_verify,
     "q38_knn_join": q38_knn_join,
-    "q57_knn_predict": q57_knn_predict,
     # ---- position 50 cutoff: rows below were driver-green in r1/r2 with
     # ---- unchanged code paths; their record stands
+    "q57_knn_predict": q57_knn_predict,
     "q44_lowercase_segments": q44_lowercase_segments,
     "q45_caption_query_search": q45_caption_query_search,
     "q49_json_props": q49_json_props,
@@ -2874,6 +2931,7 @@ _ORACLES: dict[str, str] = {
     "q78_logreg_score": _q78_sql(),
     "q46_asset_decode_stats": Q46_SQL,
     "q79_label_writeback": _q79_sql(),
+    "q80_ivf_ann": Q80_SQL,
 }
 
 

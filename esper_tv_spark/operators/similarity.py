@@ -339,6 +339,49 @@ def ivf_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ivf_topk_deterministic(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF probe with a DETERMINISTIC coarse quantizer — the engine-portable
+    twin of ivf_fit/ivf_topk (whose KMeans cells are iterative): cells are
+    the n_cells smallest-id vectors (lloyd_assign), the probe list is the
+    n_probe cells with the highest rounded centroid-cosine to the query
+    (ties to the smaller cell id), and the exact rerank runs only inside
+    probed cells. Every step is relational, so a SQL oracle replays the
+    whole index — including which cells get probed.
+
+    Scale shape identical to ivf_topk: at corpus scale the assignment is
+    precomputed and the table written partitioned by cell, so the probe is
+    partition-pruned I/O over n_probe/n_cells of the corpus; the probe
+    ranking is a broadcast of n_cells rows."""
+    assigned = lloyd_assign(
+        df, k=n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+    ).withColumnRenamed("cluster", "cell")
+    cents = df.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"),
+        F.transform(F.col(vec_col).cast("array<double>"), lambda x: F.round(x, round_digits)).alias("__cv"),
+    )
+    qlit = lit_vector(query_vec)
+    probe = (
+        cents.select("cell", F.round(cosine(F.col("__cv"), qlit), round_digits).alias("__sim"))
+        .orderBy(F.col("__sim").desc(), F.col("cell").asc())
+        .limit(n_probe)
+        .select("cell")
+    )
+    cand = (
+        assigned.join(F.broadcast(probe), "cell")
+        .join(df.select(F.col(id_col), F.col(vec_col)), id_col)
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col, round_digits)
+
+
 def dist_to_targets(
     df: DataFrame,
     target_vecs: list[list[float]],

@@ -303,3 +303,18 @@ def test_logreg_score_matches_pyspark_ml(spark):
     )
     ours = {r["vec_id"]: r["pred"] for r in scored.collect()}
     assert ours == ml_pred
+
+
+def test_ivf_deterministic_recall_vs_exact(spark):
+    """The deterministic-quantizer IVF probe: recall vs exact brute force
+    grows with n_probe and hits 1.0 at n_probe = n_cells (every cell
+    scanned => identical to exact)."""
+    from esper_tv_spark.operators.similarity import cosine_topk, ivf_topk_deterministic
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = [float(x) for x in emb.where("vec_id = 7").first()["embedding"]]
+    want = [r["vec_id"] for r in cosine_topk(emb, q, 10).collect()]
+    got3 = {r["vec_id"] for r in ivf_topk_deterministic(emb, q, 10, n_cells=16, n_probe=3).collect()}
+    assert len(got3 & set(want)) / 10 >= 0.5
+    got_all = [r["vec_id"] for r in ivf_topk_deterministic(emb, q, 10, n_cells=16, n_probe=16).collect()]
+    assert got_all == want
