@@ -90,6 +90,10 @@ def main() -> None:
             runs[name].append(dt)
             best = dt if best is None or dt < best else best
         timings[name] = best
+        # drop any blocks a composite pinned (q56 caches its presence
+        # inputs): every query starts cold-cache, and a heavy query late
+        # in the suite isn't squeezed by an earlier query's residue
+        spark.catalog.clearCache()
         try:
             exchanges[name] = count_shuffles(qs[name](spark, sf_dir))
         except Exception:

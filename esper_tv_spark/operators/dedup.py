@@ -315,35 +315,53 @@ def embedding_near_dup_pairs(
     probability decays geometrically with bands while each band's join
     stays an equi-join. Candidate pairs are deduped before scoring (each
     pair's cosine is computed once)."""
-    from esper_tv_spark.operators.similarity import cosine, random_hyperplanes, srp_bucket
+    from esper_tv_spark.operators.similarity import cosine, dot, random_hyperplanes, srp_bucket
 
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     a = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
     b = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
     if n_planes > 0:
+        # a small parquet arrives as ONE partition; the per-row bucket/norm
+        # expressions (n_bands x n_planes dot products each) are the hot
+        # loop, so spread them across the cluster first — the shuffle moves
+        # only (id, vector) rows and pays for itself immediately
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if a.rdd.getNumPartitions() < par:
+            a = a.repartition(par, "id_a")
+            b = b.repartition(par, "id_b")
         dim = len(df.select(vec_col).first()[0])
-        # one (band, bucket) row per vector per band; the band id is part of
-        # the join key so colliding in band k only matches band k
-        def banded(side: DataFrame, vcol: str) -> DataFrame:
-            parts = []
-            for band in range(n_bands):
-                planes = random_hyperplanes(dim, n_planes, seed + band)
-                parts.append(
-                    side.withColumn("band", F.lit(band)).withColumn(
-                        "bucket", srp_bucket(F.col(vcol), planes)
-                    )
-                )
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
-            return out
+        # ONE pass per side: every band's bucket is its OWN column (each a
+        # n_planes x dim unrolled multiply-add chain — per-column codegen
+        # splits keep Janino under its 64KB method limit, which one giant
+        # array-of-all-bands expression does not), then an explode over
+        # (band, bucket) structs yields the join rows. The vector column is
+        # dropped before the explode, so downstream carries 16-byte rows.
+        all_planes = [random_hyperplanes(dim, n_planes, seed + band) for band in range(n_bands)]
+
+        def banded(side: DataFrame, id_out: str, vcol: str) -> DataFrame:
+            bucketed = side.select(
+                F.col(id_out),
+                *[
+                    srp_bucket(F.col(vcol), planes).alias(f"__b{i}")
+                    for i, planes in enumerate(all_planes)
+                ],
+            )
+            pairs = F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"__b{i}").alias("bucket"))
+                    for i in range(n_bands)
+                ]
+            )
+            return bucketed.select(F.col(id_out), F.explode(pairs).alias("__bb")).select(
+                F.col(id_out), F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket")
+            )
 
         # candidate generation carries ONLY the id pair — deduping before
         # attaching vectors keeps the distinct's shuffle at 16 bytes/row
         # instead of 2 x dim doubles (50x lighter at 64-dim); vectors are
         # re-attached by equi-join afterwards (broadcast when small)
-        ab = banded(a.select("id_a", "va"), "va").select("band", "bucket", "id_a")
-        bb = banded(b.select("id_b", "vb"), "vb").select("band", "bucket", "id_b")
+        ab = banded(a, "id_a", "va")
+        bb = banded(b, "id_b", "vb")
         cand = (
             ab.join(bb, ["band", "bucket"])
             .where(F.col("id_a") < F.col("id_b"))
@@ -351,10 +369,20 @@ def embedding_near_dup_pairs(
         )
         if n_bands > 1:
             cand = cand.distinct()
-        j = cand.join(a, "id_a").join(b, "id_b")
+        # per-side norms computed ONCE per vector before the pair join:
+        # the pair expression becomes one dot + one divide instead of three
+        # dots (3x cheaper scoring); same arithmetic shape as cosine()
+        # (sqrt per side, then multiply), so values stay bit-identical to
+        # the DuckDB oracle
+        an = a.withColumn("__na", F.sqrt(dot(F.col("va"), F.col("va"))))
+        bn = b.withColumn("__nb", F.sqrt(dot(F.col("vb"), F.col("vb"))))
+        j = cand.join(an, "id_a").join(bn, "id_b")
+        sim = F.round(
+            dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")), 6
+        )
     else:
         j = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+        sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
     return (
         j.select("id_a", "id_b", sim.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= F.lit(threshold))

@@ -188,7 +188,13 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 
 
 def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Signed-random-projection bucket id: bit i = sign(vec · plane_i)."""
+    """Signed-random-projection bucket id: bit i = sign(vec · plane_i).
+
+    The plane dots stay on the aggregate() HOF fold: an unrolled
+    multiply-add chain benchmarked FASTER standalone but 10x slower when
+    re-evaluated inside join map stages (the giant expression tree falls
+    out of whole-stage codegen), and one array of all bands' unrolled
+    dots exceeds Janino's 64KB method limit outright."""
     bits = [
         F.when(dot(vec, lit_vector(p)) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i, p in enumerate(planes)

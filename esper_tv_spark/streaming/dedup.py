@@ -130,3 +130,28 @@ def streaming_lsh_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming EXACT dedup — the unbounded twin of the batch md5-groupBy
+    dedup (operators/dedup.exact_dup_groups): emit each key's first
+    arrival, drop repeats. Built on dropDuplicatesWithinWatermark, so the
+    per-key state is EVICTED once the watermark passes its event time —
+    state is bounded by the dedup horizon, not the stream's history.
+
+    Semantics vs batch: within the watermark window, output == batch
+    dropDuplicates on key_cols (first arrival wins); a duplicate arriving
+    AFTER the watermark expired its twin's state is re-emitted — the
+    documented trade every bounded-state streaming dedup makes (an exact
+    forever-dedup needs the batch path or a keyed idempotent sink).
+
+    At 100 TB-scale ingest this is the front-door filter: content-hash
+    key (md5 of the payload), a horizon matched to the producer's retry
+    window, and the ledgered sink downstream absorbing anything older.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)

@@ -77,3 +77,33 @@ def test_hot_bucket_cap_freezes_state(spark, tmp_path):
         spark.table("hotc").groupBy("band").count().collect()
     )
     assert per_band and all(r["count"] == 6 for r in per_band)  # C(4,2) = 6, then frozen
+
+
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    """First arrival per key is emitted, in-watermark repeats are dropped;
+    output equals batch dropDuplicates on the key."""
+    from datetime import datetime, timedelta
+
+    from esper_tv_spark.streaming.dedup import streaming_exact_dedup
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (h, i, t0 + timedelta(seconds=i))
+        for i, h in enumerate(["a", "b", "a", "c", "b", "a", "d"])
+    ]
+    docs = spark.createDataFrame(rows, "content_hash string, seq long, ts timestamp")
+    src = str(tmp_path / "dedup_src")
+    docs.coalesce(1).write.parquet(src)
+    stream = file_stream(spark, src, docs.schema)
+    out = streaming_exact_dedup(stream, ["content_hash"], watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("exd")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["content_hash"] for r in spark.table("exd").collect()}
+    assert got == {"a", "b", "c", "d"}
+    assert spark.table("exd").count() == 4
