@@ -2020,6 +2020,50 @@ ORDER BY cosine_sim DESC, cand.vec_id ASC LIMIT 10
 """
 
 
+def q81_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code census with deterministic codebooks
+    (similarity.pq_assign_deterministic): per (subspace, code), how many
+    vectors quantize to that centroid — the encode step of the PQ ANN
+    path, hash-checked end to end (the KMeans-trained PQ with Arrow
+    encode stays the data-adaptive variant, recall-tested in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = similarity.pq_assign_deterministic(emb, m=8, k=16)
+    return (
+        codes.groupBy("subspace", "code")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("vec_id").alias("id_sum"))
+        .orderBy("subspace", "code")
+    )
+
+
+Q81_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+subs AS (
+  SELECT e.vec_id, j.range AS subspace,
+         list_slice(e.v, j.range * 8 + 1, j.range * 8 + 8) AS sv
+  FROM e, range(8) j
+),
+cents AS (
+  SELECT e.vec_id AS code, j.range AS subspace,
+         list_transform(list_slice(e.v, j.range * 8 + 1, j.range * 8 + 8),
+                        x -> round(x, 6)) AS sc
+  FROM e, range(8) j WHERE e.vec_id < 16
+),
+d AS (
+  SELECT s.vec_id, s.subspace, c.code,
+         round(list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.sc)
+               + list_dot_product(c.sc, c.sc), 6) AS d2
+  FROM subs s JOIN cents c ON s.subspace = c.subspace
+),
+a AS (
+  SELECT vec_id, subspace, code,
+         row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) AS rn
+  FROM d
+)
+SELECT subspace, code, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS id_sum
+FROM a WHERE rn = 1 GROUP BY subspace, code ORDER BY subspace, code
+"""
+
+
 def q79_label_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label write-back composite (reference identity.py:165-199: calibrated
     probabilities bulk-created into a derived DB table, later re-read and
@@ -2772,6 +2816,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_logreg_score": q78_logreg_score,
     "q79_label_writeback": q79_label_writeback,
     "q80_ivf_ann": q80_ivf_ann,
+    "q81_pq_codes": q81_pq_codes,
     # -- upgraded rows-only -> oracle this round --
     "q46_asset_decode_stats": q46_asset_decode_stats,
     "q48_kmeans_clusters": q48_kmeans_clusters,
@@ -2816,9 +2861,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_label_centroids": q32_label_centroids,
     "q35_sliding_topic": q35_sliding_topic,
     "q37_jaccard_verify": q37_jaccard_verify,
-    "q38_knn_join": q38_knn_join,
     # ---- position 50 cutoff: rows below were driver-green in r1/r2 with
     # ---- unchanged code paths; their record stands
+    "q38_knn_join": q38_knn_join,
     "q57_knn_predict": q57_knn_predict,
     "q44_lowercase_segments": q44_lowercase_segments,
     "q45_caption_query_search": q45_caption_query_search,
@@ -2932,6 +2977,7 @@ _ORACLES: dict[str, str] = {
     "q46_asset_decode_stats": Q46_SQL,
     "q79_label_writeback": _q79_sql(),
     "q80_ivf_ann": Q80_SQL,
+    "q81_pq_codes": Q81_SQL,
 }
 
 

@@ -388,6 +388,80 @@ def ivf_topk_deterministic(
     return cosine_topk(cand, query_vec, k, id_col, vec_col, round_digits)
 
 
+def pq_assign_deterministic(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Product-quantization ENCODE with deterministic codebooks — the
+    engine-portable twin of pq_fit/pq_encode (whose KMeans codebooks are
+    iterative and whose Arrow encode uses BLAS summation): subspace j's
+    codebook is the j-th slice of the k smallest-id vectors (rounded), and
+    each vector's code_j is the argmin rounded squared distance (ties to
+    the smaller centroid id). Fully relational — explode subspaces, join
+    the k-row codebook per subspace, one argmin window — so a SQL oracle
+    replays the code assignment bit-for-bit.
+
+    Output: (id, subspace, code), m rows per vector. Scale shape: the
+    codebook side is m*k rows (broadcast); the window partitions are
+    (vector, subspace) — map-side work plus one small shuffle."""
+    sub = len(df.select(vec_col).first()[0]) // m
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    subs = vecs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        F.slice(F.col("__v"), j * sub + 1, sub).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("__s"),
+    ).select(id_col, F.col("__s.subspace").alias("subspace"), F.col("__s.sv").alias("sv"))
+    cents = (
+        vecs.where(F.col(id_col) < k)
+        .select(
+            F.col(id_col).alias("code"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("subspace"),
+                            F.transform(
+                                F.slice(F.col("__v"), j * sub + 1, sub),
+                                lambda x: F.round(x, round_digits),
+                            ).alias("sc"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("__c"),
+        )
+        .select("code", F.col("__c.subspace").alias("subspace"), F.col("__c.sc").alias("sc"))
+    )
+    d2 = F.round(
+        dot(F.col("sv"), F.col("sv"))
+        - F.lit(2.0) * dot(F.col("sv"), F.col("sc"))
+        + dot(F.col("sc"), F.col("sc")),
+        round_digits,
+    )
+    scored = subs.join(F.broadcast(cents), "subspace").select(
+        id_col, "subspace", "code", d2.alias("__d2")
+    )
+    w = Window.partitionBy(id_col, "subspace").orderBy(F.col("__d2").asc(), F.col("code").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "subspace", "code")
+    )
+
+
 def dist_to_targets(
     df: DataFrame,
     target_vecs: list[list[float]],

@@ -318,3 +318,34 @@ def test_ivf_deterministic_recall_vs_exact(spark):
     assert len(got3 & set(want)) / 10 >= 0.5
     got_all = [r["vec_id"] for r in ivf_topk_deterministic(emb, q, 10, n_cells=16, n_probe=16).collect()]
     assert got_all == want
+
+
+def test_pq_assign_deterministic_vs_numpy(spark):
+    """Deterministic-codebook PQ encode equals a numpy argmin replay with
+    the same rounding and tie-break."""
+    import numpy as np
+
+    from esper_tv_spark.operators.similarity import pq_assign_deterministic
+
+    rs = np.random.RandomState(31)
+    vecs = rs.randn(40, 16)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    m, k, sub = 4, 8, 4
+    got = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in pq_assign_deterministic(df, m=m, k=k).collect()
+    }
+    books = np.round(vecs[:k], 6)
+    for i, v in enumerate(vecs):
+        for j in range(m):
+            sv = v[j * sub : (j + 1) * sub]
+            scs = books[:, j * sub : (j + 1) * sub]
+            d2 = np.round(
+                (sv @ sv) - 2.0 * (scs @ sv) + (scs * scs).sum(axis=1), 6
+            )
+            want = int(np.lexsort((np.arange(k), d2))[0])
+            assert got[(i, j)] == want, (i, j)
+    assert len(got) == 40 * m
