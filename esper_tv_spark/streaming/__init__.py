@@ -1,3 +1,4 @@
+from esper_tv_spark.streaming.dedup import streaming_exact_dedup
 from esper_tv_spark.streaming.ingest import (
     file_stream,
     session_agg,
@@ -5,6 +6,7 @@ from esper_tv_spark.streaming.ingest import (
     tumbling_agg,
     write_with_ledger,
 )
+from esper_tv_spark.streaming.interval_join import streaming_overlap_join
 from esper_tv_spark.streaming.stateful import coalesce_stream, coalesce_stream_timeout
 
 __all__ = [
@@ -15,4 +17,6 @@ __all__ = [
     "write_with_ledger",
     "coalesce_stream",
     "coalesce_stream_timeout",
+    "streaming_exact_dedup",
+    "streaming_overlap_join",
 ]
