@@ -94,3 +94,37 @@ def test_partitioned_layout_prunes(spark, tmp_path):
     plan = physical_plan(q)
     assert "PartitionFilters" in plan and "channel" in plan.split("PartitionFilters")[1][:200]
     assert q.collect()[0][0] == sum(i * 2 for i in range(1000) if i % 4 == 2)
+
+
+def test_q51_banded_near_dup_is_equi_join(spark):
+    """The registered near-dup path must be bucket-blocked: candidate
+    generation is a hash/sort-merge EQUI-join on (band, bucket), never a
+    broadcast-nested-loop all-pairs cross product."""
+    from esper_tv_spark.plans.introspect import physical_plan
+
+    df = m.queries()["q51_near_dup_embeddings"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "bucket" in plan
+
+
+def test_banded_interval_join_is_equi_join(spark):
+    """band=W turns the interval theta-join into an equi-join on the band
+    key — no nested-loop node in the plan."""
+    from esper_tv_spark.operators import intervals as iv
+    from esper_tv_spark.plans.introspect import physical_plan
+
+    a = spark.createDataFrame([(1, 0, 10)], "key long, start long, end long")
+    b = spark.createDataFrame([(1, 5, 20)], "key long, start long, end long")
+    plain = physical_plan(iv.interval_join(a, b, ["key"]))
+    banded = physical_plan(iv.interval_join(a, b, ["key"], band=64))
+    assert "__band" in banded
+    assert "BroadcastNestedLoopJoin" not in banded and "CartesianProduct" not in banded
+
+
+def test_q80_ivf_probe_broadcasts(spark):
+    """The IVF probe list (n_probe rows) must reach the candidate filter as
+    a broadcast, and the plan must contain no cartesian product beyond the
+    k-row centroid loop."""
+    df = m.queries()["q80_ivf_ann"](spark, SF)
+    assert has_broadcast_join(df)
