@@ -61,3 +61,33 @@ def test_replicated_skew_join_rejects_outer_on_build(spark, skewed):
     for how in ("right", "full", "right_outer", "full_outer"):
         with pytest.raises(ValueError):
             replicated_skew_join(skewed, dim, ["k"], n_salts=4, how=how)
+
+
+def test_salted_agg_splits_zipfian_hot_key(spark):
+    """The skew-stress demonstration: on a zipfian key distribution (one
+    key holding half the rows), phase-1 of the salted agg splits the hot
+    key into ~n_salts near-equal partial groups — the per-reducer row
+    bound drops from |hot key| to ~|hot key|/n_salts."""
+    from esper_tv_spark.plans.salting import _SALT
+
+    n_hot, n_salts = 8000, 16
+    rows = [(0, i) for i in range(n_hot)] + [(1 + i % 50, i) for i in range(n_hot)]
+    df = spark.createDataFrame(rows, "key long, v long")
+    # replicate phase 1 exactly as salted_agg builds it, but keep the salt
+    # visible so group sizes are observable
+    partial = (
+        df.withColumn(_SALT, F.pmod(F.monotonically_increasing_id(), n_salts))
+        .groupBy("key", _SALT)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hot = [r["n"] for r in partial.where("key = 0").collect()]
+    assert len(hot) == n_salts
+    assert max(hot) <= (n_hot // n_salts) * 2  # near-uniform split
+    # end-to-end result still exact
+    out = {
+        r["key"]: r["n"]
+        for r in __import__("esper_tv_spark.plans.salting", fromlist=["salted_agg"])
+        .salted_agg(df, ["key"], {"n": (F.lit(1), "count")}, n_salts=n_salts)
+        .collect()
+    }
+    assert out[0] == n_hot
