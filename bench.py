@@ -49,10 +49,12 @@ HEADLINE = [
     "q56_commercial_detection",
     "q66_coverage_sweep",
     "q67_decontaminate",
-    # round-3 additions: the banded SRP near-dup scale path and the
-    # bootstrap validation estimator
+    # round-3 additions: the banded SRP near-dup scale path, the bootstrap
+    # validation estimator, and the deterministic IVF / PQ index paths
     "q51_near_dup_embeddings",
     "q77_bootstrap_validation",
+    "q80_ivf_ann",
+    "q81_pq_codes",
 ]
 
 

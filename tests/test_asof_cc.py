@@ -152,3 +152,35 @@ def test_cogrouped_forward_and_nearest(spark):
         for r in asof_join_cogrouped(left, right, ["k"], direction="nearest", tolerance=20).collect()
     }
     assert tol == {(1, 100): "a", (1, 200): "b", (1, 310): None}
+
+
+def test_asof_null_payload_from_matched_row_preserved(spark):
+    """The matched right row's legitimately-NULL payload must come through
+    as NULL, and ALL payload columns must come from that same row — not
+    stitched from older non-null rows (the per-column last(ignorenulls)
+    hazard)."""
+    from esper_tv_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "key long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 7.0, "old"), (1, 50, None, "new")],
+        "key long, ts long, price double, tag string",
+    )
+    out = asof_join(left, right, ["key"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    # matched row is ts=50: price must be NULL (not 7.0 from ts=10), tag 'new'
+    assert r["ts_r"] == 50
+    assert r["price_r"] is None
+    assert r["tag_r"] == "new"
+
+    # pandas parity
+    import pandas as pd
+
+    m = pd.merge_asof(
+        left.toPandas().sort_values("ts"),
+        right.toPandas().sort_values("ts"),
+        on="ts",
+        by="key",
+    )
+    assert pd.isna(m["price"].iloc[0]) and m["tag"].iloc[0] == "new"
