@@ -16,8 +16,9 @@ between, the Delta/Iceberg MERGE idiom built from parquet primitives:
 
 Replayed epochs (crash/restart) overwrite their own snapshot directory and
 re-commit — idempotent, same discipline as ingest.write_with_ledger. Old
-versions are retained for time travel (a `vacuum` would drop them; out of
-scope). Aggregates must be mergeable: count/sum/min/max (avg = sum+count).
+versions are retained for time travel; `vacuum_rollup` enforces a
+retention window. Aggregates must be mergeable: count/sum/min/max
+(avg = sum+count).
 """
 
 from __future__ import annotations
@@ -104,3 +105,29 @@ def incremental_rollup(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def vacuum_rollup(spark: SparkSession, state_dir: str, keep: int = 3) -> list[int]:
+    """Retention for the versioned snapshots: keep the latest `keep`
+    COMMITTED versions (time travel window), delete older snapshot
+    directories AND their ledger rows — ledger first would break readers
+    (read_rollup resolves max(committed)), so directories go first and the
+    ledger is compacted last (rewritten via overwrite; a crash in between
+    leaves dangling ledger rows pointing at deleted dirs, which the next
+    vacuum re-compacts — read_rollup only ever reads the MAX version,
+    which is always retained). Returns the versions dropped."""
+    import shutil
+
+    ledger_dir = os.path.join(state_dir, "_ledger")
+    versions = sorted(_committed(spark, ledger_dir))
+    drop = versions[:-keep] if keep > 0 else versions
+    if not drop:
+        return []
+    for v in drop:
+        shutil.rmtree(os.path.join(state_dir, f"v={v}"), ignore_errors=True)
+    kept = [(v,) for v in versions[len(drop):]]
+    tmp = ledger_dir + ".compact"
+    spark.createDataFrame(kept, "epoch_id long").write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(ledger_dir)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return drop

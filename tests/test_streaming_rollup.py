@@ -77,3 +77,26 @@ def test_streaming_count_min_sketch(spark, tmp_path):
     got = sorted(map(tuple, read_rollup(spark, state).collect()))
     want = sorted(map(tuple, build_count_min(docs, "source", depth=4, width=64).collect()))
     assert got == want and len(got) > 0
+
+
+def test_vacuum_rollup_keeps_latest(spark, tmp_path):
+    """vacuum drops old snapshot versions + ledger rows; the readable view
+    (max committed) survives and still has the full accumulated state."""
+    import os
+
+    from esper_tv_spark.streaming.rollup import read_rollup, vacuum_rollup
+
+    state = str(tmp_path / "state")
+    # fabricate three committed versions the way the sink writes them
+    for epoch, n in [(0, 1), (1, 2), (2, 3)]:
+        spark.createDataFrame([("k", n)], "key string, cnt long").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state, f"v={epoch}"))
+        spark.createDataFrame([(epoch,)], "epoch_id long").write.mode("append").parquet(
+            os.path.join(state, "_ledger")
+        )
+    dropped = vacuum_rollup(spark, state, keep=1)
+    assert dropped == [0, 1]
+    assert not os.path.exists(os.path.join(state, "v=0"))
+    assert read_rollup(spark, state).collect()[0]["cnt"] == 3
+    assert vacuum_rollup(spark, state, keep=1) == []  # idempotent
