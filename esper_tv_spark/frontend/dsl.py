@@ -163,6 +163,49 @@ def run_query(catalog: dict[str, DataFrame], spec: dict[str, Any]) -> DataFrame:
         else:
             df = df.where(compile_expr(cond))
 
+    # interval-algebra stage: the rekall verbs from the safe surface (the
+    # reference's notebook entry point B, reachable from the web UI without
+    # arbitrary Python). Each step is whitelisted with plain-value params;
+    # binary ops take their other side from the catalog.
+    for ivs in spec.get("intervals", []):
+        from esper_tv_spark.operators import intervals as iv
+
+        op = ivs.get("op")
+        keys = ivs.get("keys", [])
+        start = ivs.get("start", "start")
+        end = ivs.get("end", "end")
+        if not isinstance(keys, list) or not all(isinstance(k, str) for k in keys):
+            raise DSLError("intervals step needs a 'keys' list of column names")
+        if op == "coalesce":
+            df = iv.coalesce(df, keys, start, end, gap=ivs.get("gap", 0))
+        elif op == "dilate":
+            df = iv.dilate(df, ivs.get("amount", 0), start, end)
+        elif op == "filter_length":
+            df = iv.filter_length(
+                df, ivs.get("min_length", 0), ivs.get("max_length"), start, end
+            )
+        elif op in ("overlap_join", "minus", "overlap_measure"):
+            other = ivs.get("table")
+            if other not in catalog:
+                raise DSLError(f"unknown intervals table {other!r}")
+            band = ivs.get("band")
+            if band is not None and band != "auto" and not isinstance(band, int):
+                raise DSLError("band must be an int or 'auto'")
+            if op == "overlap_join":
+                df = iv.overlap_join(
+                    df, catalog[other], keys, start, end,
+                    clip=bool(ivs.get("clip", True)), band=band,
+                )
+            elif op == "minus":
+                df = iv.minus(df, catalog[other], keys, start, end)
+            else:
+                df = iv.overlap_measure(
+                    df, catalog[other], keys, start, end,
+                    out_col=ivs.get("as", "overlap_total"), band=band,
+                )
+        else:
+            raise DSLError(f"intervals op not allowed: {op!r}")
+
     for out_name, w in spec.get("window", {}).items():
         # {"fn": "row_number", "col"?: expr, "partition_by": [...],
         #  "order_by": [["col", "asc"|"desc"], ...]} — the SURVEY §2.5

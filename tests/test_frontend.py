@@ -194,3 +194,40 @@ def test_track_result_metadata(spark):
     els = [g["elements"][0] for g in out["result"]]
     assert els[0]["min_frame"] == 50 and els[0]["metadata"] == {"role": "guest"}
     assert els[1]["max_frame"] == 200 and els[1]["metadata"] == {"role": "host"}
+
+
+def test_dsl_interval_verbs(spark):
+    """The rekall verbs are reachable from the safe JSON surface: dilate ->
+    coalesce -> overlap_measure against a second table, no Python."""
+    a = spark.createDataFrame(
+        [(1, 0, 10), (1, 12, 20), (1, 100, 110)], "key long, start long, end long"
+    )
+    b = spark.createDataFrame([(1, 5, 15)], "key long, start long, end long")
+    out = run_query(
+        {"a": a, "b": b},
+        {
+            "table": "a",
+            "intervals": [
+                {"op": "dilate", "keys": ["key"], "amount": 1},
+                {"op": "coalesce", "keys": ["key"]},
+                {"op": "overlap_measure", "keys": ["key"], "table": "b", "as": "ov"},
+            ],
+            "select": [
+                "key", "start", "end", "ov",
+            ],
+            "order_by": [["start", "asc"]],
+        },
+    ).collect()
+    # dilate(1) merges [0,10] and [12,20] into [-1,21]; overlap vs [5,15] = 10
+    assert [(r["start"], r["end"], r["ov"]) for r in out] == [(-1, 21, 10), (99, 111, 0)]
+
+
+def test_dsl_interval_verbs_rejected(spark):
+    a = spark.createDataFrame([(1, 0, 10)], "key long, start long, end long")
+    with pytest.raises(DSLError):
+        run_query({"a": a}, {"table": "a", "intervals": [{"op": "explode_rows", "keys": ["key"]}]})
+    with pytest.raises(DSLError):
+        run_query(
+            {"a": a},
+            {"table": "a", "intervals": [{"op": "overlap_join", "keys": ["key"], "table": "nope"}]},
+        )
