@@ -306,3 +306,57 @@ def test_choose_band_width_skewed(spark):
     w = choose_band_width(df)
     assert 10 < w <= 5_000
     assert w >= 1_000  # p95 sits in the long tail, not the short mass
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=1, max_value=40),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=1, max_value=40),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from([7, 16, 64]),
+)
+def test_banded_join_fuzz_matches_plain(spark, rows_a, rows_b, band):
+    """Property: banded == plain for overlap and gap predicates, on
+    arbitrary (negative-coordinate) intervals — guards the floor-division
+    and emit-once bucket logic of the default-banded paths."""
+    a = spark.createDataFrame(
+        [(k, s, s + l) for k, s, l in rows_a], "key long, start long, end long"
+    )
+    b = spark.createDataFrame(
+        [(k, s, s + l) for k, s, l in rows_b], "key long, start long, end long"
+    )
+    plain_ovl = sorted(
+        (r["a_key"], r["a_start"], r["b_start"])
+        for r in iv.interval_join(a, b, ["key"]).collect()
+    )
+    banded_ovl = sorted(
+        (r["a_key"], r["a_start"], r["b_start"])
+        for r in iv.interval_join(a, b, ["key"], band=band).collect()
+    )
+    assert banded_ovl == plain_ovl
+
+    pred = iv.t_before(13)
+    plain_gap = sorted(
+        (r["a_key"], r["a_start"], r["b_start"])
+        for r in iv.interval_join(a, b, ["key"], pred).collect()
+    )
+    banded_gap = sorted(
+        (r["a_key"], r["a_start"], r["b_start"])
+        for r in iv.interval_join(a, b, ["key"], pred, band=band, reach=13).collect()
+    )
+    assert banded_gap == plain_gap
