@@ -71,6 +71,27 @@ def get_faces(face: DataFrame, frame: DataFrame, video: DataFrame) -> DataFrame:
     )
 
 
+def get_spans(spans: DataFrame, video: DataFrame) -> DataFrame:
+    """Frame-span tables (shots / commercials / segments) joined to video
+    context with duration + hour annotations — the shared shape of the
+    reference's get_shots and get_commercials (spark_util.py:81-132):
+    span columns + video fps/show/channel/time fields +
+    duration = (max_frame - min_frame) / fps. Videos broadcast (dim)."""
+    videos = get_videos(video)
+    return (
+        spans.join(
+            F.broadcast(
+                videos.select(
+                    F.col("id").alias("video_id"), "fps", "show_id", "channel_id",
+                    "time", "hour", "week_day", "month", "year",
+                )
+            ),
+            "video_id",
+        )
+        .withColumn("duration", (F.col("max_frame") - F.col("min_frame")) / F.col("fps"))
+    )
+
+
 def annotate_in_commercial(faces: DataFrame, commercial: DataFrame) -> DataFrame:
     """Flag faces whose frame lies inside a commercial of the same video.
 

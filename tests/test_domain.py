@@ -221,3 +221,18 @@ def test_panel_frames_matches_bruteforce(spark, tables):
         if max(y1s) - min(y1s) < 0.2 and max(hts) < min(hts) * 2.5:
             want[fid] = [f["id"] for f in sorted(fl, key=lambda f: f["bbox_x1"])]
     assert got == want and len(want) > 0
+
+
+def test_get_spans_duration_and_context(tables):
+    """get_spans (reference get_shots/get_commercials shape): video context
+    joined in, duration = span frames / fps, hour from video time."""
+    out = builders.get_spans(tables["shot"], tables["video"])
+    vids = {r["id"]: r for r in builders.get_videos(tables["video"]).collect()}
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        v = vids[r["video_id"]]
+        assert r["fps"] == v["fps"] and r["hour"] == v["hour"]
+        assert r["duration"] == (r["max_frame"] - r["min_frame"]) / v["fps"]
+    # excluded (corrupt/duplicate) videos contribute no spans
+    assert {r["video_id"] for r in rows} <= set(vids)
