@@ -2390,6 +2390,41 @@ FROM p
 """
 
 
+def q82_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join via the cogrouped pandas.merge_asof escape hatch
+    (operators/asof.asof_join_cogrouped, direction='forward'): each
+    purchase annotated with the user's NEXT error event at or after it —
+    the directional variant the one-pass union/window encoding cannot
+    express. Both sides shuffle once on the key; per key, Arrow hands the
+    sorted groups to a linear merge. The oracle replays it with a
+    correlated min() subquery."""
+    from esper_tv_spark.operators.asof import asof_join_cogrouped
+
+    purchases = _event_intervals(spark, sf_dir, "purchase").select(
+        "user_id", "event_id", "start"
+    )
+    errors = _event_intervals(spark, sf_dir, "error").select("user_id", "start")
+    out = asof_join_cogrouped(
+        purchases, errors, ["user_id"], ts_left="start", ts_right="start",
+        direction="forward",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("start").alias("purchase_start"),
+        F.col("start_r").alias("next_error_start"),
+    )
+
+
+Q82_SQL = f"""
+WITH p AS ({_iv_sql('purchase')}), e AS ({_iv_sql('error')})
+SELECT p.user_id, p.event_id, p.start AS purchase_start,
+       (SELECT min(e.start) FROM e
+        WHERE e.user_id = p.user_id AND e.start >= p.start) AS next_error_start
+FROM p
+"""
+
+
 def q71_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> near-dup GROUPS: connected components over the
     verified LSH pairs (min-label propagation, O(log diameter) rounds),
@@ -2817,6 +2852,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_label_writeback": q79_label_writeback,
     "q80_ivf_ann": q80_ivf_ann,
     "q81_pq_codes": q81_pq_codes,
+    "q82_asof_forward": q82_asof_forward,
     # -- upgraded rows-only -> oracle this round --
     "q46_asset_decode_stats": q46_asset_decode_stats,
     "q48_kmeans_clusters": q48_kmeans_clusters,
@@ -2860,9 +2896,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_knn": q31_knn,
     "q32_label_centroids": q32_label_centroids,
     "q35_sliding_topic": q35_sliding_topic,
-    "q37_jaccard_verify": q37_jaccard_verify,
     # ---- position 50 cutoff: rows below were driver-green in r1/r2 with
     # ---- unchanged code paths; their record stands
+    "q37_jaccard_verify": q37_jaccard_verify,
     "q38_knn_join": q38_knn_join,
     "q57_knn_predict": q57_knn_predict,
     "q44_lowercase_segments": q44_lowercase_segments,
@@ -2978,6 +3014,7 @@ _ORACLES: dict[str, str] = {
     "q79_label_writeback": _q79_sql(),
     "q80_ivf_ann": Q80_SQL,
     "q81_pq_codes": Q81_SQL,
+    "q82_asof_forward": Q82_SQL,
 }
 
 

@@ -184,3 +184,58 @@ def test_asof_null_payload_from_matched_row_preserved(spark):
         by="key",
     )
     assert pd.isna(m["price"].iloc[0]) and m["tag"].iloc[0] == "new"
+
+
+def test_asof_fuzz_matches_pandas(spark):
+    """Property: both as-of encodings equal pandas merge_asof on random
+    keyed series with duplicate timestamps, NULL payloads, and tolerance
+    (seeded sweep, no hypothesis fixture juggling)."""
+    import numpy as np
+    import pandas as pd
+
+    from esper_tv_spark.operators.asof import asof_join, asof_join_cogrouped
+
+    rng = np.random.RandomState(99)
+    for trial in range(6):
+        n_l, n_r = rng.randint(1, 25), rng.randint(1, 25)
+        keys_l = rng.randint(0, 3, n_l)
+        keys_r = rng.randint(0, 3, n_r)
+        ts_l = rng.randint(0, 40, n_l)
+        ts_r = rng.randint(0, 40, n_r)
+        val = [None if rng.rand() < 0.25 else float(round(rng.rand(), 3)) for _ in range(n_r)]
+        tol = [None, 5, 15][trial % 3]
+
+        left = spark.createDataFrame(
+            [(int(k), int(t), i) for i, (k, t) in enumerate(zip(keys_l, ts_l))],
+            "key long, ts long, lid long",
+        )
+        # unique right timestamps per key: merge_asof picks the LAST of
+        # equal-ts rows, our window the last by input order -- both
+        # ambiguous under duplicates, so dedup (real feeds have unique
+        # event times per key at micro resolution)
+        seen = set()
+        r_rows = []
+        for k, t, v in zip(keys_r, ts_r, val):
+            if (int(k), int(t)) not in seen:
+                seen.add((int(k), int(t)))
+                r_rows.append((int(k), int(t), v))
+        right = spark.createDataFrame(r_rows, "key long, ts long, price double")
+
+        lp = left.toPandas().sort_values("ts", kind="mergesort")
+        rp = right.toPandas().sort_values("ts", kind="mergesort")
+        want = pd.merge_asof(
+            lp, rp, on="ts", by="key",
+            tolerance=tol, allow_exact_matches=True,
+        ).sort_values("lid")
+        wmap = {
+            int(r["lid"]): (None if pd.isna(r["price"]) else round(float(r["price"]), 3))
+            for _, r in want.iterrows()
+        }
+
+        for impl in (asof_join, asof_join_cogrouped):
+            got = impl(left, right, ["key"], tolerance=tol).collect()
+            gmap = {
+                int(r["lid"]): (None if r["price_r"] is None else round(r["price_r"], 3))
+                for r in got
+            }
+            assert gmap == wmap, (impl.__name__, trial, gmap, wmap)
