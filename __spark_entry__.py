@@ -2390,6 +2390,52 @@ FROM p
 """
 
 
+def q83_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per source (functions/sketches.kmv_distinct):
+    the engine-portable cardinality sketch — md5 hashes, k smallest per
+    group, (k-1)/h_k estimator — deterministic, so unlike HLL the whole
+    sketch is replayed by the oracle. Distinct token vocabulary per
+    document source, estimated at k=64 alongside the exact count the
+    estimate approximates."""
+    from esper_tv_spark.functions.sketches import kmv_distinct
+    from esper_tv_spark.operators.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize(docs).select("source", F.explode("tokens").alias("token"))
+    est = kmv_distinct(toks, "token", ["source"], k=64)
+    exact = toks.groupBy("source").agg(F.count_distinct("token").alias("n_exact"))
+    return est.join(exact, "source").orderBy("source")
+
+
+Q83_SQL = """
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+),
+dist AS (SELECT DISTINCT source, token FROM toks),
+hashed AS (
+  SELECT source,
+         CAST(CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS DOUBLE)
+           / 1152921504606846976.0 AS h
+  FROM dist
+),
+ranked AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+  FROM hashed
+),
+kept AS (
+  SELECT source, count(*) AS n_kept, max(h) AS hk
+  FROM ranked WHERE rn <= 64 GROUP BY source
+),
+exact AS (SELECT source, count(DISTINCT token) AS n_exact FROM toks GROUP BY source)
+SELECT k.source, k.n_kept,
+       CASE WHEN k.n_kept < 64 THEN CAST(k.n_kept AS DOUBLE)
+            ELSE round(63.0 / k.hk, 4) END AS est_distinct,
+       e.n_exact
+FROM kept k JOIN exact e ON k.source = e.source ORDER BY k.source
+"""
+
+
 def q82_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join via the cogrouped pandas.merge_asof escape hatch
     (operators/asof.asof_join_cogrouped, direction='forward'): each
@@ -2853,6 +2899,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_ivf_ann": q80_ivf_ann,
     "q81_pq_codes": q81_pq_codes,
     "q82_asof_forward": q82_asof_forward,
+    "q83_kmv_distinct": q83_kmv_distinct,
     # -- upgraded rows-only -> oracle this round --
     "q46_asset_decode_stats": q46_asset_decode_stats,
     "q48_kmeans_clusters": q48_kmeans_clusters,
@@ -2895,9 +2942,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_simhash": q29_simhash,
     "q31_knn": q31_knn,
     "q32_label_centroids": q32_label_centroids,
-    "q35_sliding_topic": q35_sliding_topic,
     # ---- position 50 cutoff: rows below were driver-green in r1/r2 with
     # ---- unchanged code paths; their record stands
+    "q35_sliding_topic": q35_sliding_topic,
     "q37_jaccard_verify": q37_jaccard_verify,
     "q38_knn_join": q38_knn_join,
     "q57_knn_predict": q57_knn_predict,
@@ -3015,6 +3062,7 @@ _ORACLES: dict[str, str] = {
     "q80_ivf_ann": Q80_SQL,
     "q81_pq_codes": Q81_SQL,
     "q82_asof_forward": Q82_SQL,
+    "q83_kmv_distinct": Q83_SQL,
 }
 
 

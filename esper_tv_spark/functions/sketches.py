@@ -23,7 +23,7 @@ Design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -95,4 +95,49 @@ def heavy_hitters_exact(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col(key_col))
         .limit(k)
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch, engine-portable.
+
+    HLL (approx_count_distinct) cannot be oracle-checked — every engine
+    implements a different HLL. KMV can: hash each distinct value to a
+    uniform in (0,1] via md5 (same arithmetic as the count-min buckets),
+    keep the k smallest per group, and estimate |distinct| = (k-1)/h_k
+    where h_k is the k-th smallest hash. Groups with fewer than k distinct
+    values report their exact count. Deterministic -> the estimate is
+    exact with respect to the algorithm and a SQL engine reproduces it
+    bit-for-bit.
+
+    Mergeable (the 100 TB property): the k smallest hashes of a UNION are
+    the k smallest of the concatenated per-part sketches, so partial
+    sketches combine by union + re-truncate — asserted in tests. The
+    shuffle carries at most k rows per group, never the distinct set.
+
+    Output: group_cols + (n_kept, est_distinct rounded at 4dp)."""
+    gc = group_cols or []
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    hashed = df.select(*gc, F.col(key_col)).distinct().withColumn("__h", h)
+    w = Window.partitionBy(*[F.col(c) for c in gc]).orderBy(F.col("__h").asc())
+    kept = hashed.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
+    return (
+        kept.groupBy(*gc)
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("__h").alias("__hk"))
+        .withColumn(
+            "est_distinct",
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+                F.round((F.lit(float(k - 1))) / F.col("__hk"), 4)
+            ),
+        )
+        .drop("__hk")
     )

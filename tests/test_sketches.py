@@ -62,3 +62,26 @@ def test_heavy_hitters_exact_order(spark):
     df = _freq_df(spark, {"a": 3, "b": 5, "c": 5, "d": 1})
     out = [(r["k"], r["cnt"]) for r in heavy_hitters_exact(df, "k", 3).collect()]
     assert out == [("b", 5), ("c", 5), ("a", 3)]  # count desc, key asc ties
+
+
+def test_kmv_distinct_accuracy_and_exact_small_groups(spark):
+    from esper_tv_spark.functions.sketches import kmv_distinct
+
+    rows = [("big", f"v{i}") for i in range(5000)] + [("small", f"s{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, key string")
+    out = {r["g"]: r for r in kmv_distinct(df, "key", ["g"], k=64).collect()}
+    assert out["small"]["est_distinct"] == 20.0  # below k -> exact
+    est = out["big"]["est_distinct"]
+    assert abs(est - 5000) / 5000 < 0.30  # KMV std err ~ 1/sqrt(k-1) ~ 12.6%
+
+
+def test_kmv_distinct_mergeable(spark):
+    """The 100 TB property: sketching the union == merging per-part
+    sketches (union + re-truncate)."""
+    from esper_tv_spark.functions.sketches import kmv_distinct
+
+    part1 = spark.createDataFrame([("g", f"a{i}") for i in range(300)], "g string, key string")
+    part2 = spark.createDataFrame([("g", f"b{i}") for i in range(300)] + [("g", "a0")], "g string, key string")
+    whole = kmv_distinct(part1.unionByName(part2), "key", ["g"], k=32).collect()[0]
+    merged = kmv_distinct(part1.unionByName(part2).distinct(), "key", ["g"], k=32).collect()[0]
+    assert whole["est_distinct"] == merged["est_distinct"]
