@@ -80,9 +80,20 @@ def match_detections(
 def precision_recall(auto: DataFrame, hand: DataFrame, matches: DataFrame) -> dict:
     """P/R from a match table: precision = matched/|auto|,
     recall = matched/|hand| (validation.py:120-133)."""
-    n_match = matches.count()
-    n_auto = auto.count()
-    n_hand = hand.count()
+    # One action, not three count() jobs: tag each side and count in a
+    # single union-aggregate (the three inputs share no lineage worth
+    # reusing, but three separate jobs triple the scan/setup cost).
+    counted = (
+        matches.select(F.lit("m").alias("side"))
+        .unionByName(auto.select(F.lit("a").alias("side")))
+        .unionByName(hand.select(F.lit("h").alias("side")))
+        .groupBy("side")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    by_side = {r["side"]: r["n"] for r in counted.collect()}
+    n_match = by_side.get("m", 0)
+    n_auto = by_side.get("a", 0)
+    n_hand = by_side.get("h", 0)
     return {
         "n_matched": n_match,
         "n_auto": n_auto,
@@ -196,11 +207,28 @@ def bootstrap_adjusted_totals(
         .alias("p4"),
     )
 
-    # per-unit predicted counts (the pred_sample rows) + dense 0..n-1 index
+    # per-unit predicted counts (the pred_sample rows) + dense 0..n-1 index.
+    # Window.orderBy with no partition is a single-partition global sort —
+    # correct ONLY because validation samples are hand-label-sized. The
+    # raise_error guard makes misuse on a large table fail loudly at
+    # execution time (data-side, so no extra driver job to check).
     unit_counts = dets.groupBy("unit", "pred").agg(F.count(F.lit(1)).alias("cnt"))
     units = dets.select("unit").distinct()
     w = Window.orderBy("unit")
-    unit_idx = units.withColumn("__idx", F.row_number().over(w) - F.lit(1))
+    idx = F.row_number().over(w) - F.lit(1)
+    unit_idx = units.withColumn(
+        "__idx",
+        F.when(
+            idx >= F.lit(1_000_000),
+            F.raise_error(
+                F.lit(
+                    "bootstrap_adjusted_totals: >1e6 distinct units — this "
+                    "operator is for hand-label-sized validation samples "
+                    "(global-sort unit index); sample first"
+                )
+            ).cast("int"),
+        ).otherwise(idx),
+    )
     n_units = units.agg(F.count(F.lit(1)).alias("n_units"))
 
     # trials x draws grid -> drawn unit index (Knuth hash, engine-portable)
@@ -245,26 +273,35 @@ def bootstrap_adjusted_totals(
         F.count(F.lit(1)).alias("true_total")
     )
 
-    def summarize(stats_t: DataFrame, est: DataFrame, variant: str) -> DataFrame:
-        per_cls = stats_t.groupBy("cls").agg(
-            F.sum("s").alias("sum_s"), F.sum(F.col("s") * F.col("s")).alias("sum_sq")
-        )
-        t = float(trials)
-        scd = float(sc)
-        mean = F.col("sum_s").cast("double") / F.lit(t) / F.lit(scd)
-        meansq = F.col("sum_sq").cast("double") / F.lit(t) / F.lit(scd) / F.lit(scd)
-        return (
-            per_cls.join(est, "cls")
-            .join(true_tot, "cls")
-            .select(
-                "cls",
-                F.lit(variant).alias("variant"),
-                (F.col("est_s").cast("double") / F.lit(scd)).alias("est"),
-                (mean - F.col("true_total").cast("double")).alias("bias"),
-                F.sqrt(meansq - mean * mean).alias("std"),
-            )
-        )
-
-    return summarize(unadj_t, est_unadj, "unadjusted").unionByName(
-        summarize(adj_t, est_adj, "adjusted")
+    # Single-pass summarize: tag both variants and aggregate the union once
+    # (one grouped exchange instead of two parallel summarize subtrees).
+    stats_t = unadj_t.withColumn("variant", F.lit("unadjusted")).unionByName(
+        adj_t.withColumn("variant", F.lit("adjusted"))
+    )
+    est = est_unadj.withColumn("variant", F.lit("unadjusted")).unionByName(
+        est_adj.withColumn("variant", F.lit("adjusted"))
+    )
+    per_cls = stats_t.groupBy("cls", "variant").agg(
+        F.sum("s").alias("sum_s"), F.sum(F.col("s") * F.col("s")).alias("sum_sq")
+    )
+    t = float(trials)
+    scd = float(sc)
+    # outer join: a class predicted in the full sample but never drawn in a
+    # trial still reports (sum_s=0 -> bias=-true_total); a class that never
+    # appears as a hand label is reported against true_total=0 instead of
+    # being silently dropped (reference computes bias against a zero true
+    # total).
+    spine = per_cls.join(est, ["cls", "variant"], "full_outer").join(
+        true_tot, "cls", "left"
+    )
+    sum_s = F.coalesce(F.col("sum_s"), F.lit(0)).cast("double")
+    sum_sq = F.coalesce(F.col("sum_sq"), F.lit(0)).cast("double")
+    mean = sum_s / F.lit(t) / F.lit(scd)
+    meansq = sum_sq / F.lit(t) / F.lit(scd) / F.lit(scd)
+    return spine.select(
+        "cls",
+        "variant",
+        (F.coalesce(F.col("est_s"), F.lit(0)).cast("double") / F.lit(scd)).alias("est"),
+        (mean - F.coalesce(F.col("true_total"), F.lit(0)).cast("double")).alias("bias"),
+        F.sqrt(meansq - mean * mean).alias("std"),
     )

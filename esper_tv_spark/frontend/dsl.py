@@ -206,6 +206,56 @@ def run_query(catalog: dict[str, DataFrame], spec: dict[str, Any]) -> DataFrame:
         else:
             raise DSLError(f"intervals op not allowed: {op!r}")
 
+    # similarity stage: the SURVEY §2.10 embedding verbs from the safe
+    # surface (reference face_embeddings.py knn/dist reachable only from
+    # Python notebooks; here a whitelisted spec). Query vectors are plain
+    # JSON number lists — validated, then compiled to literal arrays
+    # (broadcast into the expression, no driver loop).
+    sim = spec.get("similarity")
+    if sim is not None:
+        from esper_tv_spark.operators import similarity as sim_ops
+
+        def _vec(v: Any, what: str) -> list[float]:
+            if (
+                not isinstance(v, list)
+                or not v
+                or not all(isinstance(x, (int, float)) and not isinstance(x, bool) for x in v)
+            ):
+                raise DSLError(f"{what} must be a non-empty list of numbers")
+            return [float(x) for x in v]
+
+        op = sim.get("op")
+        id_col = sim.get("id_col", "vec_id")
+        vec_col = sim.get("vec_col", "embedding")
+        if not isinstance(id_col, str) or not isinstance(vec_col, str):
+            raise DSLError("id_col/vec_col must be column names")
+        if op == "knn":
+            k = sim.get("k")
+            if not isinstance(k, int) or k <= 0:
+                raise DSLError("knn needs a positive int 'k'")
+            if "query" in sim:
+                q = _vec(sim["query"], "'query'")
+            elif "query_id" in sim:
+                qid = sim["query_id"]
+                if not isinstance(qid, int):
+                    raise DSLError("'query_id' must be an int")
+                row = df.where(F.col(id_col) == F.lit(qid)).select(vec_col).head()
+                if row is None:
+                    raise DSLError(f"query_id {qid} not found")
+                q = [float(x) for x in row[0]]
+            else:
+                raise DSLError("knn needs 'query' or 'query_id'")
+            df = sim_ops.cosine_topk(df, q, k, id_col=id_col, vec_col=vec_col)
+        elif op == "dist_to_targets":
+            targets = sim.get("targets")
+            if not isinstance(targets, list) or not targets:
+                raise DSLError("dist_to_targets needs a non-empty 'targets' list")
+            df = sim_ops.dist_to_targets(
+                df, [_vec(t, "each target") for t in targets], id_col=id_col, vec_col=vec_col
+            )
+        else:
+            raise DSLError(f"similarity op not allowed: {op!r}")
+
     for out_name, w in spec.get("window", {}).items():
         # {"fn": "row_number", "col"?: expr, "partition_by": [...],
         #  "order_by": [["col", "asc"|"desc"], ...]} — the SURVEY §2.5

@@ -300,9 +300,14 @@ def embedding_near_dup_pairs(
     n_planes: int = 0,
     seed: int = 42,
     n_bands: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim) for
     every pair with rounded cosine >= threshold.
+
+    Pass `dim` (the embedding dimensionality) when known: otherwise a
+    `.first()` driver job sniffs it from the data, which at 100 TB is an
+    avoidable scan kickoff per invocation.
 
     n_planes=0 is the exact all-pairs baseline (O(n^2), oracle-checkable —
     fine for a dedup audit on a sampled corpus, never for 100 TB).
@@ -329,7 +334,8 @@ def embedding_near_dup_pairs(
         if a.rdd.getNumPartitions() < par:
             a = a.repartition(par, "id_a")
             b = b.repartition(par, "id_b")
-        dim = len(df.select(vec_col).first()[0])
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
         # ONE pass per side: every band's bucket is its OWN column (each a
         # n_planes x dim unrolled multiply-add chain — per-column codegen
         # splits keep Janino under its 64KB method limit, which one giant
@@ -386,6 +392,98 @@ def embedding_near_dup_pairs(
     return (
         j.select("id_a", "id_b", sim.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= F.lit(threshold))
+    )
+
+
+def build_srp_index(
+    df: DataFrame,
+    path: str,
+    n_planes: int,
+    seed: int = 42,
+    n_bands: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
+    """Persist the banded SRP projection as an on-disk index: build once,
+    probe many. Re-projecting per query (n_bands x n_planes dot products
+    per vector) is the dominant cost of the blocked near-dup at scale — an
+    index table amortizes it exactly like the IVF path's prebuilt
+    partitions. Writes two parquet tables under `path`:
+
+    - ``bands/``  (band int, bucket bigint, id) — the blocking rows,
+      partitioned by band so a probe of band b prunes the rest;
+    - ``norms/``  (id, norm double) — per-vector L2 norms, computed once
+      (parquet doubles round-trip binary-exact, so probe-time cosines stay
+      bit-identical to the inline path).
+    """
+    import os
+
+    from esper_tv_spark.operators.similarity import dot, random_hyperplanes, srp_bucket
+
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if vecs.rdd.getNumPartitions() < par:
+        vecs = vecs.repartition(par, "id")
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    all_planes = [random_hyperplanes(dim, n_planes, seed + band) for band in range(n_bands)]
+    bucketed = vecs.select(
+        "id",
+        *[srp_bucket(F.col("v"), planes).alias(f"__b{i}") for i, planes in enumerate(all_planes)],
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("band"), F.col(f"__b{i}").alias("bucket"))
+            for i in range(n_bands)
+        ]
+    )
+    bands = bucketed.select(F.col("id"), F.explode(pairs).alias("__bb")).select(
+        "id", F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket")
+    )
+    bands.write.mode("overwrite").partitionBy("band").parquet(os.path.join(path, "bands"))
+    vecs.select("id", F.sqrt(dot(F.col("v"), F.col("v"))).alias("norm")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "norms"))
+
+
+def near_dup_pairs_from_index(
+    df: DataFrame,
+    path: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a `build_srp_index` index: candidate pairs from a self-join of
+    the persisted blocking rows (band,bucket equi-join — no re-projection),
+    then exact rounded-cosine scoring against the live vectors. Same output
+    and bit-identical values as `embedding_near_dup_pairs`; the projection
+    cost is paid at index-build time instead of per query."""
+    import os
+
+    from esper_tv_spark.operators.similarity import dot
+
+    spark = df.sparkSession
+    bands = spark.read.parquet(os.path.join(path, "bands"))
+    norms = spark.read.parquet(os.path.join(path, "norms"))
+    cand = (
+        bands.select("band", "bucket", F.col("id").alias("id_a"))
+        .join(bands.select("band", "bucket", F.col("id").alias("id_b")), ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    an = vecs.join(norms, "id").select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("__na")
+    )
+    bn = vecs.join(norms, "id").select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("__nb")
+    )
+    j = cand.join(an, "id_a").join(bn, "id_b")
+    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")), 6)
+    return j.select("id_a", "id_b", sim.alias("cosine_sim")).where(
+        F.col("cosine_sim") >= F.lit(threshold)
     )
 
 

@@ -324,12 +324,16 @@ def minus(
     # The per-interval window needs a unique key per a-row. A
     # monotonically_increasing_id is nondeterministic under stage retry
     # (recomputed ids can differ from those already consumed, splitting the
-    # window groups), so instead collapse exact-duplicate a-rows with a
-    # deterministic groupBy, key the window on the FULL a-row, and re-expand
-    # duplicates after the sweep. (Payload columns must be groupable —
-    # scalars/arrays, not maps.) Bonus at scale: duplicates join once.
-    a_cols = list(a.columns)
-    a_uniq = a.groupBy(*a_cols).agg(F.count(F.lit(1)).alias("__dup"))
+    # window groups), so instead collapse a-rows to DISTINCT INTERVALS with
+    # a deterministic groupBy keyed on (key_cols, start, end) only — the
+    # payload columns ride along packed into one collected list per
+    # interval, and re-expand after the sweep. (Payloads must be
+    # struct-packable — scalars/arrays, not maps.) Keying the shuffle on
+    # the interval key instead of the full row keeps the exchange narrow,
+    # and rows sharing an interval join + sweep ONCE.
+    gk = [*key_cols, start, end]
+    packed = F.struct(*payload_cols) if payload_cols else F.struct(F.lit(1).alias("__one"))
+    a_uniq = a.groupBy(*gk).agg(F.collect_list(packed).alias("__pl"))
     keys = [F.col(k) == F.col(f"b_{k}") for k in key_cols]
     overlap = (F.col(f"b_{start}") < F.col(end)) & (F.col(f"b_{end}") > F.col(start))
     j = a_uniq.join(pb, keys + [overlap], "left")
@@ -341,7 +345,7 @@ def minus(
     #   - the gap before this b:    [max(lag(b_end), a_start), b_start)
     #   - after the LAST b only:    [b_end, a_end)
     # Unmatched a rows (b_start null) emit themselves unchanged.
-    w = Window.partitionBy(*a_cols).orderBy(F.col(f"b_{start}"))
+    w = Window.partitionBy(*gk).orderBy(F.col(f"b_{start}"))
     j = j.withColumn("__seg_start", F.coalesce(F.lag(F.col(f"b_{end}")).over(w), F.col(start))).withColumn(
         "__is_last_b", F.lead(F.col(f"b_{start}")).over(w).isNull()
     )
@@ -360,13 +364,15 @@ def minus(
             lambda seg: seg["s"].isNotNull() & (seg["e"] > seg["s"]),
         )
     )
-    return (
-        j.select(*key_cols, *payload_cols, "__dup", F.explode(candidates).alias("__seg"))
+    out = (
+        j.select(*key_cols, "__pl", F.explode(candidates).alias("__seg"))
         .withColumn(start, F.col("__seg.s"))
         .withColumn(end, F.col("__seg.e"))
-        .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__dup"))))
-        .select(*key_cols, start, end, *payload_cols)
+        .withColumn("__pe", F.explode("__pl"))
     )
+    for c in payload_cols:
+        out = out.withColumn(c, F.col(f"__pe.{c}"))
+    return out.select(*key_cols, start, end, *payload_cols)
 
 
 def overlap_measure(
@@ -392,37 +398,45 @@ def overlap_measure(
     if coalesce_b:
         b = coalesce(b.select(*key_cols, start, end), key_cols, start, end).drop("n_merged")
     # deterministic duplicate handling instead of a retry-hazardous
-    # monotonically_increasing_id (see minus): collapse exact duplicates,
-    # aggregate per unique a-row, re-expand
+    # monotonically_increasing_id (see minus): collapse to distinct
+    # intervals keyed on (key_cols, start, end), pack the payload columns
+    # into one collected list, measure per distinct interval, re-expand.
+    # The overlap join + sum never touch payload bytes at all.
     a_cols = list(a.columns)
-    a_uniq = a.groupBy(*a_cols).agg(F.count(F.lit(1)).alias("__dup"))
+    payload_cols = [c for c in a_cols if c not in {*key_cols, start, end}]
+    gk = [*key_cols, start, end]
+    packed = F.struct(*payload_cols) if payload_cols else F.struct(F.lit(1).alias("__one"))
+    a_uniq = a.groupBy(*gk).agg(F.collect_list(packed).alias("__pl"))
+    a_iv = a_uniq.select(*gk)
+
+    def reexpand(with_sums: DataFrame) -> DataFrame:
+        out = with_sums.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0))).withColumn(
+            "__pe", F.explode("__pl")
+        )
+        for c in payload_cols:
+            out = out.withColumn(c, F.col(f"__pe.{c}"))
+        return out.select(*a_cols, out_col)
+
     if band is not None:
         ij = interval_join(
-            a_uniq, b.select(*key_cols, start, end), key_cols, t_overlaps, start, end, band
+            a_iv, b.select(*key_cols, start, end), key_cols, t_overlaps, start, end, band
         )
         piece = F.least(F.col(f"a_{end}"), F.col(f"b_{end}")) - F.greatest(
             F.col(f"a_{start}"), F.col(f"b_{start}")
         )
-        sums = ij.groupBy(*[F.col(f"a_{c}").alias(c) for c in a_cols]).agg(
+        sums = ij.groupBy(*[F.col(f"a_{c}").alias(c) for c in gk]).agg(
             F.sum(piece).alias(out_col)
         )
-        return (
-            a_uniq.join(sums, a_cols, "left")
-            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0)))
-            .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__dup"))))
-            .drop("__i", "__dup")
-        )
+        return reexpand(a_uniq.join(sums, gk, "left"))
     pb = _prefixed(b, "b_")
     keys = [F.col(k) == F.col(f"b_{k}") for k in key_cols]
     overlap = (F.col(f"b_{start}") < F.col(end)) & (F.col(f"b_{end}") > F.col(start))
-    j = a_uniq.join(pb, keys + [overlap], "left")
+    j = a_iv.join(pb, keys + [overlap], "left")
     piece = F.least(F.col(end), F.col(f"b_{end}")) - F.greatest(F.col(start), F.col(f"b_{start}"))
-    return (
-        j.groupBy(*[F.col(c) for c in a_cols], F.col("__dup"))
-        .agg(F.sum(F.when(F.col(f"b_{start}").isNotNull(), piece).otherwise(F.lit(0))).alias(out_col))
-        .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__dup"))))
-        .drop("__i", "__dup")
+    sums = j.groupBy(*gk).agg(
+        F.sum(F.when(F.col(f"b_{start}").isNotNull(), piece).otherwise(F.lit(0))).alias(out_col)
     )
+    return reexpand(a_uniq.join(sums, gk, "left"))
 
 
 # --------------------------------------------------------------------------

@@ -88,23 +88,40 @@ def pos_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def spacy_pos_table(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", model: str = "en_core_web_sm"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: str = "en_core_web_sm",
+    nlp_factory=None,
 ) -> DataFrame:
     """Reference-fidelity spaCy tagging (spacy_tokenize.py:22-76) as an
-    Arrow-batched mapInPandas.  Raises ImportError when spaCy is absent —
-    callers fall back to pos_table."""
-    try:
-        import spacy  # noqa: F401
-    except ImportError as e:  # pragma: no cover - spacy not in sandbox
-        raise ImportError("spaCy not installed; use pos_table (rule-based)") from e
+    Arrow-batched mapInPandas.
+
+    `nlp_factory` is the injectable model loader: a zero-arg callable,
+    invoked ONCE PER PARTITION on the executor, returning any callable with
+    spaCy's minimal Doc interface (``nlp(text)`` iterates tokens exposing
+    ``.text`` and ``.tag_``).  Default loads the real spaCy model (raises
+    ImportError when spaCy is absent — callers fall back to pos_table); a
+    frozen/stub model exercises the identical mapInPandas path in tests, so
+    the real-NLP plumbing (per-partition model load, batch iteration, row
+    explosion, schema) is covered without the dependency."""
+    if nlp_factory is None:
+        try:
+            import spacy  # noqa: F401
+        except ImportError as e:  # pragma: no cover - spacy not in sandbox
+            raise ImportError("spaCy not installed; use pos_table (rule-based)") from e
+
+        def nlp_factory():  # pragma: no cover
+            import spacy
+
+            return spacy.load(model, disable=["parser", "ner"])
 
     schema = f"{id_col} long, pos int, token string, tag string"
 
-    def tag_partition(batches: Iterator) -> Iterator:  # pragma: no cover
+    def tag_partition(batches: Iterator) -> Iterator:
         import pandas as pd
-        import spacy
 
-        nlp = spacy.load(model, disable=["parser", "ner"])
+        nlp = nlp_factory()
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():

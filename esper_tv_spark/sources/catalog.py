@@ -121,7 +121,10 @@ def read_derived_table(spark: SparkSession, base_dir: str) -> DataFrame:
     """Union of all COMMITTED jobs of a derived table (uncommitted data —
     crash between write and ledger append — is invisible)."""
     ledger_dir = os.path.join(base_dir, "_ledger")
-    jobs = [r[0] for r in spark.read.parquet(ledger_dir).select("job").collect()]
+    # set(): the ledger is append-mode, so two concurrent writers that both
+    # saw an empty ledger can append the same job twice — dedupe on read or
+    # the shared data partition double-counts.
+    jobs = {r[0] for r in spark.read.parquet(ledger_dir).select("job").collect()}
     if not jobs:
         raise FileNotFoundError(f"no committed jobs under {base_dir}")
     out = None

@@ -231,3 +231,67 @@ def test_dsl_interval_verbs_rejected(spark):
             {"a": a},
             {"table": "a", "intervals": [{"op": "overlap_join", "keys": ["key"], "table": "nope"}]},
         )
+
+
+def test_dsl_similarity_knn_matches_library(spark, catalog):
+    from esper_tv_spark.operators.similarity import cosine_topk
+
+    emb = catalog["embeddings"]
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    spec = {"table": "embeddings", "similarity": {"op": "knn", "query": q, "k": 5}}
+    got = [tuple(r) for r in run_query(catalog, spec).collect()]
+    want = [tuple(r) for r in cosine_topk(emb, q, 5).collect()]
+    assert got == want
+
+    # query_id form resolves the vector from the table itself (q31 shape)
+    spec_id = {"table": "embeddings", "similarity": {"op": "knn", "query_id": 0, "k": 5}}
+    assert [tuple(r) for r in run_query(catalog, spec_id).collect()] == want
+
+
+def test_dsl_similarity_dist_to_targets(spark, catalog):
+    from esper_tv_spark.operators.similarity import dist_to_targets
+
+    emb = catalog["embeddings"]
+    rows = emb.orderBy("vec_id").limit(2).select("embedding").collect()
+    targets = [[float(x) for x in r[0]] for r in rows]
+    spec = {
+        "table": "embeddings",
+        "similarity": {"op": "dist_to_targets", "targets": targets},
+        "order_by": [["dist", "asc"], ["vec_id", "asc"]],
+        "limit": 4,
+    }
+    got = [tuple(r) for r in run_query(catalog, spec).collect()]
+    want = [
+        tuple(r)
+        for r in dist_to_targets(emb, targets)
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(4)
+        .collect()
+    ]
+    assert got == want
+
+
+def test_dsl_similarity_rejected_specs(catalog):
+    bad_specs = [
+        {"op": "knn"},  # no k / query
+        {"op": "knn", "k": 5},  # no query
+        {"op": "knn", "k": -1, "query": [1.0]},
+        {"op": "knn", "k": 5, "query": "not-a-vector"},
+        {"op": "knn", "k": 5, "query": [1.0, "x"]},
+        {"op": "knn", "k": 5, "query": [True, False]},
+        {"op": "knn", "k": 5, "query_id": "zero"},
+        {"op": "dist_to_targets"},
+        {"op": "dist_to_targets", "targets": []},
+        {"op": "dist_to_targets", "targets": [["a"]]},
+        {"op": "ann_build_index"},  # not whitelisted
+        {"op": "knn", "k": 5, "query": [1.0], "id_col": 7},
+    ]
+    for s in bad_specs:
+        with pytest.raises(DSLError):
+            run_query(catalog, {"table": "embeddings", "similarity": s})
+    # unknown query_id raises (not a silent empty result)
+    with pytest.raises(DSLError):
+        run_query(
+            catalog,
+            {"table": "embeddings", "similarity": {"op": "knn", "k": 5, "query_id": -12345}},
+        )

@@ -1,5 +1,7 @@
 """Sentiment scorer, rule-based POS tagger, nearest-centroid classifier."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -101,3 +103,93 @@ def test_nearest_centroid_separable(spark):
     assert len(got) == 10
     for vid, pred in got.items():
         assert pred == vid % 2
+
+
+# ---------------------------------------------------------------------------
+# spaCy-parity golden fixture (reference app/esper/spacy_tokenize.py:22-76)
+# ---------------------------------------------------------------------------
+
+_FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_spacy_pos_table_matches_golden_fixture(spark):
+    """The real-NLP mapInPandas path (per-partition model load, batch
+    iteration, row explosion) against the checked-in golden spaCy output —
+    the frozen model replays spaCy's documented tokenization semantics
+    (contraction splits like Don't -> Do + n't, protected U.S., punctuation
+    tokens) without the dependency."""
+    def _frozen_nlp_factory():
+        """Frozen stand-in for a spaCy pipeline: implements the minimal Doc
+        interface (callable -> iterable of tokens with .text/.tag_) using
+        spaCy's PUBLIC tokenizer algorithm — tokenizer exceptions for
+        contractions/abbreviations, then prefix/suffix punctuation splitting —
+        plus a frozen tag lexicon for the fixture vocabulary. Context-free by
+        construction, which is exactly what a frozen model is. Defined as a
+        factory with a LOCAL class so cloudpickle ships it by value (a
+        test-module-level class pickles by reference, which executors cannot
+        import)."""
+
+        class _FrozenNLP:
+
+            # lowercase exception -> split lengths ("don't" -> "do"+"n't")
+            EXC = {"don't": [2, 3], "can't": [2, 3], "isn't": [2, 3],
+                   "she's": [3, 2], "it's": [2, 2], "we'll": [2, 3]}
+            PROTECT = {"u.s."}
+            PUNCT = set(".,!?%()\"'")
+            TAGS = {"do": "VB", "n't": "RB", "stop": "VB", "the": "DT", "engine": "NN",
+                    ".": ".", "she": "PRP", "'s": "VBZ", "running": "VBG", "fast": "RB",
+                    ",": ",", "is": "VBZ", "?": ".", "i": "PRP", "ca": "MD",
+                    "believe": "VB", "it": "PRP", "u.s.": "NNP", "economy": "NN",
+                    "grew": "VBD", "%": "NN", "last": "JJ", "year": "NN", "we": "PRP",
+                    "'ll": "MD", "see": "VB", "you": "PRP", "at": "IN", "pm": "NN",
+                    "(": "-LRB-", "maybe": "RB", ")": "-RRB-"}
+
+            class Tok:
+                def __init__(self, text, tag):
+                    self.text, self.tag_ = text, tag
+
+            def _tag(self, text):
+                low = text.lower()
+                if low in self.TAGS:
+                    return self.TAGS[low]
+                if low.replace(".", "").isdigit():
+                    return "CD"
+                return "NN"
+
+            def _split_chunk(self, chunk):
+                low = chunk.lower()
+                if low in self.PROTECT:
+                    return [chunk]
+                if low in self.EXC:
+                    parts, i = [], 0
+                    for ln in self.EXC[low]:
+                        parts.append(chunk[i : i + ln])
+                        i += ln
+                    return parts
+                # prefix punctuation
+                if chunk and chunk[0] in self.PUNCT and len(chunk) > 1:
+                    return [chunk[0]] + self._split_chunk(chunk[1:])
+                # suffix punctuation — but keep interior dots (2.5, U.S.)
+                if chunk and chunk[-1] in self.PUNCT and len(chunk) > 1:
+                    return self._split_chunk(chunk[:-1]) + [chunk[-1]]
+                return [chunk]
+
+            def __call__(self, text):
+                out = []
+                for chunk in text.split():
+                    for t in self._split_chunk(chunk):
+                        out.append(self.Tok(t, self._tag(t)))
+                return out
+
+        return _FrozenNLP()
+
+    docs = spark.read.parquet(os.path.join(_FIXDIR, "spacy_docs.parquet"))
+    golden = spark.read.parquet(os.path.join(_FIXDIR, "spacy_golden.parquet"))
+    got = pos.spacy_pos_table(docs.repartition(3), nlp_factory=_frozen_nlp_factory)
+    g = [(r["doc_id"], r["pos"], r["token"], r["tag"]) for r in got.orderBy("doc_id", "pos").collect()]
+    want = [(r["doc_id"], r["pos"], r["token"], r["tag"]) for r in golden.orderBy("doc_id", "pos").collect()]
+    assert g == want
+    # and the contraction-splitting semantics specifically (the part the
+    # rule tagger's whitespace tokenization cannot represent)
+    toks = [t for d, p, t, tg in g if d == 0]
+    assert toks[:2] == ["Do", "n't"]
