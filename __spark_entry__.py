@@ -569,7 +569,7 @@ def q20_interval_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (coalesce B + left range-join + gap window + tails)."""
     a = _event_intervals(spark, sf_dir, "view")
     b = _event_intervals(spark, sf_dir, "error").select("user_id", "start", "end")
-    out = intervals.minus(a, b, ["user_id"])
+    out = intervals.minus(a, b, ["user_id"], unique_rows=True)
     return out.select(
         "user_id", "event_id", F.col("start").alias("istart"), F.col("end").alias("iend")
     )
@@ -611,10 +611,18 @@ UNION ALL SELECT * FROM tails WHERE iend > istart
 
 def q21_interval_overlap_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """annotate_interval_overlap (spark_util.py:594-622 — broadcast-dict UDF
-    there): micros of each purchase interval overlapped by error time."""
+    there): micros of each purchase interval overlapped by error time.
+
+    Plan choice: the PLAIN keyed range join, not the banded path. The join
+    key (user_id) is fine-grained — per-user interval counts are bounded —
+    so the shuffle already partitions the work and banding would only add
+    a band-stats job plus an explode for zero join-volume reduction (the
+    measured 1.0s+ of q21's r3 regression). Banding remains the right plan
+    when keys are coarse or absent (q19/q22 exercise it); a hot key here
+    is AQE skew-join's job, not banding's."""
     a = _event_intervals(spark, sf_dir, "purchase").select("user_id", "event_id", "start", "end")
     b = _event_intervals(spark, sf_dir, "error").select("user_id", "start", "end")
-    out = intervals.overlap_measure(a, b, ["user_id"], band="auto")
+    out = intervals.overlap_measure(a, b, ["user_id"], band=None, unique_rows=True)
     return out.select("user_id", "event_id", F.col("overlap_total").alias("overlap_us"))
 
 

@@ -57,6 +57,16 @@ HEADLINE = [
     "q81_pq_codes",
 ]
 
+# run once each at the 10x rehearsal scale (see tools/make_scale.py)
+SCALE_QUERIES = [
+    "q51_near_dup_embeddings",
+    "q56_commercial_detection",
+    "q77_bootstrap_validation",
+    "q81_pq_codes",
+    "q80_ivf_ann",
+    "q37_jaccard_verify",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -101,20 +111,45 @@ def main() -> None:
         except Exception:
             exchanges[name] = -1
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "exchanges": exchanges,
-                "sf": sf,
-            }
-        )
+    # scale rehearsal: if the 10x dataset exists (tools/make_scale.py), run
+    # the heaviest queries once at sf1 and report the time ratio vs their
+    # sf0.1 best — the linearity proof that banding / caps / AQE engage at
+    # a decade more data (anything >>10x flags a super-linear operator).
+    scale_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1"),
     )
+    scale: dict[str, dict] = {}
+    if os.path.isdir(scale_dir) and os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        for name in SCALE_QUERIES:
+            t0 = time.time()
+            qs[name](spark, scale_dir).collect()
+            dt = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
+            try:
+                ex = count_shuffles(qs[name](spark, scale_dir))
+            except Exception:
+                ex = -1
+            base = timings.get(name)
+            scale[name] = {
+                "sec": dt,
+                "exchanges": ex,
+                "ratio_vs_sf0.1": round(dt / base, 2) if base else None,
+            }
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "exchanges": exchanges,
+        "sf": sf,
+    }
+    if scale:
+        out["scale_sf1"] = scale
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -27,6 +27,7 @@ come from interval-length stats (plans/banding.py).
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, Window
@@ -307,6 +308,7 @@ def minus(
     key_cols: list[str],
     start: str = "start",
     end: str = "end",
+    unique_rows: bool = False,
 ) -> DataFrame:
     """Interval set-difference A \\ B on the time axis, splitting intervals —
     rekall minus (commercial_detection_rekall.py:199-205,234,
@@ -317,23 +319,22 @@ def minus(
 
     Output: a's key columns + (start, end) of the surviving sub-intervals.
     Non-key payload columns of `a` are preserved.
+
+    `unique_rows=True` is the caller's contract that a's rows are unique
+    (e.g. a unique event id in the payload): the sweep then windows over
+    the full row directly — no distinct, no join-back, two fewer
+    exchanges. With the default False, the sweep runs on DISTINCT
+    intervals and re-attaches payloads by an equi-join afterwards, which
+    both handles duplicate rows and keeps payload bytes out of the sweep.
+    Either way there is no monotonically_increasing_id: recomputed ids
+    can differ under stage retry, splitting the window groups.
     """
     payload_cols = [c for c in a.columns if c not in {*key_cols, start, end}]
     bc = coalesce(b.select(*key_cols, start, end), key_cols, start, end).drop("n_merged")
     pb = _prefixed(bc, "b_")
-    # The per-interval window needs a unique key per a-row. A
-    # monotonically_increasing_id is nondeterministic under stage retry
-    # (recomputed ids can differ from those already consumed, splitting the
-    # window groups), so instead collapse a-rows to DISTINCT INTERVALS with
-    # a deterministic groupBy keyed on (key_cols, start, end) only — the
-    # payload columns ride along packed into one collected list per
-    # interval, and re-expand after the sweep. (Payloads must be
-    # struct-packable — scalars/arrays, not maps.) Keying the shuffle on
-    # the interval key instead of the full row keeps the exchange narrow,
-    # and rows sharing an interval join + sweep ONCE.
     gk = [*key_cols, start, end]
-    packed = F.struct(*payload_cols) if payload_cols else F.struct(F.lit(1).alias("__one"))
-    a_uniq = a.groupBy(*gk).agg(F.collect_list(packed).alias("__pl"))
+    row_key = list(a.columns) if unique_rows else gk
+    a_uniq = a if unique_rows else a.select(*gk).distinct()
     keys = [F.col(k) == F.col(f"b_{k}") for k in key_cols]
     overlap = (F.col(f"b_{start}") < F.col(end)) & (F.col(f"b_{end}") > F.col(start))
     j = a_uniq.join(pb, keys + [overlap], "left")
@@ -345,7 +346,7 @@ def minus(
     #   - the gap before this b:    [max(lag(b_end), a_start), b_start)
     #   - after the LAST b only:    [b_end, a_end)
     # Unmatched a rows (b_start null) emit themselves unchanged.
-    w = Window.partitionBy(*gk).orderBy(F.col(f"b_{start}"))
+    w = Window.partitionBy(*row_key).orderBy(F.col(f"b_{start}"))
     j = j.withColumn("__seg_start", F.coalesce(F.lag(F.col(f"b_{end}")).over(w), F.col(start))).withColumn(
         "__is_last_b", F.lead(F.col(f"b_{start}")).over(w).isNull()
     )
@@ -364,15 +365,40 @@ def minus(
             lambda seg: seg["s"].isNotNull() & (seg["e"] > seg["s"]),
         )
     )
-    out = (
-        j.select(*key_cols, "__pl", F.explode(candidates).alias("__seg"))
-        .withColumn(start, F.col("__seg.s"))
-        .withColumn(end, F.col("__seg.e"))
-        .withColumn("__pe", F.explode("__pl"))
+    if unique_rows:
+        # payloads rode through the sweep on the unique row — emit directly
+        return (
+            j.select(*key_cols, *payload_cols, F.explode(candidates).alias("__seg"))
+            .withColumn(start, F.col("__seg.s"))
+            .withColumn(end, F.col("__seg.e"))
+            .select(*key_cols, start, end, *payload_cols)
+        )
+    # re-attach payloads: original rows join their interval's segments (an
+    # interval fully covered by B has no segments -> its rows drop, as the
+    # inner join encodes; exact-duplicate rows each re-emit every segment —
+    # which is why the join-back runs even with no payload columns:
+    # returning the distinct segments directly would silently collapse
+    # duplicate input rows).
+    # segs derives from `a`, so its columns are fully renamed before the
+    # join-back — otherwise Spark flags the self-join as ambiguous lineage.
+    segs = j.select(
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols],
+        F.col(start).alias("__a_start"),
+        F.col(end).alias("__a_end"),
+        F.explode(candidates).alias("__seg"),
     )
-    for c in payload_cols:
-        out = out.withColumn(c, F.col(f"__pe.{c}"))
-    return out.select(*key_cols, start, end, *payload_cols)
+    on = [
+        *[F.col(f"__k_{k}").eqNullSafe(F.col(k)) for k in key_cols],
+        F.col("__a_start").eqNullSafe(F.col(start)),
+        F.col("__a_end").eqNullSafe(F.col(end)),
+    ]
+    joined = a.join(segs, functools.reduce(lambda x, y: x & y, on))
+    return joined.select(
+        *key_cols,
+        F.col("__seg.s").alias(start),
+        F.col("__seg.e").alias(end),
+        *payload_cols,
+    )
 
 
 def overlap_measure(
@@ -384,6 +410,7 @@ def overlap_measure(
     out_col: str = "overlap_total",
     coalesce_b: bool = True,
     band: int | str | None = None,
+    unique_rows: bool = False,
 ) -> DataFrame:
     """Annotate each interval of `a` with its total overlap against the set
     `b` (reference annotate_interval_overlap, spark_util.py:594-622 — there a
@@ -398,25 +425,29 @@ def overlap_measure(
     if coalesce_b:
         b = coalesce(b.select(*key_cols, start, end), key_cols, start, end).drop("n_merged")
     # deterministic duplicate handling instead of a retry-hazardous
-    # monotonically_increasing_id (see minus): collapse to distinct
-    # intervals keyed on (key_cols, start, end), pack the payload columns
-    # into one collected list, measure per distinct interval, re-expand.
-    # The overlap join + sum never touch payload bytes at all.
+    # monotonically_increasing_id (see minus): measure DISTINCT intervals
+    # only — one distinct on (key_cols, start, end) — then left-join the
+    # per-interval sums back onto the original rows, where duplicates
+    # re-expand naturally and payload bytes never enter the overlap
+    # join/aggregate at all. `unique_rows=True` (caller's contract that
+    # a's rows are unique) skips both the distinct and the join-back and
+    # aggregates per full row directly — two fewer exchanges.
     a_cols = list(a.columns)
-    payload_cols = [c for c in a_cols if c not in {*key_cols, start, end}]
     gk = [*key_cols, start, end]
-    packed = F.struct(*payload_cols) if payload_cols else F.struct(F.lit(1).alias("__one"))
-    a_uniq = a.groupBy(*gk).agg(F.collect_list(packed).alias("__pl"))
-    a_iv = a_uniq.select(*gk)
-
-    def reexpand(with_sums: DataFrame) -> DataFrame:
-        out = with_sums.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0))).withColumn(
-            "__pe", F.explode("__pl")
+    if unique_rows and band is None:
+        pb = _prefixed(b, "b_")
+        keys = [F.col(k) == F.col(f"b_{k}") for k in key_cols]
+        overlap = (F.col(f"b_{start}") < F.col(end)) & (F.col(f"b_{end}") > F.col(start))
+        j = a.join(pb, keys + [overlap], "left")
+        piece = F.least(F.col(end), F.col(f"b_{end}")) - F.greatest(
+            F.col(start), F.col(f"b_{start}")
         )
-        for c in payload_cols:
-            out = out.withColumn(c, F.col(f"__pe.{c}"))
-        return out.select(*a_cols, out_col)
-
+        return j.groupBy(*a_cols).agg(
+            F.sum(F.when(F.col(f"b_{start}").isNotNull(), piece).otherwise(F.lit(0))).alias(
+                out_col
+            )
+        )
+    a_iv = a.select(*gk).distinct()
     if band is not None:
         ij = interval_join(
             a_iv, b.select(*key_cols, start, end), key_cols, t_overlaps, start, end, band
@@ -427,16 +458,30 @@ def overlap_measure(
         sums = ij.groupBy(*[F.col(f"a_{c}").alias(c) for c in gk]).agg(
             F.sum(piece).alias(out_col)
         )
-        return reexpand(a_uniq.join(sums, gk, "left"))
-    pb = _prefixed(b, "b_")
-    keys = [F.col(k) == F.col(f"b_{k}") for k in key_cols]
-    overlap = (F.col(f"b_{start}") < F.col(end)) & (F.col(f"b_{end}") > F.col(start))
-    j = a_iv.join(pb, keys + [overlap], "left")
-    piece = F.least(F.col(end), F.col(f"b_{end}")) - F.greatest(F.col(start), F.col(f"b_{start}"))
-    sums = j.groupBy(*gk).agg(
-        F.sum(F.when(F.col(f"b_{start}").isNotNull(), piece).otherwise(F.lit(0))).alias(out_col)
+    else:
+        pb = _prefixed(b, "b_")
+        keys = [F.col(k) == F.col(f"b_{k}") for k in key_cols]
+        overlap = (F.col(f"b_{start}") < F.col(end)) & (F.col(f"b_{end}") > F.col(start))
+        j = a_iv.join(pb, keys + [overlap], "left")
+        piece = F.least(F.col(end), F.col(f"b_{end}")) - F.greatest(
+            F.col(start), F.col(f"b_{start}")
+        )
+        sums = j.groupBy(*gk).agg(
+            F.sum(F.when(F.col(f"b_{start}").isNotNull(), piece).otherwise(F.lit(0))).alias(
+                out_col
+            )
+        )
+    # fully rename the derived side before the self-join-back (lineage
+    # ambiguity otherwise) and re-expand duplicates via the left join
+    sums = sums.select(
+        *[F.col(c).alias(f"__k_{c}") for c in gk], F.col(out_col).alias("__sum")
     )
-    return reexpand(a_uniq.join(sums, gk, "left"))
+    on = functools.reduce(
+        lambda x, y: x & y, [F.col(f"__k_{c}").eqNullSafe(F.col(c)) for c in gk]
+    )
+    return a.join(sums, on, "left").select(
+        *a_cols, F.coalesce(F.col("__sum"), F.lit(0)).alias(out_col)
+    )
 
 
 # --------------------------------------------------------------------------

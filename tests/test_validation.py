@@ -146,3 +146,36 @@ def test_bootstrap_adjusted_totals_vs_python(spark):
     adj_err = sum(abs(got[(c, "adjusted")][0] - true_tot[c]) for c in classes)
     unadj_err = sum(abs(got[(c, "unadjusted")][0] - true_tot[c]) for c in classes)
     assert adj_err < unadj_err
+
+
+def test_bootstrap_pred_only_class_reported_with_zero_true_total(spark):
+    """A class the classifier predicts but that never appears as a hand
+    label must still be reported (bias computed against true_total=0), not
+    silently dropped by an inner join."""
+    from esper_tv_spark.domain.validation import bootstrap_adjusted_totals
+
+    rows = [(u, "ghost" if u % 3 == 0 else "a", "a") for u in range(12)]
+    labeled = spark.createDataFrame(rows, "unit long, pred string, truth string")
+    out = bootstrap_adjusted_totals(labeled, "unit", "pred", "truth", trials=20, k=10, seed=1)
+    got = {(r["cls"], r["variant"]): r for r in out.collect()}
+    assert ("ghost", "unadjusted") in got
+    g = got[("ghost", "unadjusted")]
+    # bias = mean(trial totals) - 0; est is the full-sample ghost count
+    assert g["est"] == 4.0
+    assert g["bias"] > 0.0
+
+
+def test_bootstrap_unit_guard_raises_loudly(spark):
+    """The global-sort unit index is documented for hand-label-sized
+    samples; make sure misuse fails with the guard message, not silently
+    single-partition-sorting a huge table."""
+    import pytest as _pytest
+
+    from esper_tv_spark.domain.validation import bootstrap_adjusted_totals
+
+    big = spark.range(0, 1_100_000).selectExpr(
+        "id AS unit", "'a' AS pred", "'a' AS truth"
+    )
+    out = bootstrap_adjusted_totals(big, "unit", "pred", "truth", trials=2, k=2, seed=1)
+    with _pytest.raises(Exception, match="hand-label-sized"):
+        out.collect()
