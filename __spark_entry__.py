@@ -1336,6 +1336,22 @@ def _dir_fingerprint(path: str) -> str:
     return h.hexdigest()[:16]
 
 
+def _parquet_num_rows(path: str) -> int:
+    """Exact row count from parquet FOOTER metadata only — no Spark job,
+    no data scan (the lakehouse equivalent is table-stats/manifest counts).
+    Works for a single file or a directory of part files."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += pq.read_metadata(os.path.join(root, fn)).num_rows
+        return total
+    return pq.read_metadata(path).num_rows
+
+
 def q51_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family), SCALE PATH:
     signed-random-projection buckets block the comparison, so candidate
@@ -1348,11 +1364,16 @@ def q51_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Band math: per-plane collision prob for angle t is 1 - t/pi; a band of
     k planes collides with p^k; L bands miss with (1-p^k)^L. At the 0.4
     cosine threshold (t ~ 66deg, p ~ 0.63) 4-plane x 16-band gives ~0.98
-    recall. n_planes is PINNED to the oracle's plane set (4) — a
-    corpus-size-derived plane count silently diverges from any fixed
-    oracle, and deriving it cost a full count() scan per invocation. For a
-    real deploy, pick planes from table-stats/manifest at INDEX BUILD time
-    (target bucket occupancy ~31) and record them in the index.
+    recall. n_planes comes from dedup.recommended_planes applied to the
+    parquet FOOTER row count (pyarrow metadata — no Spark job, no scan):
+    bucket occupancy stays ~31 so candidate volume is linear in n. A
+    pinned plane count measured 50x wall at 10x data in the sf1 rehearsal;
+    a runtime emb.count() was the r3 approach and cost a full scan per
+    invocation. The oracle inlines the formula's value AT THE DRIVER'S
+    CORRECTNESS SCALE (sf0.01, 500 vectors -> 4 planes = _q51_sql's
+    default); parity at other scales requires regenerating the oracle for
+    that corpus size, which the static oracle_sql() contract cannot
+    express — the driver's gate runs at sf0.01 only (TESTDATA.md).
 
     Index reuse: the banded projection + norms are persisted once per
     dataset fingerprint (build_srp_index) and probed thereafter — repeat
@@ -1362,8 +1383,8 @@ def q51_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
-    n_planes, n_bands, seed = 4, 16, 42
     src = os.path.join(sf_dir, "embeddings.parquet")
+    n_planes, n_bands, seed = dedup.recommended_planes(_parquet_num_rows(src)), 16, 42
     tag = _dir_fingerprint(src)
     idx = os.path.join(
         tempfile.gettempdir(), f"esper_tv_srp_idx_{tag}_p{n_planes}b{n_bands}s{seed}"
@@ -2400,7 +2421,7 @@ Q68_SQL = """
 WITH ranked AS (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source
-                            ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+                            ORDER BY (doc_id::HUGEINT * 2654435761) % 4294967296, doc_id) AS rk
   FROM documents
 )
 SELECT doc_id, source FROM ranked WHERE rk <= 5
@@ -2829,7 +2850,7 @@ def q76_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q76_SQL = """
 SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM documents
-WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 <
+WHERE CAST((doc_id::HUGEINT * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 <
       CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                   WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1 ELSE 0.0 END
 GROUP BY source ORDER BY source
@@ -2856,8 +2877,12 @@ def q77_bootstrap_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayable in ANSI SQL."""
     from esper_tv_spark.domain.validation import bootstrap_adjusted_totals
 
+    from esper_tv_spark.operators.corpus import portable_hash
+
     ev = _t(spark, sf_dir, "events")
-    corrupt = (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(20) < 3
+    # portable_hash, not a raw multiply: sf1-scale event ids overflow int64
+    # under id * 2654435761 (caught by the scale rehearsal)
+    corrupt = portable_hash(F.col("event_id")) % F.lit(20) < 3
     nxt = F.col("event_type")
     for src, dst in reversed(list(_CORRUPT_NEXT.items())):
         nxt = F.when(F.col("event_type") == src, F.lit(dst)).otherwise(nxt)
@@ -2881,7 +2906,7 @@ _CORRUPT_CASE = (
 Q77_SQL = f"""
 WITH dets AS (
   SELECT user_id AS unit,
-         CASE WHEN (event_id * 2654435761) % 4294967296 % 20 < 3
+         CASE WHEN (event_id::HUGEINT * 2654435761) % 4294967296 % 20 < 3
               THEN {_CORRUPT_CASE} ELSE event_type END AS pred,
          event_type AS truth
   FROM events
@@ -2901,7 +2926,7 @@ unit_idx AS (
 nu AS (SELECT count(*) AS n_units FROM unit_idx),
 grid AS (
   SELECT t.range AS t,
-         ((42 + t.range * 100 + j.range) * 2654435761) % 4294967296 % (SELECT n_units FROM nu) AS idx
+         ((42 + t.range * 100 + j.range)::HUGEINT * 2654435761) % 4294967296 % (SELECT n_units FROM nu) AS idx
   FROM range(200) t, range(100) j
 ),
 draws AS (SELECT g.t, u.unit FROM grid g JOIN unit_idx u ON g.idx = u.idx),

@@ -122,19 +122,24 @@ def main() -> None:
     scale: dict[str, dict] = {}
     if os.path.isdir(scale_dir) and os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
         for name in SCALE_QUERIES:
-            t0 = time.time()
-            qs[name](spark, scale_dir).collect()
-            dt = round(time.time() - t0, 3)
+            passes = []
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, scale_dir).collect()
+                passes.append(round(time.time() - t0, 3))
             spark.catalog.clearCache()
             try:
                 ex = count_shuffles(qs[name](spark, scale_dir))
             except Exception:
                 ex = -1
             base = timings.get(name)
+            # best-of-2, like the sf0.1 suite: pass 1 includes one-time
+            # index builds (q51's SRP projection) and codegen compiles
             scale[name] = {
-                "sec": dt,
+                "sec": min(passes),
+                "runs": passes,
                 "exchanges": ex,
-                "ratio_vs_sf0.1": round(dt / base, 2) if base else None,
+                "ratio_vs_sf0.1": round(min(passes) / base, 2) if base else None,
             }
 
     total = round(sum(timings.values()), 3)

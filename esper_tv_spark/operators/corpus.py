@@ -31,8 +31,20 @@ _M32 = 1 << 32
 
 
 def portable_hash(col: Column) -> Column:
-    """Deterministic engine-portable pseudo-random rank in [0, 2^32)."""
-    return F.pmod(col.cast("long") * F.lit(_KNUTH), F.lit(_M32))
+    """Deterministic engine-portable pseudo-random rank in [0, 2^32).
+
+    Overflow-safe for the full BIGINT id range (found by the sf1 scale
+    rehearsal: a naive id * K breaks int64 once ids pass ~3.5e9, which
+    key-shifted 100 TB ids certainly do). x*K mod 2^32 depends only on
+    x mod 2^32, and that product is computed 16 bits at a time —
+    (hi*K mod 2^32)*2^16 + lo*K — so every intermediate stays far below
+    2^63 while the result is bit-identical to the naive formula (DuckDB
+    replays it with a HUGEINT cast instead)."""
+    x0 = F.pmod(col.cast("long"), F.lit(_M32))
+    hi = F.floor(x0 / F.lit(65536)).cast("long")
+    lo = F.pmod(x0, F.lit(65536))
+    hi_term = F.pmod(F.pmod(hi * F.lit(_KNUTH), F.lit(_M32)) * F.lit(65536), F.lit(_M32))
+    return F.pmod(hi_term + lo * F.lit(_KNUTH), F.lit(_M32))
 
 
 def decontaminate(

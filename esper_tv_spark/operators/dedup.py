@@ -395,6 +395,19 @@ def embedding_near_dup_pairs(
     )
 
 
+def recommended_planes(n_vectors: int, target_occupancy: float = 31.25) -> int:
+    """Plane count for the banded SRP block at a given corpus size: keeps
+    expected bucket occupancy ~target (2^planes buckets/band), so per-band
+    candidate volume stays n_buckets * occupancy^2 ~ LINEAR in n. A pinned
+    plane count goes quadratic one decade up — measured 50x wall at 10x
+    data in the sf1 rehearsal. The price is borderline-pair recall (p^k
+    per band falls as k grows); true near-duplicates (cosine >= 0.8,
+    p >= 0.85) stay >0.99 recall at 16 bands through k=9."""
+    import math
+
+    return max(2, round(math.log2(max(n_vectors, 64) / target_occupancy)))
+
+
 def build_srp_index(
     df: DataFrame,
     path: str,
