@@ -122,9 +122,16 @@ def detect_commercials(
     # Identity-preserving minus, NOT the sweep: each surviving arrow
     # sub-interval is tested against `reliable` individually, so merging
     # adjacent survivors here would change which spans pass the filter.
+    # arrows is only ever a FILTER side downstream (filter_against +
+    # anti-join), so duplicate arrow rows cannot change the result —
+    # pre-distinct and take minus's unique_rows fast path (direct window
+    # sweep, no join-back re-expansion).
     arrows = iv.filter_against(
         iv.minus(
-            bare(arrow_text), iv.set_union(bare(arrow_announcer), bare(arrow_having)), key
+            bare(arrow_text).distinct(),
+            iv.set_union(bare(arrow_announcer), bare(arrow_having)),
+            key,
+            unique_rows=True,
         ),
         reliable,
         key,

@@ -479,12 +479,17 @@ def near_dup_pairs_from_index(
     spark = df.sparkSession
     bands = spark.read.parquet(os.path.join(path, "bands"))
     norms = spark.read.parquet(os.path.join(path, "norms"))
+    # NO distinct before scoring: bands produce mostly-disjoint random
+    # collisions (measured ~3% overlap at occupancy ~31 x 16 bands), so a
+    # pre-scoring distinct shuffles the full multi-million-pair stream to
+    # save ~3% of one-dot-per-pair work. Score everything map-side and
+    # dedup AFTER the threshold filter, where survivors are thousands,
+    # not millions.
     cand = (
         bands.select("band", "bucket", F.col("id").alias("id_a"))
         .join(bands.select("band", "bucket", F.col("id").alias("id_b")), ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     an = vecs.join(norms, "id").select(
@@ -493,10 +498,18 @@ def near_dup_pairs_from_index(
     bn = vecs.join(norms, "id").select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("__nb")
     )
-    j = cand.join(an, "id_a").join(bn, "id_b")
+    # broadcast the vector side: candidate pairs outnumber vectors by
+    # occupancy*bands/2 (~300x), so shuffling pairs against a shuffled
+    # vector table moves pairs x 2 x dim doubles — while the whole vector
+    # set is megabytes. Map-side lookup keeps the pair stream in place.
+    # (At corpus sizes where vectors stop fitting in an executor, swap for
+    # a bucketed co-partitioned join on id.)
+    j = cand.join(F.broadcast(an), "id_a").join(F.broadcast(bn), "id_b")
     sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")), 6)
-    return j.select("id_a", "id_b", sim.alias("cosine_sim")).where(
-        F.col("cosine_sim") >= F.lit(threshold)
+    return (
+        j.select("id_a", "id_b", sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= F.lit(threshold))
+        .distinct()
     )
 
 
