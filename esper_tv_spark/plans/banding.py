@@ -20,6 +20,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# session-lifetime memo keyed by the inputs' SEMANTIC plan hashes: band
+# width is a plan-shape statistic (it changes candidate volume, never the
+# result), so recomputing the approxQuantile job on every call to the
+# same logical inputs is pure waste — banded call sites in a loop paid
+# one stats job per iteration. A (rare) hash collision costs only a
+# suboptimal width, not correctness.
+_WIDTH_MEMO: dict[tuple, int] = {}
+
+
 def choose_band_width(
     *dfs: DataFrame,
     start: str = "start",
@@ -29,7 +38,40 @@ def choose_band_width(
     minimum: int = 1,
 ) -> int:
     """p95 interval length across the join inputs (approx quantile,
-    single aggregate pass; optionally over a sample at very large scale)."""
+    single aggregate pass; optionally over a sample at very large scale).
+    Memoized per (semantic plan hashes, params) for the session."""
+    try:
+        key = (
+            tuple(df.semanticHash() for df in dfs),
+            start,
+            end,
+            quantile,
+            sample_fraction,
+            minimum,
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _WIDTH_MEMO:
+        return _WIDTH_MEMO[key]
+    w = _compute_band_width(
+        *dfs, start=start, end=end, quantile=quantile,
+        sample_fraction=sample_fraction, minimum=minimum,
+    )
+    if key is not None:
+        if len(_WIDTH_MEMO) > 1024:
+            _WIDTH_MEMO.clear()
+        _WIDTH_MEMO[key] = w
+    return w
+
+
+def _compute_band_width(
+    *dfs: DataFrame,
+    start: str = "start",
+    end: str = "end",
+    quantile: float = 0.95,
+    sample_fraction: float | None = None,
+    minimum: int = 1,
+) -> int:
     lengths = []
     for df in dfs:
         d = df.select((F.col(end) - F.col(start)).cast("double").alias("len"))
