@@ -204,15 +204,21 @@ def jaccard_pairs(
     The verify stage after LSH candidate generation: two equi-joins pull
     each pair's shingle-set arrays, and the intersection is a per-row
     array_intersect — no shingle explode, no (id, ngram)-wide shuffle, no
-    re-aggregation. Candidate pairs are a tiny fraction of the corpus, so
-    AQE broadcast-joins the pair list against the set table."""
+    re-aggregation.
+
+    The set-table joins are PINNED to shuffled-hash: the shingle arrays
+    blow up ~10x over the raw text, so Catalyst's static size estimate
+    (derived from the parquet scan) undershoots and elects a broadcast
+    that fails at driver memory one decade up (found by the sf10
+    rehearsal — worked at 50k docs, died at 500k). Shuffled-hash scales
+    on both sides; AQE still handles any skewed id."""
     s = sets if sets is not None else shingle_sets(df, shingle_n, id_col, text_col)
     sa = s.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), F.col("n_sh").alias("n_a"))
     sb = s.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), F.col("n_sh").alias("n_b"))
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
+        pairs.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .select(
             "id_a",
             "id_b",
