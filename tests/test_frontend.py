@@ -295,3 +295,98 @@ def test_dsl_similarity_rejected_specs(catalog):
             catalog,
             {"table": "embeddings", "similarity": {"op": "knn", "k": 5, "query_id": -12345}},
         )
+
+
+# ---------------------------------------------------------------------------
+# property-based fuzz: the DSL's whitelist is airtight
+# ---------------------------------------------------------------------------
+
+def test_dsl_fuzz_unknown_names_always_dslerror(spark, catalog):
+    """Property: any op/fn/agg/window-fn name outside the whitelist raises
+    DSLError at COMPILE time (before any Spark action), for arbitrary
+    name strings including python-looking payloads."""
+    from hypothesis import given, settings, strategies as st
+
+    from esper_tv_spark.frontend import dsl as dsl_mod
+
+    known = set(dsl_mod._FUNCS) | set(dsl_mod._BINOPS) | set(dsl_mod._AGGS) | set(
+        dsl_mod._WINDOW_FNS
+    )
+    names = st.text(min_size=1, max_size=30).filter(lambda s: s not in known)
+    evil = st.sampled_from(
+        ["__import__", "eval", "exec", "os.system", "subprocess", "open", "__class__"]
+    )
+
+    @given(name=st.one_of(names, evil), slot=st.sampled_from(["op", "fn", "agg", "window"]))
+    @settings(max_examples=200, deadline=None)
+    def prop(name, slot):
+        if slot == "op":
+            spec = {"table": "region", "derive": {"x": {"op": name, "args": ["r_regionkey", "r_regionkey"]}}}
+        elif slot == "fn":
+            spec = {"table": "region", "derive": {"x": {"fn": name, "args": ["r_name"]}}}
+        elif slot == "agg":
+            spec = {"table": "region", "agg": {"x": {"fn": name, "col": "r_regionkey"}}}
+        else:
+            spec = {"table": "region", "window": {"x": {"fn": name, "order_by": ["r_regionkey"]}}}
+        with pytest.raises(DSLError):
+            run_query(catalog, spec)
+
+    prop()
+
+
+def test_dsl_fuzz_literals_restricted(spark, catalog):
+    """Property: only scalar JSON literals compile; containers, bytes, and
+    objects raise DSLError."""
+    from hypothesis import given, settings, strategies as st
+
+    bad_lits = st.one_of(
+        st.lists(st.integers(), min_size=1),
+        st.dictionaries(st.text(max_size=3), st.integers(), min_size=1),
+        st.binary(min_size=1),
+        st.tuples(st.integers()),
+    )
+
+    @given(v=bad_lits)
+    @settings(max_examples=100, deadline=None)
+    def prop(v):
+        with pytest.raises(DSLError):
+            run_query(catalog, {"table": "region", "derive": {"x": {"lit": v}}})
+
+    prop()
+
+
+def test_dsl_fuzz_valid_specs_compile(spark, catalog):
+    """Property: specs drawn from the whitelist grammar either run or fail
+    with a *typed* error (DSLError / Spark analysis error) — never an
+    arbitrary crash, never code execution."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.errors.exceptions.base import PySparkException
+
+    cols = st.sampled_from(["r_regionkey", "r_name"])
+    funcs = st.sampled_from(["lower", "upper", "length", "trim"])
+    exprs = st.one_of(
+        cols,
+        st.builds(lambda c, f: {"fn": f, "args": [c]}, cols, funcs),
+        st.builds(lambda v: {"lit": v}, st.integers(-10, 10)),
+    )
+
+    @given(
+        e=exprs,
+        agg=st.sampled_from(["count", "sum", "min", "max"]),
+        lim=st.integers(0, 5),
+    )
+    @settings(max_examples=100, deadline=None)
+    def prop(e, agg, lim):
+        spec = {
+            "table": "region",
+            "derive": {"x": e},
+            "agg": {"out": ({"fn": agg, "col": "r_regionkey"} if agg != "count" else {"fn": agg})},
+            "limit": lim,
+        }
+        try:
+            df = run_query(catalog, spec)
+            assert len(df.collect()) <= max(lim, 1)
+        except (DSLError, PySparkException):
+            pass
+
+    prop()
