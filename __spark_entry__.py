@@ -1336,6 +1336,23 @@ def _dir_fingerprint(path: str) -> str:
     return h.hexdigest()[:16]
 
 
+def _evict_stale_siblings(prefix: str, keep: str) -> None:
+    """Best-effort cleanup of fingerprint-keyed cache dirs from prior data
+    generations: without it, every testdata regeneration leaves a dead
+    index/labels copy in the temp dir forever."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    try:
+        for name in os.listdir(tmp):
+            full = os.path.join(tmp, name)
+            if name.startswith(prefix) and full != keep and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+    except OSError:
+        pass
+
+
 def _parquet_num_rows(path: str) -> int:
     """Exact row count from parquet FOOTER metadata only — no Spark job,
     no data scan (the lakehouse equivalent is table-stats/manifest counts).
@@ -1385,11 +1402,16 @@ def q51_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     src = os.path.join(sf_dir, "embeddings.parquet")
     n_planes, n_bands, seed = dedup.recommended_planes(_parquet_num_rows(src)), 16, 42
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
     tag = _dir_fingerprint(src)
     idx = os.path.join(
-        tempfile.gettempdir(), f"esper_tv_srp_idx_{tag}_p{n_planes}b{n_bands}s{seed}"
+        tempfile.gettempdir(),
+        f"esper_tv_srp_idx_{sf_tag}_{tag}_p{n_planes}b{n_bands}s{seed}",
     )
     if not os.path.exists(os.path.join(idx, "norms", "_SUCCESS")):
+        # evict THIS sf's indexes from prior data generations (other sf
+        # dirs keep theirs — the prefix is sf-scoped)
+        _evict_stale_siblings(f"esper_tv_srp_idx_{sf_tag}_", keep=idx)
         dedup.build_srp_index(
             emb, idx, n_planes=n_planes, seed=seed, n_bands=n_bands, dim=64
         )
@@ -2183,13 +2205,17 @@ def q79_label_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("x"),
         interp_expr(score, _PREC_XS, _PREC_YS).alias("p"),
     )
-    # Per-run unique base dir: a cache keyed only on the sf basename served
-    # STALE labels when the testdata was regenerated between rounds (same
-    # path, different rows). Freshness beats cross-run reuse here; ledger
-    # idempotency WITHIN a run is still exercised (and pytest covers the
-    # cross-run skip path separately).
+    # Input-fingerprint-keyed base dir: a cache keyed only on the sf
+    # basename served STALE labels when the testdata was regenerated
+    # between rounds, and a per-run mkdtemp leaked a labels copy per call.
+    # The stat fingerprint gives both: regenerated data -> new dir (fresh),
+    # same data -> same dir (write_derived_table's ledger skip makes
+    # repeat calls free). Stale siblings from prior generations are
+    # best-effort evicted.
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    base = tempfile.mkdtemp(prefix=f"esper_tv_writeback_{sf_tag}_")
+    tag = _dir_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))
+    base = os.path.join(tempfile.gettempdir(), f"esper_tv_writeback_{sf_tag}_{tag}")
+    _evict_stale_siblings(f"esper_tv_writeback_{sf_tag}_", keep=base)
     write_derived_table(labels, base, job=f"precision_labels_{sf_tag}")
     back = read_derived_table(spark, base)
     return back.groupBy("l_returnflag").agg(
@@ -2954,21 +2980,30 @@ summ_a AS (
   SELECT cls, CAST(sum(s) AS BIGINT) AS sum_s, CAST(sum(s * s) AS BIGINT) AS sum_sq
   FROM adj_t GROUP BY cls
 ),
+-- outer-join spine mirroring the Spark side: a class predicted but never
+-- hand-labeled reports against true_total=0, and a class never drawn in a
+-- trial reports sum_s=0 — neither is silently dropped
 out_u AS (
-  SELECT s.cls, 'unadjusted' AS variant,
-         CAST(e.est_s AS DOUBLE) / 10000.0 AS est,
-         CAST(s.sum_s AS DOUBLE) / 200.0 / 10000.0 - CAST(tt.true_total AS DOUBLE) AS bias,
-         sqrt(CAST(s.sum_sq AS DOUBLE) / 200.0 / 10000.0 / 10000.0
-              - (CAST(s.sum_s AS DOUBLE) / 200.0 / 10000.0) * (CAST(s.sum_s AS DOUBLE) / 200.0 / 10000.0)) AS std
-  FROM summ_u s JOIN est_unadj e ON s.cls = e.cls JOIN true_tot tt ON s.cls = tt.cls
+  SELECT COALESCE(s.cls, e.cls) AS cls, 'unadjusted' AS variant,
+         CAST(COALESCE(e.est_s, 0) AS DOUBLE) / 10000.0 AS est,
+         CAST(COALESCE(s.sum_s, 0) AS DOUBLE) / 200.0 / 10000.0
+           - CAST(COALESCE(tt.true_total, 0) AS DOUBLE) AS bias,
+         sqrt(CAST(COALESCE(s.sum_sq, 0) AS DOUBLE) / 200.0 / 10000.0 / 10000.0
+              - (CAST(COALESCE(s.sum_s, 0) AS DOUBLE) / 200.0 / 10000.0)
+                * (CAST(COALESCE(s.sum_s, 0) AS DOUBLE) / 200.0 / 10000.0)) AS std
+  FROM summ_u s FULL OUTER JOIN est_unadj e ON s.cls = e.cls
+  LEFT JOIN true_tot tt ON COALESCE(s.cls, e.cls) = tt.cls
 ),
 out_a AS (
-  SELECT s.cls, 'adjusted' AS variant,
-         CAST(e.est_s AS DOUBLE) / 10000.0 AS est,
-         CAST(s.sum_s AS DOUBLE) / 200.0 / 10000.0 - CAST(tt.true_total AS DOUBLE) AS bias,
-         sqrt(CAST(s.sum_sq AS DOUBLE) / 200.0 / 10000.0 / 10000.0
-              - (CAST(s.sum_s AS DOUBLE) / 200.0 / 10000.0) * (CAST(s.sum_s AS DOUBLE) / 200.0 / 10000.0)) AS std
-  FROM summ_a s JOIN est_adj e ON s.cls = e.cls JOIN true_tot tt ON s.cls = tt.cls
+  SELECT COALESCE(s.cls, e.cls) AS cls, 'adjusted' AS variant,
+         CAST(COALESCE(e.est_s, 0) AS DOUBLE) / 10000.0 AS est,
+         CAST(COALESCE(s.sum_s, 0) AS DOUBLE) / 200.0 / 10000.0
+           - CAST(COALESCE(tt.true_total, 0) AS DOUBLE) AS bias,
+         sqrt(CAST(COALESCE(s.sum_sq, 0) AS DOUBLE) / 200.0 / 10000.0 / 10000.0
+              - (CAST(COALESCE(s.sum_s, 0) AS DOUBLE) / 200.0 / 10000.0)
+                * (CAST(COALESCE(s.sum_s, 0) AS DOUBLE) / 200.0 / 10000.0)) AS std
+  FROM summ_a s FULL OUTER JOIN est_adj e ON s.cls = e.cls
+  LEFT JOIN true_tot tt ON COALESCE(s.cls, e.cls) = tt.cls
 )
 SELECT * FROM out_u UNION ALL SELECT * FROM out_a ORDER BY cls, variant
 """

@@ -122,25 +122,30 @@ def main() -> None:
     scale: dict[str, dict] = {}
     if os.path.isdir(scale_dir) and os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
         for name in SCALE_QUERIES:
-            passes = []
-            for _ in range(2):
-                t0 = time.time()
-                qs[name](spark, scale_dir).collect()
-                passes.append(round(time.time() - t0, 3))
-            spark.catalog.clearCache()
+            # a broken/partial scale dataset must not discard the whole
+            # sf0.1 measurement — record the error and keep going
             try:
-                ex = count_shuffles(qs[name](spark, scale_dir))
-            except Exception:
-                ex = -1
-            base = timings.get(name)
-            # best-of-2, like the sf0.1 suite: pass 1 includes one-time
-            # index builds (q51's SRP projection) and codegen compiles
-            scale[name] = {
-                "sec": min(passes),
-                "runs": passes,
-                "exchanges": ex,
-                "ratio_vs_sf0.1": round(min(passes) / base, 2) if base else None,
-            }
+                passes = []
+                for _ in range(2):
+                    t0 = time.time()
+                    qs[name](spark, scale_dir).collect()
+                    passes.append(round(time.time() - t0, 3))
+                spark.catalog.clearCache()
+                try:
+                    ex = count_shuffles(qs[name](spark, scale_dir))
+                except Exception:
+                    ex = -1
+                base = timings.get(name)
+                # best-of-2, like the sf0.1 suite: pass 1 includes one-time
+                # index builds (q51's SRP projection) and codegen compiles
+                scale[name] = {
+                    "sec": min(passes),
+                    "runs": passes,
+                    "exchanges": ex,
+                    "ratio_vs_sf0.1": round(min(passes) / base, 2) if base else None,
+                }
+            except Exception as e:
+                scale[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -224,6 +224,11 @@ def run_query(catalog: dict[str, DataFrame], spec: dict[str, Any]) -> DataFrame:
                 raise DSLError(f"{what} must be a non-empty list of numbers")
             return [float(x) for x in v]
 
+        def _int(v) -> bool:
+            # bool is an int subclass: {"k": true} must be a spec error,
+            # not a silent top-1
+            return isinstance(v, int) and not isinstance(v, bool)
+
         op = sim.get("op")
         id_col = sim.get("id_col", "vec_id")
         vec_col = sim.get("vec_col", "embedding")
@@ -231,13 +236,13 @@ def run_query(catalog: dict[str, DataFrame], spec: dict[str, Any]) -> DataFrame:
             raise DSLError("id_col/vec_col must be column names")
         if op == "knn":
             k = sim.get("k")
-            if not isinstance(k, int) or k <= 0:
+            if not _int(k) or k <= 0:
                 raise DSLError("knn needs a positive int 'k'")
             if "query" in sim:
                 q = _vec(sim["query"], "'query'")
             elif "query_id" in sim:
                 qid = sim["query_id"]
-                if not isinstance(qid, int):
+                if not _int(qid):
                     raise DSLError("'query_id' must be an int")
                 row = df.where(F.col(id_col) == F.lit(qid)).select(vec_col).head()
                 if row is None:

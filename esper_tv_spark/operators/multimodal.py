@@ -134,12 +134,23 @@ def png_decode(payload: bytes) -> np.ndarray:
         i += 12 + length  # len + type + data + crc (crc not verified)
     if w is None or not idat:
         raise DecoderNotAvailable("missing IHDR or IDAT")
+    if w <= 0 or h <= 0:
+        raise DecoderNotAvailable(f"non-positive PNG dimensions {w}x{h}")
+    bpp, stride = 3, 3 * w
+    expected = h * (1 + stride)
+    if expected > 256 * 1024 * 1024:
+        raise DecoderNotAvailable(f"PNG dimensions {w}x{h} exceed decode cap")
     try:
-        raw = zlib.decompress(bytes(idat))
+        # cap the inflate at the geometry-implied size: a decompression
+        # bomb (tiny IDAT, huge ratio) fails here as DecoderNotAvailable
+        # instead of exhausting executor memory
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected)
+        if d.unconsumed_tail or len(d.decompress(b"", 1)) > 0:
+            raise DecoderNotAvailable("decompressed size mismatch")
     except zlib.error as e:
         raise DecoderNotAvailable(f"bad IDAT stream: {e}") from e
-    bpp, stride = 3, 3 * w
-    if len(raw) != h * (1 + stride):
+    if len(raw) != expected:
         raise DecoderNotAvailable("decompressed size mismatch")
     img = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)

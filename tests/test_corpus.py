@@ -54,9 +54,20 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
 
 
 def test_portable_hash_matches_duckdb(spark):
+    """DuckDB parity INCLUDING the int64-overflow regime: ids past ~3.5e9
+    are exactly where the naive multiply broke (found by the sf1
+    rehearsal), so the parity sweep must cover them — the DuckDB side
+    needs a HUGEINT cast (128-bit) for the same reason the oracles do."""
+    import random
+
     import duckdb
 
-    ids = list(range(0, 5000, 97))
+    rng = random.Random(7)
+    ids = (
+        list(range(0, 5000, 97))
+        + [2**31 - 1, 2**31, 2**32 - 1, 2**32, 2**33 + 5, 2**62 - 1]
+        + [rng.randrange(0, 2**62) for _ in range(50)]
+    )
     got = {
         r["id"]: r["h"]
         for r in spark.createDataFrame([(i,) for i in ids], "id long")
@@ -66,7 +77,8 @@ def test_portable_hash_matches_duckdb(spark):
     want = dict(
         duckdb.connect()
         .execute(
-            "SELECT i, (i * 2654435761) % 4294967296 FROM unnest(?::BIGINT[]) AS t(i)",
+            "SELECT i, CAST((i::HUGEINT * 2654435761) % 4294967296 AS BIGINT)"
+            " FROM unnest(?::BIGINT[]) AS t(i)",
             [ids],
         )
         .fetchall()

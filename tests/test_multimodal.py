@@ -186,3 +186,33 @@ def test_png_asset_table_decodes_in_spark(spark):
         assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
         want_mean = sum((a * 11 + i * 17) % 256 for i in range(w * h * 3)) / (w * h * 3)
         assert abs(r["mean_luma"] - want_mean) < 1e-9
+
+
+def test_png_zero_dims_and_bomb_rejected():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from esper_tv_spark.operators.multimodal import _PNG_SIG, DecoderNotAvailable, png_decode
+
+    def chunk(ct, d):
+        return struct.pack(">I", len(d)) + ct + d + struct.pack(">I", zlib.crc32(ct + d) & 0xFFFFFFFF)
+
+    def png(w, h, raw):
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    # zero-dimension IHDR must raise, not return an empty image with NaN stats
+    with _pytest.raises(DecoderNotAvailable):
+        png_decode(png(0, 4, b"\x00" * 4))
+    # oversized-declared dims refuse before allocating
+    with _pytest.raises(DecoderNotAvailable):
+        png_decode(png(100_000, 100_000, b""))
+    # decompression bomb: stream inflates past the geometry-implied size
+    with _pytest.raises(DecoderNotAvailable):
+        png_decode(png(2, 2, b"\x00" * 1_000_000))

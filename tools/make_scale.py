@@ -74,10 +74,15 @@ def build(copies: int, out_dir: str) -> None:
     # documents: shift ids, decorrelate text across copies (suffix tokens)
     selects = ["SELECT * FROM " + src("documents")]
     for c in range(1, copies):
+        # n_chars recomputed from the rewritten text — copying it verbatim
+        # left 9/10 of the corpus with understated lengths, skewing any
+        # metric relating n_chars to the actual text
         selects.append(
             f"SELECT doc_id + {c * 1_000_000} AS doc_id, "
             f"regexp_replace(text, '(\\S+)', '\\1_c{c}', 'g') AS text, "
-            f"lang, source, n_chars FROM {src('documents')}"
+            f"lang, source, "
+            f"length(regexp_replace(text, '(\\S+)', '\\1_c{c}', 'g')) AS n_chars "
+            f"FROM {src('documents')}"
         )
     con.sql(
         f"COPY ({' UNION ALL '.join(selects)}) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)"
