@@ -179,3 +179,95 @@ def test_bootstrap_unit_guard_raises_loudly(spark):
     out = bootstrap_adjusted_totals(big, "unit", "pred", "truth", trials=2, k=2, seed=1)
     with _pytest.raises(Exception, match="hand-label-sized"):
         out.collect()
+
+
+def test_bootstrap_ghost_class_spark_matches_duckdb_oracle_semantics(spark):
+    """Cross-engine parity ON THE GHOST-CLASS CASE: the q77 oracle's
+    outer-join spine must agree with Spark exactly when a predicted class
+    never appears as a hand label — the case the driver fixture happens
+    not to contain."""
+    import duckdb
+
+    from esper_tv_spark.domain.validation import bootstrap_adjusted_totals
+
+    rows = [(u, "ghost" if u % 4 == 0 else ("a" if u % 2 else "b"),
+             "a" if u % 2 else "b") for u in range(40)]
+    labeled = spark.createDataFrame(rows, "unit long, pred string, truth string")
+    got = {
+        (r["cls"], r["variant"]): (round(r["est"], 6), round(r["bias"], 6), round(r["std"], 6))
+        for r in bootstrap_adjusted_totals(
+            labeled, "unit", "pred", "truth", trials=50, k=20, seed=9
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE dets AS SELECT * FROM (VALUES "
+                + ",".join(f"({u}, '{p}', '{t}')" for u, p, t in rows)
+                + ") AS v(unit, pred, truth)")
+    sql = """
+WITH cmat AS (SELECT truth, pred, count(*) AS n FROM dets GROUP BY truth, pred),
+colsum AS (SELECT pred, sum(n) AS col_n FROM cmat GROUP BY pred),
+p4 AS (SELECT c.truth, c.pred,
+              CAST(round(10000.0 * c.n / s.col_n) AS BIGINT) AS p4
+       FROM cmat c JOIN colsum s ON c.pred = s.pred),
+unit_counts AS (SELECT unit, pred, count(*) AS cnt FROM dets GROUP BY unit, pred),
+units AS (SELECT DISTINCT unit FROM dets),
+unit_idx AS (SELECT unit, row_number() OVER (ORDER BY unit) - 1 AS idx FROM units),
+nu AS (SELECT count(*) AS n_units FROM units),
+grid AS (
+  SELECT t.range AS t,
+         ((9 + t.range * 20 + j.range)::HUGEINT * 2654435761) % 4294967296
+             % (SELECT n_units FROM nu) AS idx
+  FROM range(50) t, range(20) j
+),
+draws AS (SELECT g.t, u.unit FROM grid g JOIN unit_idx u ON g.idx = u.idx),
+totals_t AS (
+  SELECT d.t, c.pred, CAST(sum(c.cnt) AS BIGINT) AS total
+  FROM draws d JOIN unit_counts c ON d.unit = c.unit GROUP BY d.t, c.pred
+),
+unadj_t AS (SELECT t, pred AS cls, total * 10000 AS s FROM totals_t),
+adj_t AS (
+  SELECT tt.t, p4.truth AS cls, CAST(sum(tt.total * p4.p4) AS BIGINT) AS s
+  FROM totals_t tt JOIN p4 ON tt.pred = p4.pred GROUP BY tt.t, p4.truth
+),
+full_tot AS (SELECT pred, count(*) AS total FROM dets GROUP BY pred),
+est_unadj AS (SELECT pred AS cls, total * 10000 AS est_s FROM full_tot),
+est_adj AS (
+  SELECT p4.truth AS cls, CAST(sum(f.total * p4.p4) AS BIGINT) AS est_s
+  FROM full_tot f JOIN p4 ON f.pred = p4.pred GROUP BY p4.truth
+),
+true_tot AS (SELECT truth AS cls, count(*) AS true_total FROM dets GROUP BY truth),
+summ_u AS (SELECT cls, CAST(sum(s) AS BIGINT) AS sum_s, CAST(sum(s*s) AS BIGINT) AS sum_sq
+           FROM unadj_t GROUP BY cls),
+summ_a AS (SELECT cls, CAST(sum(s) AS BIGINT) AS sum_s, CAST(sum(s*s) AS BIGINT) AS sum_sq
+           FROM adj_t GROUP BY cls),
+out_u AS (
+  SELECT COALESCE(s.cls, e.cls) AS cls, 'unadjusted' AS variant,
+         CAST(COALESCE(e.est_s, 0) AS DOUBLE) / 10000.0 AS est,
+         CAST(COALESCE(s.sum_s, 0) AS DOUBLE) / 50.0 / 10000.0
+           - CAST(COALESCE(tt.true_total, 0) AS DOUBLE) AS bias,
+         sqrt(CAST(COALESCE(s.sum_sq, 0) AS DOUBLE) / 50.0 / 10000.0 / 10000.0
+              - (CAST(COALESCE(s.sum_s, 0) AS DOUBLE) / 50.0 / 10000.0)
+                * (CAST(COALESCE(s.sum_s, 0) AS DOUBLE) / 50.0 / 10000.0)) AS std
+  FROM summ_u s FULL OUTER JOIN est_unadj e ON s.cls = e.cls
+  LEFT JOIN true_tot tt ON COALESCE(s.cls, e.cls) = tt.cls
+),
+out_a AS (
+  SELECT COALESCE(s.cls, e.cls) AS cls, 'adjusted' AS variant,
+         CAST(COALESCE(e.est_s, 0) AS DOUBLE) / 10000.0 AS est,
+         CAST(COALESCE(s.sum_s, 0) AS DOUBLE) / 50.0 / 10000.0
+           - CAST(COALESCE(tt.true_total, 0) AS DOUBLE) AS bias,
+         sqrt(CAST(COALESCE(s.sum_sq, 0) AS DOUBLE) / 50.0 / 10000.0 / 10000.0
+              - (CAST(COALESCE(s.sum_s, 0) AS DOUBLE) / 50.0 / 10000.0)
+                * (CAST(COALESCE(s.sum_s, 0) AS DOUBLE) / 50.0 / 10000.0)) AS std
+  FROM summ_a s FULL OUTER JOIN est_adj e ON s.cls = e.cls
+  LEFT JOIN true_tot tt ON COALESCE(s.cls, e.cls) = tt.cls
+)
+SELECT * FROM out_u UNION ALL SELECT * FROM out_a
+"""
+    want = {
+        (cls, variant): (round(est, 6), round(bias, 6), round(std, 6))
+        for cls, variant, est, bias, std in con.execute(sql).fetchall()
+    }
+    assert ("ghost", "unadjusted") in got
+    assert got == want
