@@ -261,6 +261,48 @@ def run_query(catalog: dict[str, DataFrame], spec: dict[str, Any]) -> DataFrame:
         else:
             raise DSLError(f"similarity op not allowed: {op!r}")
 
+    # dedup stage: the training-data dedup family from the safe surface
+    # (exact fingerprint dedup, LSH near-dup pairs, full near-dup with
+    # Jaccard verify) — whitelisted params only, no custom predicates.
+    dd = spec.get("dedup")
+    if dd is not None:
+        from esper_tv_spark.operators import dedup as dd_ops
+
+        def _pos_int(v, what: str, default: int) -> int:
+            if v is None:
+                return default
+            if not isinstance(v, int) or isinstance(v, bool) or v <= 0:
+                raise DSLError(f"{what} must be a positive int")
+            return v
+
+        op = dd.get("op")
+        id_col = dd.get("id_col", "doc_id")
+        text_col = dd.get("text_col", "text")
+        if not isinstance(id_col, str) or not isinstance(text_col, str):
+            raise DSLError("id_col/text_col must be column names")
+        if op == "exact":
+            df = dd_ops.dedup_exact(df, id_col=id_col, text_col=text_col)
+        elif op == "lsh_pairs":
+            df = dd_ops.lsh_candidate_pairs(
+                df,
+                n_hashes=_pos_int(dd.get("n_hashes"), "n_hashes", 8),
+                shingle_n=_pos_int(dd.get("shingle_n"), "shingle_n", 3),
+                n_bands=_pos_int(dd.get("n_bands"), "n_bands", 4),
+                id_col=id_col,
+                text_col=text_col,
+            )
+        elif op == "near_dup":
+            df = dd_ops.lsh_near_dup(
+                df,
+                n_hashes=_pos_int(dd.get("n_hashes"), "n_hashes", 8),
+                shingle_n=_pos_int(dd.get("shingle_n"), "shingle_n", 3),
+                n_bands=_pos_int(dd.get("n_bands"), "n_bands", 4),
+                id_col=id_col,
+                text_col=text_col,
+            )
+        else:
+            raise DSLError(f"dedup op not allowed: {op!r}")
+
     for out_name, w in spec.get("window", {}).items():
         # {"fn": "row_number", "col"?: expr, "partition_by": [...],
         #  "order_by": [["col", "asc"|"desc"], ...]} — the SURVEY §2.5

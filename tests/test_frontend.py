@@ -390,3 +390,26 @@ def test_dsl_fuzz_valid_specs_compile(spark, catalog):
             pass
 
     prop()
+
+
+def test_dsl_dedup_verbs(spark, catalog):
+    from esper_tv_spark.operators import dedup as dd
+
+    docs = catalog["documents"]
+    # exact dedup matches the library call
+    got = run_query(catalog, {"table": "documents", "dedup": {"op": "exact"}})
+    want = dd.dedup_exact(docs)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(tuple(r) for r in want.collect())
+    # near-dup pipeline end-to-end through the DSL
+    got2 = run_query(
+        catalog,
+        {"table": "documents", "dedup": {"op": "near_dup", "n_bands": 4},
+         "qualify": [["jaccard", ">=", {"lit": 0.5}]]},
+    )
+    want2 = dd.lsh_near_dup(docs).where(F.col("jaccard") >= 0.5)
+    assert sorted(tuple(r) for r in got2.collect()) == sorted(tuple(r) for r in want2.collect())
+    # rejected specs
+    for bad in [{"op": "van_gogh"}, {"op": "near_dup", "n_bands": 0},
+                {"op": "near_dup", "n_bands": True}, {"op": "exact", "id_col": 3}]:
+        with pytest.raises(DSLError):
+            run_query(catalog, {"table": "documents", "dedup": bad})

@@ -349,3 +349,30 @@ def test_pq_assign_deterministic_vs_numpy(spark):
             want = int(np.lexsort((np.arange(k), d2))[0])
             assert got[(i, j)] == want, (i, j)
     assert len(got) == 40 * m
+
+
+def test_near_dup_formula_planes_recall_vs_exact(spark):
+    """Recall gate for the corpus-size plane formula at sf0.1 (2000
+    vectors -> 6 planes): blocked near-dup pairs at the true-duplicate
+    regime (cosine >= 0.8) must recover >=95% of the exact all-pairs
+    result. Guards the recommended_planes/recall trade as corpora grow."""
+    from esper_tv_spark.operators import dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n = emb.count()
+    planes = dedup.recommended_planes(n)
+    assert planes == 6
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=0.8, n_planes=0).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            emb, threshold=0.8, n_planes=planes, seed=42, n_bands=16, dim=64
+        ).collect()
+    }
+    assert blocked <= exact  # blocking never invents pairs
+    if exact:
+        recall = len(blocked & exact) / len(exact)
+        assert recall >= 0.95, f"recall {recall:.3f} over {len(exact)} true pairs"
