@@ -81,8 +81,16 @@ def knn_join(
     Each side's L2 norm is computed once BEFORE the nested-loop join — the
     pair expression is then one dot product + one divide, not three dot
     products; same arithmetic (sqrt per side, then multiply), so results
-    stay bit-identical to cosine() and the DuckDB oracle. For throughput
-    beyond expression speed see knn_join_vectorized."""
+    stay bit-identical to cosine() and the DuckDB oracle.
+
+    This is the EXACT baseline and its pair stream is O(|Q| x |C|) with an
+    interpreted-HOF dot (~4-6us/pair measured) — measured alternatives do
+    not beat it while staying bit-exact: unrolling the dot into 64
+    element_at terms codegens but runs ~3x SLOWER (ANSI bounds-check
+    branches), and the BLAS path (knn_join_vectorized) reorders the
+    summation so 6dp-rounded values are no longer provably identical.
+    At corpus scale use the ANN paths (ann_cosine_topk / ivf / pq) or
+    knn_join_vectorized where oracle-exactness is not required."""
     from pyspark.sql import Window
 
     q = queries.select(
