@@ -1990,6 +1990,60 @@ FROM px GROUP BY asset_id, w, h ORDER BY asset_id
 """
 
 
+def q85_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+    k-means-blocked semantic deduplication over the embeddings table.
+    Cluster assignment is the same closed-form Lloyd step as q48
+    (deterministic init = the 8 smallest-id vectors, rounded centroids);
+    within each cluster a vector is dropped iff a strictly-smaller-id
+    cluster-mate has rounded cosine >= 0.4 ("keep the earliest").  The
+    oracle replays assignment AND the within-cluster pair scan, so the
+    blocking structure itself is hash-matched.
+
+    Scale shape: the pair join is an EQUI-join on the cluster id — cost
+    sum(n_c^2), held linear by sizing k ~ n/64 (dedup.recommended_clusters);
+    at the driver's correctness scale k=8 is the formula's value
+    (500/64 -> 8).  Generalizes the reference's exact-pair embedding scans
+    (face_embeddings.py:129-131) to the corpus-dedup shape a training-data
+    pipeline needs."""
+    from esper_tv_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, k=8, threshold=0.4)
+    return out.select(
+        "vec_id", "cluster", F.col("is_dup").cast("int").alias("is_dup")
+    ).orderBy("vec_id")
+
+
+Q85_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cluster, list_transform(v, x -> round(x, 6)) AS cv FROM e WHERE vec_id < 8),
+d AS (
+  SELECT e.vec_id, c.cluster,
+         round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM e, c
+),
+a AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rn
+  FROM d
+),
+asg AS (SELECT vec_id, cluster FROM a WHERE rn = 1),
+vn AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS n, s.cluster
+       FROM e JOIN asg s ON e.vec_id = s.vec_id),
+dup AS (
+  SELECT DISTINCT y.vec_id
+  FROM vn x JOIN vn y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE round(list_dot_product(x.v, y.v) / (x.n * y.n), 6) >= 0.4
+)
+SELECT s.vec_id, s.cluster,
+       CASE WHEN dup.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM asg s LEFT JOIN dup ON s.vec_id = dup.vec_id
+ORDER BY s.vec_id
+"""
+
+
 def q47_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH approximate nearest neighbors (bucket + Hamming-1 probes) —
     the scale path for similarity search. The seeded hyperplanes are
@@ -3075,11 +3129,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_stratified_sample": q68_stratified_sample,
     "q69_chunk_documents": q69_chunk_documents,
     "q71_dedup_groups": q71_dedup_groups,
+    "q85_semantic_dedup": q85_semantic_dedup,
     "q47_ann_topk": q47_ann_topk,
     "q58_clean_corpus": q58_clean_corpus,
-    "q31_knn": q31_knn,
     # ---- position 50 cutoff: rows below were driver-green in r3 on
     # ---- code paths unchanged since; their record stands
+    "q31_knn": q31_knn,
     "q01_pricing_summary": q01_pricing_summary,
     "q03_region_revenue": q03_region_revenue,
     "q07_balance_percentile": q07_balance_percentile,
@@ -3201,6 +3256,7 @@ _ORACLES: dict[str, str] = {
     "q82_asof_forward": Q82_SQL,
     "q83_kmv_distinct": Q83_SQL,
     "q84_png_decode_stats": Q84_SQL,
+    "q85_semantic_dedup": Q85_SQL,
 }
 
 

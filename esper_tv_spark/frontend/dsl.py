@@ -300,6 +300,22 @@ def run_query(catalog: dict[str, DataFrame], spec: dict[str, Any]) -> DataFrame:
                 id_col=id_col,
                 text_col=text_col,
             )
+        elif op == "semantic":
+            # SemDeDup over an embedding column (k-means blocking +
+            # within-cluster cosine); ids default to the vector table's
+            vec_col = dd.get("vec_col", "embedding")
+            if not isinstance(vec_col, str):
+                raise DSLError("vec_col must be a column name")
+            thr = dd.get("threshold", 0.9)
+            if isinstance(thr, bool) or not isinstance(thr, (int, float)) or not -1.0 <= thr <= 1.0:
+                raise DSLError("threshold must be a number in [-1, 1]")
+            df = dd_ops.semantic_dedup(
+                df,
+                k=_pos_int(dd.get("k"), "k", 8),
+                threshold=float(thr),
+                id_col=dd.get("id_col", "vec_id"),
+                vec_col=vec_col,
+            )
         else:
             raise DSLError(f"dedup op not allowed: {op!r}")
 

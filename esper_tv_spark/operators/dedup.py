@@ -620,3 +620,82 @@ def dedup_groups(
     return out.withColumn("group_id", F.coalesce("comp", F.col(id_col))).drop("comp").withColumn(
         "is_keeper", F.col("group_id") == F.col(id_col)
     )
+
+
+def recommended_clusters(n_vectors: int, target_occupancy: float = 64.0) -> int:
+    """Cluster count for semantic_dedup at a given corpus size: k ~
+    n/occupancy keeps expected cluster size ~target, so the within-cluster
+    pair volume stays sum(n_c^2) ~ n * occupancy ~ LINEAR in n.  Same
+    logic as `recommended_planes` for the SRP block — a pinned k goes
+    quadratic one decade up."""
+    return max(2, round(max(n_vectors, 2) / target_occupancy))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+    semantic deduplication by k-means blocking.  Vectors are assigned to
+    clusters (one closed-form Lloyd step with deterministic init, or
+    caller-frozen `centroids` — the same split as q48: pyspark.ml trains,
+    the frozen assignment scores at scale), then WITHIN each cluster a
+    vector is a duplicate iff a strictly-smaller-id cluster-mate has
+    rounded cosine >= threshold ("keep the earliest" — deterministic, no
+    random representative choice).
+
+    Reference parity: esper-tv dedups face embeddings by exact-pair scan
+    (face_embeddings.py:129-131 neighborhood queries); SemDeDup is the
+    corpus-scale generalization the training-data pipeline needs.
+
+    Scale shape (100 TB): the cluster id is the blocking key — the pair
+    join is an EQUI-join on `cluster` (one shuffle), never O(n^2); cost is
+    sum(n_c^2), held linear by sizing k with `recommended_clusters` (k ~
+    n/64).  Centroid assignment is a broadcast of k centroid rows.  No
+    driver-side work: the whole operator is one declarative plan.
+
+    Output: (id_col, cluster, is_dup) — every input vector, its cluster,
+    and whether SemDeDup drops it."""
+    from esper_tv_spark.operators.similarity import dot, lloyd_assign
+
+    assign = lloyd_assign(
+        df, centroids=centroids, k=k, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    vn = vecs.withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+    sided = assign.join(vn, id_col)
+    # The assignment subtree feeds the pair join TWICE (probe + candidate
+    # side) and nothing else: the annotated output falls out of a left
+    # join + aggregate, so the Lloyd plan is not evaluated a third time
+    # and no post-hoc distinct/join-back is needed.
+    a = sided.select(
+        F.col("cluster").alias("__ca"),
+        F.col(id_col).alias("__ida"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = sided.select(
+        F.col("cluster").alias("__cb"),
+        F.col(id_col).alias("__idb"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    sim = F.round(dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), round_digits)
+    # Equi-key on cluster keeps this a hash/merge join; the id inequality
+    # rides along as an extra join condition.  Left-outer keeps vectors
+    # with no earlier cluster-mate (they are keepers by definition).
+    joined = b.join(
+        a,
+        (F.col("__cb") == F.col("__ca")) & (F.col("__idb") > F.col("__ida")),
+        "left",
+    )
+    return joined.groupBy(
+        F.col("__idb").alias(id_col), F.col("__cb").alias("cluster")
+    ).agg(
+        F.coalesce(F.max(sim >= F.lit(threshold)), F.lit(False)).alias("is_dup")
+    )

@@ -413,3 +413,23 @@ def test_dsl_dedup_verbs(spark, catalog):
                 {"op": "near_dup", "n_bands": True}, {"op": "exact", "id_col": 3}]:
         with pytest.raises(DSLError):
             run_query(catalog, {"table": "documents", "dedup": bad})
+
+
+def test_dsl_semantic_dedup_verb(spark, catalog):
+    from esper_tv_spark.operators import dedup as dd
+
+    emb = catalog["embeddings"]
+    got = run_query(
+        catalog,
+        {"table": "embeddings", "dedup": {"op": "semantic", "k": 4, "threshold": 0.4}},
+    )
+    want = dd.semantic_dedup(emb, k=4, threshold=0.4)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(tuple(r) for r in want.collect())
+    for bad in [
+        {"op": "semantic", "threshold": 2.0},
+        {"op": "semantic", "threshold": True},
+        {"op": "semantic", "k": 0},
+        {"op": "semantic", "vec_col": 7},
+    ]:
+        with pytest.raises(DSLError):
+            run_query(catalog, {"table": "embeddings", "dedup": bad})

@@ -299,3 +299,48 @@ def test_bm25_multi_term_additivity(spark):
     just_y = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["y"]).collect()}
     assert abs(both[1] - (just_x[1] + just_y[1])) < 1e-12
     assert 4 not in both
+
+
+def test_semantic_dedup_blocks_and_drops(spark):
+    """SemDeDup: a near-identical pair in the same cluster drops the
+    larger id; a far vector survives; output covers every input row."""
+    import numpy as np
+
+    from esper_tv_spark.operators.dedup import recommended_clusters, semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # 100 = near-copy of vector 2 (tiny perturbation -> cosine ~1)
+    rows.append((100, [float(x) for x in base[2] * 1.01 + 1e-4]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, k=3, threshold=0.95).orderBy("vec_id").collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(out) == 7  # every input row annotated
+    assert by_id[100]["is_dup"] is True
+    assert by_id[2]["is_dup"] is False  # keeper = smaller id
+    assert by_id[100]["cluster"] == by_id[2]["cluster"]
+    assert sum(r["is_dup"] for r in out) == 1
+    # k-sizing helper keeps occupancy ~64
+    assert recommended_clusters(64_000) == 1000
+    assert recommended_clusters(10) == 2
+
+
+def test_semantic_dedup_pair_join_is_cluster_equijoin(spark):
+    """Scale shape: the within-cluster pair scan must plan as an EQUI-join
+    on the cluster key (one shuffle), never a cartesian."""
+    import numpy as np
+
+    from esper_tv_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = semantic_dedup(df, k=4, threshold=0.9)._jdf.queryExecution().executedPlan().toString()
+    # the ONLY nested-loop allowed is the k-row centroid broadcast inside
+    # lloyd_assign; the n x n pair scan must hash/merge-join on cluster
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # one per lloyd_assign consumer
+    assert "hashjoin" in plan.lower() or "sortmergejoin" in plan.lower()
