@@ -147,6 +147,64 @@ def main() -> None:
             except Exception as e:
                 scale[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
 
+    # skew rehearsal: if the zipfian fixture exists (tools/make_skew.py),
+    # time the same hot-key join three ways — AQE skew split off / on /
+    # explicit salting (plans/salting.py) — under a forced shuffle join
+    # (broadcast disabled: the fixture models the dim-too-big-to-broadcast
+    # regime). This turns "the skew machinery engages" into a measured
+    # wall-clock ratio instead of a plan-shape assertion.
+    skew_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "skew")
+    skew: dict[str, dict] = {}
+    if os.path.isdir(skew_dir) and os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        from pyspark.sql import functions as F
+
+        from esper_tv_spark.plans.salting import replicated_skew_join
+
+        def skew_query(salted: bool):
+            ev = spark.read.parquet(os.path.join(skew_dir, "events_skew.parquet"))
+            dim = spark.read.parquet(os.path.join(skew_dir, "users_dim.parquet"))
+            j = (
+                replicated_skew_join(ev, dim, ["user_id"], n_salts=32)
+                if salted
+                else ev.join(dim, "user_id")
+            )
+            return j.groupBy("segment").agg(
+                F.sum("amount").alias("amt"), F.count(F.lit(1)).alias("n")
+            )
+
+        saved = {
+            k: spark.conf.get(k)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.skewJoin.enabled",
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            # the default split thresholds (256MB) are cluster-sized; scale
+            # them to the fixture so the splitter can engage at bench scale
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m"
+            )
+            spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+            for name, enabled, salted in (
+                ("join_skew_off", "false", False),
+                ("join_skew_aqe", "true", False),
+                ("join_salted", "false", True),
+            ):
+                spark.conf.set("spark.sql.adaptive.skewJoin.enabled", enabled)
+                passes = []
+                for _ in range(2):
+                    t0 = time.time()
+                    skew_query(salted).collect()
+                    passes.append(round(time.time() - t0, 3))
+                skew[name] = {"sec": min(passes), "runs": passes}
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_total",
@@ -159,6 +217,8 @@ def main() -> None:
     }
     if scale:
         out["scale_sf1"] = scale
+    if skew:
+        out["skew"] = skew
     print(json.dumps(out))
     spark.stop()
 

@@ -49,6 +49,12 @@ COPY_ONCE = ["region", "nation"]
 def build(copies: int, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
+    # a <copies>-way UNION ALL nests one level per branch; the default
+    # parser cap is 1000, which the sf100 (1000-copy) build exceeds
+    con.sql(f"SET max_expression_depth TO {max(2000, copies * 2)}")
+    # row order is irrelevant to every consumer; preserving it makes COPY
+    # buffer the whole union (~60GB at 1000 copies) instead of streaming
+    con.sql("SET preserve_insertion_order = false")
 
     def src(t: str) -> str:
         return f"read_parquet('{SRC}/{t}.parquet')"
@@ -89,28 +95,43 @@ def build(copies: int, out_dir: str) -> None:
     )
     print("documents", con.sql(f"SELECT count(*) FROM '{out_dir}/documents.parquet'").fetchone()[0])
 
-    # embeddings: shift ids, per-copy elementwise +-1 sign isometry
+    # embeddings: shift ids, per-copy elementwise +-1 sign isometry.
+    # Streamed one copy per row-group so a 1000-copy build never holds
+    # more than one copy's rows in memory.
     base = con.sql(f"SELECT vec_id, embedding, label FROM {src('embeddings')}").fetchall()
     dim = len(base[0][1])
+    ids = np.array([r[0] for r in base], dtype=np.int64)
+    mat = np.array([r[1] for r in base], dtype=np.float32)
+    labels = np.array([r[2] for r in base], dtype=np.int32)
     rng = np.random.RandomState(12345)
-    rows = []
-    for c in range(copies):
-        signs = np.ones(dim) if c == 0 else rng.choice([-1.0, 1.0], size=dim)
-        for vid, vec, label in base:
-            v = (np.asarray(vec, dtype=np.float32) * signs).astype(np.float32)
-            rows.append((vid + c * 1_000_000, v.tolist(), label))
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    table = pa.table(
-        {
-            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
-            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
-            "label": pa.array([r[2] for r in rows], pa.int32()),
-        }
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
     )
-    pq.write_table(table, f"{out_dir}/embeddings.parquet")
-    print("embeddings", len(rows))
+    n = 0
+    with pq.ParquetWriter(f"{out_dir}/embeddings.parquet", schema) as writer:
+        for c in range(copies):
+            signs = np.ones(dim, dtype=np.float32) if c == 0 else rng.choice(
+                [-1.0, 1.0], size=dim
+            ).astype(np.float32)
+            writer.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array(ids + c * 1_000_000, pa.int64()),
+                        "embedding": pa.array((mat * signs).tolist(), pa.list_(pa.float32())),
+                        "label": pa.array(labels, pa.int32()),
+                    },
+                    schema=schema,
+                )
+            )
+            n += len(ids)
+    print("embeddings", n)
 
 
 if __name__ == "__main__":
