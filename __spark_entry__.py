@@ -1066,7 +1066,20 @@ SELECT ngram, count(*) AS tf FROM sh GROUP BY ngram ORDER BY tf DESC, ngram ASC 
 def q37_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates + exact n-gram Jaccard verification — the full
     near-dup pipeline (candidate generation never leaves bucket joins; the
-    shingle table is computed once and shared, dedup.lsh_near_dup)."""
+    shingle table is computed once and shared, dedup.lsh_near_dup).
+
+    Shuffle sizing comes from the input bytes, not the session default:
+    the shingle-set shuffle is ~30x the on-disk corpus (decompression x
+    set growth), so at sf100 the static 32-partition default means
+    3GB+/task and a GC-thrashed host, while the stat-derived count
+    (~400MB/task) completes — measured by the 1000x rehearsal. AQE
+    coalesces the extra partitions away at small scale, so the advice is
+    free at sf0.01."""
+    from esper_tv_spark.plans.partitions import advise_shuffle_partitions
+
+    advise_shuffle_partitions(
+        spark, os.path.join(sf_dir, "documents.parquet"), blowup=30.0
+    )
     docs = _t(spark, sf_dir, "documents")
     return dedup.lsh_near_dup(docs, n_hashes=8, shingle_n=3, n_bands=4)
 

@@ -128,3 +128,31 @@ def test_q80_ivf_probe_broadcasts(spark):
     k-row centroid loop."""
     df = m.queries()["q80_ivf_ann"](spark, SF)
     assert has_broadcast_join(df)
+
+
+def test_advise_shuffle_partitions_from_input_bytes(spark, tmp_path):
+    """Shuffle advice = ceil(bytes * blowup / target), floored at the
+    session parallelism, capped, monotone (never lowers a prior advice)."""
+    from esper_tv_spark.plans.partitions import advise_shuffle_partitions, input_bytes
+
+    p = tmp_path / "blob.bin"
+    p.write_bytes(b"x" * 1_000_000)
+    assert input_bytes(str(p)) == 1_000_000
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    floor_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # tiny input -> advice floors at session parallelism
+    assert advise_shuffle_partitions(spark, str(p), blowup=1.0) == floor_n
+    # 1MB * blowup 2048 / 16MiB target -> ceil(122.07) = 123 partitions
+    n = advise_shuffle_partitions(
+        spark, str(p), blowup=2048.0, target_task_bytes=16 * 1024 * 1024
+    )
+    assert n == max(floor_n, 123)
+    assert int(spark.conf.get(key)) == n
+    # monotone: a later smaller advice must not shrink the session value
+    n2 = advise_shuffle_partitions(spark, str(p), blowup=1.0)
+    assert n2 == n and int(spark.conf.get(key)) == n
+    # cap respected
+    n3 = advise_shuffle_partitions(
+        spark, str(p), blowup=1e9, target_task_bytes=1024, max_partitions=512
+    )
+    assert n3 == 512

@@ -75,15 +75,25 @@ def approx_equal(a: list[str], b: list[str], tol=1e-9) -> bool:
 
 
 def bare_spark():
-    """Vanilla session, like the driver's harness: NO repo confs."""
-    from pyspark.sql import SparkSession
+    """Vanilla session, like the driver's harness: NO repo confs.
 
-    return (
+    One env-gated deviation: SPARK_CHECK_DRIVER_MEMORY sets
+    spark.driver.memory for SCALE REHEARSALS only (the sf100 gate collects
+    multi-million-row results, which the default ~1g driver JVM cannot
+    hold; the driver's own gate runs at sf0.01 where this never binds).
+    Leave it unset for driver-replica runs."""
+    from pyspark.sql import SparkSession
+    import os
+
+    b = (
         SparkSession.builder.master("local[8]")
         .appName("check-bare")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    mem = os.environ.get("SPARK_CHECK_DRIVER_MEMORY")
+    if mem:
+        b = b.config("spark.driver.memory", mem)
+    return b.getOrCreate()
 
 
 def main():
