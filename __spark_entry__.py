@@ -2211,7 +2211,9 @@ def q81_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, hash-checked end to end (the KMeans-trained PQ with Arrow
     encode stays the data-adaptive variant, recall-tested in pytest)."""
     emb = _t(spark, sf_dir, "embeddings")
-    codes = similarity.pq_assign_deterministic(emb, m=8, k=16)
+    # dim pinned like the oracle's slices (Q81_SQL hardcodes 8-wide
+    # subspaces of a 64-dim vector) — no .first() sniff job per call
+    codes = similarity.pq_assign_deterministic(emb, m=8, k=16, dim=64)
     return (
         codes.groupBy("subspace", "code")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("vec_id").alias("id_sum"))

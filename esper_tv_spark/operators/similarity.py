@@ -403,6 +403,7 @@ def pq_assign_deterministic(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Product-quantization ENCODE with deterministic codebooks — the
     engine-portable twin of pq_fit/pq_encode (whose KMeans codebooks are
@@ -415,8 +416,10 @@ def pq_assign_deterministic(
 
     Output: (id, subspace, code), m rows per vector. Scale shape: the
     codebook side is m*k rows (broadcast); the window partitions are
-    (vector, subspace) — map-side work plus one small shuffle."""
-    sub = len(df.select(vec_col).first()[0]) // m
+    (vector, subspace) — map-side work plus one small shuffle.  Pass
+    `dim` when known (callers that pin it in their oracle already do) —
+    otherwise a `.first()` driver job sniffs it per invocation."""
+    sub = (dim if dim is not None else len(df.select(vec_col).first()[0])) // m
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
     subs = vecs.select(
         id_col,
