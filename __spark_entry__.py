@@ -3146,7 +3146,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_dedup_groups": q71_dedup_groups,
     "q85_semantic_dedup": q85_semantic_dedup,
     "q47_ann_topk": q47_ann_topk,
-    "q58_clean_corpus": q58_clean_corpus,
+    "q81_pq_codes": q81_pq_codes,
     # ---- position 50 cutoff: rows below were driver-green in r3 on
     # ---- code paths unchanged since; their record stands
     "q31_knn": q31_knn,
@@ -3181,7 +3181,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_corpus_mix": q76_corpus_mix,
     "q78_logreg_score": q78_logreg_score,
     "q80_ivf_ann": q80_ivf_ann,
-    "q81_pq_codes": q81_pq_codes,
+    "q58_clean_corpus": q58_clean_corpus,
     "q82_asof_forward": q82_asof_forward,
     "q83_kmv_distinct": q83_kmv_distinct,
 }
