@@ -891,9 +891,14 @@ def q32_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot sort list cells — round-1 q32 regression)."""
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.mean_embedding(emb, ["label"])
+    # + 0.0 collapses IEEE -0.0 to +0.0: at sf100 the sign-flipped copies
+    # drive some centroid cells to -1e-9, which rounds to -0.0 — equal to
+    # 0.0 numerically but not in the driver's repr-based value hash
     return out.select(
         "label",
-        F.posexplode(F.transform("centroid", lambda v: F.round(v, 6))).alias("dim", "val"),
+        F.posexplode(
+            F.transform("centroid", lambda v: F.round(v, 6) + F.lit(0.0))
+        ).alias("dim", "val"),
     )
 
 
@@ -902,7 +907,9 @@ WITH e AS (
   SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding)::DOUBLE AS val
   FROM embeddings
 )
-SELECT label, dim, round(avg(val), 6) AS val
+SELECT label, dim,
+       round(CAST(sum(CAST(round(val * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+             / CAST(count(val) AS DOUBLE), 6) + 0.0 AS val
 FROM e GROUP BY label, dim
 """
 
@@ -2386,7 +2393,10 @@ WITH tr AS (
   SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding)::DOUBLE AS val
   FROM embeddings WHERE vec_id % 2 = 0
 ), cd AS (
-  SELECT label, dim, round(avg(val), 6) AS cval FROM tr GROUP BY label, dim
+  SELECT label, dim,
+         round(CAST(sum(CAST(round(val * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+               / CAST(count(val) AS DOUBLE), 6) AS cval
+  FROM tr GROUP BY label, dim
 ), cents AS (
   SELECT label AS cl, list(cval ORDER BY dim ASC) AS centroid FROM cd GROUP BY label
 ), scored AS (
@@ -3111,7 +3121,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_label_writeback": q79_label_writeback,
     "q46_asset_decode_stats": q46_asset_decode_stats,
     "q84_png_decode_stats": q84_png_decode_stats,
-    "q02_top_revenue_orders": q02_top_revenue_orders,
+    "q32_label_centroids": q32_label_centroids,
     "q04_late_ship_priority": q04_late_ship_priority,
     "q05_quiet_customers": q05_quiet_customers,
     "q06_top_order_per_customer": q06_top_order_per_customer,
@@ -3163,7 +3173,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_doc_fingerprints": q27_doc_fingerprints,
     "q28_minhash_lsh_pairs": q28_minhash_lsh_pairs,
     "q29_simhash": q29_simhash,
-    "q32_label_centroids": q32_label_centroids,
+    "q02_top_revenue_orders": q02_top_revenue_orders,
     "q40_views_before_purchase": q40_views_before_purchase,
     "q41_split_chunks": q41_split_chunks,
     "q42_hourly_profile": q42_hourly_profile,

@@ -171,13 +171,29 @@ def knn_join_vectorized(
     )
 
 
-def mean_embedding(df: DataFrame, group_cols: list[str], vec_col: str = "embedding") -> DataFrame:
+def mean_embedding(
+    df: DataFrame, group_cols: list[str], vec_col: str = "embedding", decimals: int = 9
+) -> DataFrame:
     """Per-group centroid (reference mean, face_embeddings.py:57-61):
-    posexplode -> groupBy (group, dim) avg -> re-assemble ordered array.
+    posexplode -> groupBy (group, dim) mean -> re-assemble ordered array.
     One shuffle; array_agg ordered by dim via sort_array on (pos, val)
-    structs keeps it deterministic."""
+    structs keeps it deterministic.
+
+    The mean is BIT-deterministic via the repo's scaled-bigint sum (values
+    rounded to `decimals` dp, summed as longs): plain avg() accumulates in
+    partition order, and at sf100 (200k values/group) one of 640 centroid
+    cells straddled the 6-dp output rounding vs DuckDB. Unit-scale
+    embeddings at 9 dp cap a group at ~1.8e9 values before long overflow —
+    which Spark's ANSI mode turns into a loud error, not a wrong sum."""
+    scale = float(10**decimals)
     exploded = df.select(*group_cols, F.posexplode(vec_col).alias("dim", "val"))
-    per_dim = exploded.groupBy(*group_cols, "dim").agg(F.avg(F.col("val").cast("double")).alias("avg_val"))
+    per_dim = exploded.groupBy(*group_cols, "dim").agg(
+        (
+            F.sum(F.round(F.col("val").cast("double") * F.lit(scale)).cast("long")).cast("double")
+            / F.lit(scale)
+            / F.count("val").cast("double")
+        ).alias("avg_val")
+    )
     return (
         per_dim.groupBy(*group_cols)
         .agg(F.array_sort(F.collect_list(F.struct("dim", "avg_val"))).alias("__pairs"))
