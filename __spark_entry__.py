@@ -2021,15 +2021,19 @@ def q85_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking structure itself is hash-matched.
 
     Scale shape: the pair join is an EQUI-join on the cluster id — cost
-    sum(n_c^2), held linear by sizing k ~ n/64 (dedup.recommended_clusters);
-    at the driver's correctness scale k=8 is the formula's value
-    (500/64 -> 8).  Generalizes the reference's exact-pair embedding scans
-    (face_embeddings.py:129-131) to the corpus-dedup shape a training-data
-    pipeline needs."""
-    from esper_tv_spark.operators.dedup import semantic_dedup
+    sum(n_c^2), held linear by sizing k from the corpus
+    (dedup.recommended_clusters over the parquet FOOTER row count — no
+    Spark job, the q51 pattern: a pinned k goes quadratic one decade up).
+    The oracle inlines the formula's value AT THE DRIVER'S CORRECTNESS
+    SCALE (sf0.01, 500 vectors -> k=8); parity at other scales needs the
+    oracle regenerated for that corpus size, like q51.  Generalizes the
+    reference's exact-pair embedding scans (face_embeddings.py:129-131)
+    to the corpus-dedup shape a training-data pipeline needs."""
+    from esper_tv_spark.operators.dedup import recommended_clusters, semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = semantic_dedup(emb, k=8, threshold=0.4)
+    k = recommended_clusters(_parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet")))
+    out = semantic_dedup(emb, k=k, threshold=0.4)
     return out.select(
         "vec_id", "cluster", F.col("is_dup").cast("int").alias("is_dup")
     ).orderBy("vec_id")
