@@ -1079,14 +1079,11 @@ def q37_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle-set shuffle is ~30x the on-disk corpus (decompression x
     set growth), so at sf100 the static 32-partition default means
     3GB+/task and a GC-thrashed host, while the stat-derived count
-    (~400MB/task) completes — measured by the 1000x rehearsal. AQE
-    coalesces the extra partitions away at small scale, so the advice is
-    free at sf0.01."""
-    from esper_tv_spark.plans.partitions import advise_shuffle_partitions
-
-    advise_shuffle_partitions(
-        spark, os.path.join(sf_dir, "documents.parquet"), blowup=30.0
-    )
+    (~400MB/task) completes — measured by the 1000x rehearsal. Since
+    round 5 the sizing is DEFAULT-ON inside the operators themselves
+    (shingle_sets/jaccard_pairs self-advise via plans.partitions.
+    advise_for_df on their input's backing files) — no call-site knob
+    here, by design: at 100 TB every wide-shuffle query is q37."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.lsh_near_dup(docs, n_hashes=8, shingle_n=3, n_bands=4)
 
@@ -1406,11 +1403,11 @@ def q51_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket occupancy stays ~31 so candidate volume is linear in n. A
     pinned plane count measured 50x wall at 10x data in the sf1 rehearsal;
     a runtime emb.count() was the r3 approach and cost a full scan per
-    invocation. The oracle inlines the formula's value AT THE DRIVER'S
-    CORRECTNESS SCALE (sf0.01, 500 vectors -> 4 planes = _q51_sql's
-    default); parity at other scales requires regenerating the oracle for
-    that corpus size, which the static oracle_sql() contract cannot
-    express — the driver's gate runs at sf0.01 only (TESTDATA.md).
+    invocation. The oracle derives its plane count from the SAME footer
+    formula at oracle-build time (_q51_sql reads the corpus named by
+    $SPARK_GRAFT_ORACLE_SF_DIR, defaulting to the driver's sf0.01 gate
+    dir), so cross-scale gates set the env var and get a matching oracle
+    without hand regeneration.
 
     Index reuse: the banded projection + norms are persisted once per
     dataset fingerprint (build_srp_index) and probed thereafter — repeat
@@ -1438,11 +1435,31 @@ def q51_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_pairs_from_index(emb, idx, threshold=0.4)
 
 
-def _q51_sql(n_planes: int = 4, n_bands: int = 16, seed: int = 42) -> str:
+def _q51_sql(n_planes: int | None = None, n_bands: int = 16, seed: int = 42) -> str:
     """SRP-blocked near-dup in pure SQL: same plane sets (seeds 42..57),
     same bucket bits as the Spark srp_bucket, per-band bucket equi-join,
-    distinct candidate pairs, rounded-cosine cut."""
+    distinct candidate pairs, rounded-cosine cut.
+
+    The plane VALUES are seeded-numpy constants no SQL engine can
+    regenerate, so the oracle cannot be fully corpus-independent like
+    q85's — but the plane COUNT is derived here from the same footer-stat
+    formula the Spark query uses (`recommended_planes` over the parquet
+    row count of `$SPARK_GRAFT_ORACLE_SF_DIR/embeddings.parquet`, default
+    the driver's sf0.01 gate dir). Cross-scale gates point the env var at
+    the corpus under test and get a matching oracle with zero hand
+    regeneration (the round-4 gap: q51/q85 were the only two queries
+    whose oracles pinned corpus-size constants)."""
     from esper_tv_spark.operators.similarity import random_hyperplanes
+
+    if n_planes is None:
+        src = os.path.join(
+            os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+            "embeddings.parquet",
+        )
+        try:
+            n_planes = dedup.recommended_planes(_parquet_num_rows(src))
+        except Exception:
+            n_planes = 4  # the sf0.01 value; only hit when the dir is absent
 
     rows = []
     for band in range(n_bands):
@@ -1631,28 +1648,39 @@ def q56_commercial_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     is coalesce / minus / filter_against range joins. Hash-checked against a
     recursive-CTE DuckDB oracle (_q56_sql).
 
-    Plan note: a single repartition(video_id)+cache of the events scan was
-    tried and REVERTED — with AQE, InMemoryRelation loses its output
-    partitioning, so every consumer re-shuffled anyway, and the cache hid
-    the per-branch parquet event_type pushdown. Separate pushdown scans +
-    broadcast semi-joins are the better plan at scale."""
+    Plan notes (round 5, all three measured at sf0.1 AND sf1):
+    - The five per-event-type pushdown scans are FUSED into one narrow
+      projection (video_id, event_type, t) persisted MEMORY_AND_DISK;
+      every branch (four typed interval tables + the whole-corpus spans
+      agg) filters the in-memory relation instead of re-reading parquet.
+      Plain-projection cache is NOT the reverted r3 plan — that was
+      repartition(video_id)+cache, which lost its partitioning under AQE
+      and bought nothing; here the cache replaces four redundant scans
+      (sf1: 7.3s -> 4.9s; ratio vs sf0.1 drops 2.5x -> ~1.4x).
+      localCheckpoint measured worse at sf1 (eager job + storage) and is
+      not executor-loss-safe on a real cluster; persist keeps lineage.
+    - NO final .orderBy(): the global sort's range partitioner re-runs
+      the subtree above the last shuffle for sampling — including the
+      applyInPandas fold — costing ~1.3s at sf0.1 for presentation-only
+      ordering the harness canonicalizes away (both the driver and the
+      oracle compare name-sorted, row-sorted values)."""
     from esper_tv_spark.domain.composites import detect_commercials
-
-    def sec_iv(event_type: str, length_s: float) -> DataFrame:
-        ev = _events(spark, sf_dir).where(F.col("event_type") == event_type)
-        s = F.unix_micros("ts").cast("double") / 1e6
-        return ev.select(
-            F.col("user_id").alias("video_id"),
-            s.alias("start"),
-            (s + F.lit(length_s)).alias("end"),
-        )
 
     ev = _events(spark, sf_dir)
     s = F.unix_micros("ts").cast("double") / 1e6
-    spans = (
-        ev.select(F.col("user_id").alias("video_id"), s.alias("t"))
-        .groupBy("video_id")
-        .agg(F.min("t").alias("start"), (F.max("t") + F.lit(3600.0)).alias("end"))
+    base = ev.select(
+        F.col("user_id").alias("video_id"), "event_type", s.alias("t")
+    ).persist()
+
+    def sec_iv(event_type: str, length_s: float) -> DataFrame:
+        return base.where(F.col("event_type") == event_type).select(
+            "video_id",
+            F.col("t").alias("start"),
+            (F.col("t") + F.lit(length_s)).alias("end"),
+        )
+
+    spans = base.groupBy("video_id").agg(
+        F.min("t").alias("start"), (F.max("t") + F.lit(3600.0)).alias("end")
     )
     empty = sec_iv("click", 1.0).limit(0)
     out = detect_commercials(
@@ -1669,7 +1697,7 @@ def q56_commercial_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "video_id",
         F.round("start", 6).alias("cstart"),
         F.round("end", 6).alias("cend"),
-    ).orderBy("video_id", "cstart")
+    )
 
 
 def _sql_coalesce_ve(src: str, out: str, gap: str) -> str:
@@ -2024,11 +2052,14 @@ def q85_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(n_c^2), held linear by sizing k from the corpus
     (dedup.recommended_clusters over the parquet FOOTER row count — no
     Spark job, the q51 pattern: a pinned k goes quadratic one decade up).
-    The oracle inlines the formula's value AT THE DRIVER'S CORRECTNESS
-    SCALE (sf0.01, 500 vectors -> k=8); parity at other scales needs the
-    oracle regenerated for that corpus size, like q51.  Generalizes the
-    reference's exact-pair embedding scans (face_embeddings.py:129-131)
-    to the corpus-dedup shape a training-data pipeline needs."""
+    The oracle is SCALE-INDEPENDENT: it recomputes the same half-up
+    k = max(2, floor(n/64 + 0.5)) from count(*) and selects the k
+    smallest-id centroids by rank (ORDER BY vec_id LIMIT k — mirroring
+    lloyd_assign's rank-based init, which is correct for sparse ids
+    where an `id < k` predicate is not), so the identical SQL gates any
+    sf.  Generalizes the reference's exact-pair embedding scans
+    (face_embeddings.py:129-131) to the corpus-dedup shape a
+    training-data pipeline needs."""
     from esper_tv_spark.operators.dedup import recommended_clusters, semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2041,7 +2072,9 @@ def q85_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q85_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id AS cluster, list_transform(v, x -> round(x, 6)) AS cv FROM e WHERE vec_id < 8),
+c AS (SELECT vec_id AS cluster, list_transform(v, x -> round(x, 6)) AS cv FROM e
+      ORDER BY vec_id
+      LIMIT (SELECT greatest(2, CAST(floor(count(*) / 64.0 + 0.5) AS BIGINT)) FROM e)),
 d AS (
   SELECT e.vec_id, c.cluster,
          round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
@@ -2130,7 +2163,8 @@ def q48_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q48_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id AS cluster, list_transform(v, x -> round(x, 6)) AS cv FROM e WHERE vec_id < 8),
+c AS (SELECT vec_id AS cluster, list_transform(v, x -> round(x, 6)) AS cv FROM e
+      ORDER BY vec_id LIMIT 8),
 d AS (
   SELECT e.vec_id, c.cluster,
          round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
@@ -2183,7 +2217,8 @@ def q80_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q80_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-c AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS cv FROM e WHERE vec_id < 16),
+c AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS cv FROM e
+      ORDER BY vec_id LIMIT 16),
 d AS (
   SELECT e.vec_id, c.cell,
          round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
@@ -2243,7 +2278,7 @@ cents AS (
   SELECT e.vec_id AS code, j.range AS subspace,
          list_transform(list_slice(e.v, j.range * 8 + 1, j.range * 8 + 8),
                         x -> round(x, 6)) AS sc
-  FROM e, range(8) j WHERE e.vec_id < 16
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16) e, range(8) j
 ),
 d AS (
   SELECT s.vec_id, s.subspace, c.code,
@@ -3098,19 +3133,18 @@ SELECT * FROM out_u UNION ALL SELECT * FROM out_a ORDER BY cls, variant
 
 # ORDERING CONTRACT: the driver's correctness harness checks only the FIRST
 # 50 dict entries (round-1 lesson: 12 registered queries fell past the
-# cutoff and got no correctness row).  Round-3 rotation: every query that is
-# NEW this round (q77-q79), UPGRADED to an oracle (q46/q48), RE-PLANNED
-# (banded q19/q21/q22/q34, deterministic-minus q20, banded-SRP q51), or
-# NEVER driver-checked in any round (q41/q42/q54/q61/q62/q72-q76) sits in
-# the window, alongside the pinned flagships and the families touched by
-# the event-timestamp normalization.  Queries below the cutoff were
-# driver-green in round 1 or 2 with unchanged code paths — their record
-# stands (CORRECTNESS_r01/r02) and all are still verified by
+# cutoff and got no correctness row).  Round-5 rotation: the window holds
+# the pinned flagships, every query whose CODE PATH changed this round
+# (q56 fused-scan re-plan; q29 bit-sum simhash; q28/q37/q60/q71/q85/q51
+# via the now-default operator shuffle advice; q48/q85 via the rank-based
+# Lloyd init), and q02 — the one query whose only driver record was
+# round-1 (the r4 window comment wrongly claimed all below-cutoff rows
+# were r3-green; q02's was r1, now re-proven here).  Queries below the
+# cutoff were driver-green in round 3 or 4 on code paths unchanged since;
+# their record stands (CORRECTNESS_r03/r04) and all remain verified by
 # tools/check.py locally.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- round-4 driver window (first 50): pinned flagships; every
-    # ---- query touched by this round's churn; the 33 rows last
-    # ---- driver-checked in r1/r2 (re-proving them on current code)
+    # ---- round-5 driver window (first 50) ----
     "q55_panel_scene_graph": q55_panel_scene_graph,
     "q56_commercial_detection": q56_commercial_detection,
     "q08_weighted_screen_time": q08_weighted_screen_time,
@@ -3122,9 +3156,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_interview_composite": q34_interview_composite,
     "q66_coverage_sweep": q66_coverage_sweep,
     "q77_bootstrap_validation": q77_bootstrap_validation,
-    "q79_label_writeback": q79_label_writeback,
-    "q46_asset_decode_stats": q46_asset_decode_stats,
-    "q84_png_decode_stats": q84_png_decode_stats,
+    "q29_simhash": q29_simhash,
+    "q02_top_revenue_orders": q02_top_revenue_orders,
+    "q28_minhash_lsh_pairs": q28_minhash_lsh_pairs,
     "q32_label_centroids": q32_label_centroids,
     "q04_late_ship_priority": q04_late_ship_priority,
     "q05_quiet_customers": q05_quiet_customers,
@@ -3152,7 +3186,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_bpe_token_counts": q59_bpe_token_counts,
     "q60_winnow_pairs": q60_winnow_pairs,
     "q63_sentiment_rank": q63_sentiment_rank,
-    "q64_pos_tags": q64_pos_tags,
+    "q48_kmeans_clusters": q48_kmeans_clusters,
     "q65_nearest_centroid": q65_nearest_centroid,
     "q67_decontaminate": q67_decontaminate,
     "q68_stratified_sample": q68_stratified_sample,
@@ -3175,14 +3209,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q25_doc_quality": q25_doc_quality,
     "q26_language_id": q26_language_id,
     "q27_doc_fingerprints": q27_doc_fingerprints,
-    "q28_minhash_lsh_pairs": q28_minhash_lsh_pairs,
-    "q29_simhash": q29_simhash,
-    "q02_top_revenue_orders": q02_top_revenue_orders,
+    "q84_png_decode_stats": q84_png_decode_stats,
+    "q79_label_writeback": q79_label_writeback,
+    "q46_asset_decode_stats": q46_asset_decode_stats,
     "q40_views_before_purchase": q40_views_before_purchase,
     "q41_split_chunks": q41_split_chunks,
     "q42_hourly_profile": q42_hourly_profile,
     "q43_latest_event_per_user": q43_latest_event_per_user,
-    "q48_kmeans_clusters": q48_kmeans_clusters,
+    "q64_pos_tags": q64_pos_tags,
     "q53_point_in_interval": q53_point_in_interval,
     "q54_stride_sample": q54_stride_sample,
     "q61_median_price": q61_median_price,
@@ -3300,4 +3334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    out = dict(_ORACLES)
+    # re-derived at CALL time, not import time: q51's plane count follows
+    # $SPARK_GRAFT_ORACLE_SF_DIR (tools/check.py sets it per gate corpus)
+    out["q51_near_dup_embeddings"] = _q51_sql()
+    return out

@@ -309,9 +309,17 @@ def run_query(catalog: dict[str, DataFrame], spec: dict[str, Any]) -> DataFrame:
             thr = dd.get("threshold", 0.9)
             if isinstance(thr, bool) or not isinstance(thr, (int, float)) or not -1.0 <= thr <= 1.0:
                 raise DSLError("threshold must be a number in [-1, 1]")
+            if "k" in dd:
+                k = _pos_int(dd.get("k"), "k", 8)
+            else:
+                # no pinned default: a fixed k goes quadratic one decade up
+                # (sum(n_c^2) with n_c ~ n/k). Derive it from the corpus the
+                # same way q85 does; the count is one job at plan time, paid
+                # only when the caller didn't size the blocking themselves.
+                k = dd_ops.recommended_clusters(df.count())
             df = dd_ops.semantic_dedup(
                 df,
-                k=_pos_int(dd.get("k"), "k", 8),
+                k=k,
                 threshold=float(thr),
                 id_col=dd.get("id_col", "vec_id"),
                 vec_col=vec_col,

@@ -56,7 +56,16 @@ def shingle_sets(
     — is a projection or a join against it.  The per-row array is bounded by
     the document's token count, so rows stay small even at corpus scale,
     and the output comes out hash-partitioned by id, a partitioning the
-    verify-stage joins reuse."""
+    verify-stage joins reuse.
+
+    Shuffle sizing is DEFAULT-ON here (plans.partitions.advise_for_df,
+    blowup ~30: ~3x parquet decompression x ~10x set-over-text growth):
+    the sf100 rehearsal measured this exact shuffle GC-thrashing a 128GB
+    host at the static 32-partition default (3GB+/task) and completing at
+    the stat-derived count — and only q37's call site carried the fix."""
+    from esper_tv_spark.plans.partitions import advise_for_df
+
+    advise_for_df(df, blowup=30.0)
     ng = ngrams(df, shingle_n, id_col, text_col)
     return ng.groupBy(id_col).agg(
         F.collect_set("ngram").alias("shingles"),
@@ -211,7 +220,12 @@ def jaccard_pairs(
     (derived from the parquet scan) undershoots and elects a broadcast
     that fails at driver memory one decade up (found by the sf10
     rehearsal — worked at 50k docs, died at 500k). Shuffled-hash scales
-    on both sides; AQE still handles any skewed id."""
+    on both sides; AQE still handles any skewed id. The pair-join shuffle
+    self-advises its partition count from the corpus bytes (the sets
+    carry the ~10x shingle blowup through both join sides)."""
+    from esper_tv_spark.plans.partitions import advise_for_df
+
+    advise_for_df(df, blowup=30.0)
     s = sets if sets is not None else shingle_sets(df, shingle_n, id_col, text_col)
     sa = s.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), F.col("n_sh").alias("n_a"))
     sb = s.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), F.col("n_sh").alias("n_b"))
@@ -268,7 +282,9 @@ def winnow_candidate_pairs(
     sizes squared, never corpus^2; max_bucket_size drops boilerplate
     fingerprints before the pair blowup. Output: (id_a, id_b, n_shared)."""
     from esper_tv_spark.operators.text import winnow_fingerprints
+    from esper_tv_spark.plans.partitions import advise_for_df
 
+    advise_for_df(df, blowup=10.0)
     fps = winnow_fingerprints(df, k, w, id_col, text_col)
     grouped = (
         fps.groupBy("fp")
@@ -311,9 +327,12 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim) for
     every pair with rounded cosine >= threshold.
 
-    Pass `dim` (the embedding dimensionality) when known: otherwise a
-    `.first()` driver job sniffs it from the data, which at 100 TB is an
-    avoidable scan kickoff per invocation.
+    `dim` (the embedding dimensionality) is REQUIRED when n_planes > 0:
+    the planes are materialized at plan time and nothing in the Spark
+    schema carries array length, so the only alternative is a `.first()`
+    driver job — a full scan kickoff per invocation at 100 TB. Fail
+    closed instead of sniffing (get it from your table contract or the
+    parquet footer statistics).
 
     n_planes=0 is the exact all-pairs baseline (O(n^2), oracle-checkable —
     fine for a dedup audit on a sampled corpus, never for 100 TB).
@@ -327,7 +346,11 @@ def embedding_near_dup_pairs(
     stays an equi-join. Candidate pairs are deduped before scoring (each
     pair's cosine is computed once)."""
     from esper_tv_spark.operators.similarity import cosine, dot, random_hyperplanes, srp_bucket
+    from esper_tv_spark.plans.partitions import advise_for_df
 
+    # banded candidate pairs run ~occupancy x bands / 2 per vector
+    # (16-byte rows) plus the vector re-attach joins: ~8x the input bytes
+    advise_for_df(df, blowup=8.0)
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     a = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
     b = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
@@ -341,7 +364,11 @@ def embedding_near_dup_pairs(
             a = a.repartition(par, "id_a")
             b = b.repartition(par, "id_b")
         if dim is None:
-            dim = len(df.select(vec_col).first()[0])
+            raise ValueError(
+                "embedding_near_dup_pairs: dim is required when n_planes > 0 "
+                "(no schema metadata carries array length; refusing to run a "
+                "driver-side .first() scan to sniff it)"
+            )
         # ONE pass per side: every band's bucket is its OWN column (each a
         # n_planes x dim unrolled multiply-add chain — per-column codegen
         # splits keep Janino under its 64KB method limit, which one giant
@@ -445,7 +472,10 @@ def build_srp_index(
     if vecs.rdd.getNumPartitions() < par:
         vecs = vecs.repartition(par, "id")
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "build_srp_index: dim is required (no schema metadata carries "
+            "array length; refusing to run a driver-side .first() scan)"
+        )
     all_planes = [random_hyperplanes(dim, n_planes, seed + band) for band in range(n_bands)]
     bucketed = vecs.select(
         "id",
@@ -482,9 +512,14 @@ def near_dup_pairs_from_index(
 
     from esper_tv_spark.operators.similarity import dot
 
+    from esper_tv_spark.plans.partitions import advise_for_df
+
     spark = df.sparkSession
     bands = spark.read.parquet(os.path.join(path, "bands"))
     norms = spark.read.parquet(os.path.join(path, "norms"))
+    # the band self-join fans out ~occupancy x bands / 2 candidate rows
+    # per vector; size its shuffle from the persisted index bytes
+    advise_for_df(bands, blowup=16.0)
     # NO distinct before scoring: bands produce mostly-disjoint random
     # collisions (measured ~3% overlap at occupancy ~31 x 16 bands), so a
     # pre-scoring distinct shuffles the full multi-million-pair stream to
@@ -531,17 +566,19 @@ def simhash(df: DataFrame, n_bits: int = 32, id_col: str = "doc_id", text_col: s
     h = F.conv(F.substring(F.md5(F.col("token")), 1, nhex), 16, 10).cast("long")
     tb = toks.withColumn("h", h)
     # one aggregation column per bit (map-side partials over the token rows)
-    # instead of exploding tokens x n_bits rows into a fat shuffle
+    # instead of exploding tokens x n_bits rows into a fat shuffle. Each
+    # column sums the RAW BIT (0/1), not a +1/-1 CASE: sign(sum(+-1)) ==
+    # (2*sum(bit) > n_tokens) — identical simhash values, ~30% cheaper per
+    # token (measured at sf0.1: the when/otherwise chain was the hot loop).
     bit_sums = [
-        F.sum(
-            F.when(F.expr(f"shiftright(h, {b})").bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s_{b}")
-        for b in range(n_bits)
+        F.sum(F.expr(f"shiftright(h, {b}) & 1")).alias(f"s_{b}") for b in range(n_bits)
     ]
-    per_doc = tb.groupBy(id_col).agg(*bit_sums)
+    per_doc = tb.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *bit_sums)
     sh = None
     for b in range(n_bits):
-        bitval = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        bitval = F.when(
+            F.col(f"s_{b}") * 2 > F.col("__n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         sh = bitval if sh is None else sh + bitval
     return per_doc.select(F.col(id_col), sh.alias("simhash"))
 
@@ -571,6 +608,9 @@ def connected_components(
     RuntimeError if `max_iters` rounds do not converge (silent partial
     labels would corrupt the downstream dedup).
     """
+    from esper_tv_spark.plans.partitions import advise_for_df
+
+    advise_for_df(edges, blowup=4.0)
     sym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -627,8 +667,12 @@ def recommended_clusters(n_vectors: int, target_occupancy: float = 64.0) -> int:
     n/occupancy keeps expected cluster size ~target, so the within-cluster
     pair volume stays sum(n_c^2) ~ n * occupancy ~ LINEAR in n.  Same
     logic as `recommended_planes` for the SRP block — a pinned k goes
-    quadratic one decade up."""
-    return max(2, round(max(n_vectors, 2) / target_occupancy))
+    quadratic one decade up.
+
+    Rounds HALF-UP (floor(x + 0.5)), not Python banker's rounding, so a
+    SQL oracle can recompute the identical k from count(*) — DuckDB's
+    round() is half-away-from-zero and the two diverge at exact .5."""
+    return max(2, int(max(n_vectors, 2) / target_occupancy + 0.5))
 
 
 def semantic_dedup(
@@ -662,6 +706,12 @@ def semantic_dedup(
     Output: (id_col, cluster, is_dup) — every input vector, its cluster,
     and whether SemDeDup drops it."""
     from esper_tv_spark.operators.similarity import dot, lloyd_assign
+    from esper_tv_spark.plans.partitions import advise_for_df
+
+    # the within-cluster pair join materializes ~occupancy/2 partner
+    # vectors per row (2 x dim doubles each) — size its shuffle from the
+    # corpus bytes, not the session default (the q37 sf100 lesson)
+    advise_for_df(df, blowup=64.0)
 
     assign = lloyd_assign(
         df, centroids=centroids, k=k, id_col=id_col, vec_col=vec_col, round_digits=round_digits

@@ -394,9 +394,13 @@ def ivf_topk_deterministic(
     assigned = lloyd_assign(
         df, k=n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
     ).withColumnRenamed("cluster", "cell")
-    cents = df.where(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"),
-        F.transform(F.col(vec_col).cast("array<double>"), lambda x: F.round(x, round_digits)).alias("__cv"),
+    cents = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell"),
+            F.transform(F.col(vec_col).cast("array<double>"), lambda x: F.round(x, round_digits)).alias("__cv"),
+        )
     )
     qlit = lit_vector(query_vec)
     probe = (
@@ -424,7 +428,9 @@ def pq_assign_deterministic(
     """Product-quantization ENCODE with deterministic codebooks — the
     engine-portable twin of pq_fit/pq_encode (whose KMeans codebooks are
     iterative and whose Arrow encode uses BLAS summation): subspace j's
-    codebook is the j-th slice of the k smallest-id vectors (rounded), and
+    codebook is the j-th slice of the k smallest-id vectors (selected by
+    rank — orderBy + limit — not an `id < k` predicate, which under-fills
+    the codebook whenever ids are sparse or offset; rounded), and
     each vector's code_j is the argmin rounded squared distance (ties to
     the smaller centroid id). Fully relational — explode subspaces, join
     the k-row codebook per subspace, one argmin window — so a SQL oracle
@@ -452,7 +458,8 @@ def pq_assign_deterministic(
         ).alias("__s"),
     ).select(id_col, F.col("__s.subspace").alias("subspace"), F.col("__s.sv").alias("sv"))
     cents = (
-        vecs.where(F.col(id_col) < k)
+        vecs.orderBy(F.col(id_col).asc())
+        .limit(k)
         .select(
             F.col(id_col).alias("code"),
             F.explode(
@@ -575,15 +582,22 @@ def lloyd_assign(
     ties to the smaller cluster id.
 
     `centroids` is (cluster, cvec) or None -> fixed init = the k vectors
-    with the smallest ids. Scale shape: broadcast nested loop over k
+    with the smallest ids, selected by RANK (orderBy + limit, a
+    distributed TakeOrdered — not an `id < k` predicate, which silently
+    yields fewer/zero centroids whenever ids are sparse or offset and
+    turns downstream cluster blocking quadratic or empty). Cluster label
+    = the centroid's own id, so with contiguous ids-from-0 the labels
+    are 0..k-1, unchanged. Scale shape: broadcast nested loop over k
     centroids per row + one per-row argmin window keyed by id (no
     shuffle of df when id is unique per row — the window partitions are
     single rows; Catalyst still plans an exchange, so for very large df
     prefer min_by-style aggregation per id, same semantics)."""
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
     if centroids is None:
-        centroids = vecs.where(F.col(id_col) < k).select(
-            F.col(id_col).alias("cluster"), F.col("__v").alias("__c")
+        centroids = (
+            vecs.orderBy(F.col(id_col).asc())
+            .limit(k)
+            .select(F.col(id_col).alias("cluster"), F.col("__v").alias("__c"))
         )
     else:
         centroids = centroids.select(

@@ -59,8 +59,27 @@ def advise_shuffle_partitions(
     `blowup` covers decompression plus operator amplification (e.g. ~30
     for shingle-set builds: ~3x parquet decompression x ~10x set-over-text
     growth). Sets `initialPartitionNum` for the session and returns the
-    value; AQE's coalescer shrinks any query that doesn't need it."""
+    value; AQE's coalescer shrinks any query that doesn't need it.
+
+    Session-conf semantics (deliberate, and safe ONLY under AQE
+    coalescing): the knob is session-global and monotone — it only ever
+    ratchets UP, so later queries in the same session inherit the largest
+    advice so far and rely on AQE to coalesce back down at runtime.
+    Spark reads `initialPartitionNum` only when
+    `spark.sql.adaptive.coalescePartitions.enabled` is true; when
+    coalescing is DISABLED the advice is left untouched (a raised initial
+    count would then bind every later small query to thousands of tasks
+    with nothing to shrink them) and the session floor is returned."""
     floor_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    aqe_coalesce = (
+        spark.conf.get("spark.sql.adaptive.enabled", "true").lower() == "true"
+        and spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        ).lower()
+        == "true"
+    )
+    if not aqe_coalesce:
+        return floor_n
     need = math.ceil(input_bytes(paths) * blowup / target_task_bytes)
     n = min(max_partitions, max(floor_n, need))
     try:
@@ -70,3 +89,28 @@ def advise_shuffle_partitions(
     if n > prev:
         spark.conf.set(_INITIAL_KEY, str(n))
     return max(n, prev)
+
+
+def advise_for_df(df, blowup: float, target_task_bytes: int = 256 * 1024 * 1024) -> int:
+    """Default-on shuffle sizing for wide-shuffle OPERATORS: derive the
+    input bytes from the DataFrame's own backing files (`df.inputFiles()`
+    — file-listing metadata, no Spark job) and apply
+    `advise_shuffle_partitions`. The round-4 sf100 rehearsal showed a
+    static 32-partition shuffle GC-thrashing the Jaccard verify at
+    3GB+/task while the stat-derived count completes; every operator with
+    that wide-shuffle shape (shingle sets, pair verify, semantic dedup,
+    winnowing, connected components) now self-advises instead of relying
+    on the caller to remember. Non-file-backed inputs (memory, streams,
+    post-shuffle subtrees) report no files and the session floor stands —
+    the advice is best-effort, never wrong, because AQE coalesces any
+    over-advice away."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    paths = [f[7:] if f.startswith("file://") else f for f in files]
+    return advise_shuffle_partitions(
+        df.sparkSession, paths, blowup=blowup, target_task_bytes=target_task_bytes
+    )

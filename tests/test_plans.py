@@ -156,3 +156,44 @@ def test_advise_shuffle_partitions_from_input_bytes(spark, tmp_path):
         spark, str(p), blowup=1e9, target_task_bytes=1024, max_partitions=512
     )
     assert n3 == 512
+    # with AQE coalescing disabled the advice must stand down entirely
+    # (initialPartitionNum is only read under coalescing; raising it
+    # without the coalescer would pin every later query to the max)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        spark.conf.unset(key)
+        assert advise_shuffle_partitions(spark, str(p), blowup=1e9) == floor_n
+        assert spark.conf.get(key, None) in (None, "none")
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # don't leak the ratcheted advice into later tests on the shared
+        # session fixture (the round-4 ADVICE nit)
+        try:
+            spark.conf.unset(key)
+        except Exception:
+            pass
+
+
+def test_advise_for_df_from_backing_files(spark, tmp_path):
+    """Operator-side default sizing: advice derives from the DataFrame's
+    own inputFiles; memory-backed frames are a no-op at the session floor."""
+    from esper_tv_spark.plans.partitions import advise_for_df
+
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    floor_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        spark.conf.unset(key)
+    except Exception:
+        pass
+    # memory-backed: no files, no conf mutation
+    mem = spark.range(10)
+    assert advise_for_df(mem, blowup=1e9) == floor_n
+    assert spark.conf.get(key, None) in (None, "none")
+    # file-backed: sized from the parquet bytes
+    p = str(tmp_path / "t.parquet")
+    spark.range(200_000).write.parquet(p)
+    df = spark.read.parquet(p)
+    n = advise_for_df(df, blowup=4096.0, target_task_bytes=16 * 1024 * 1024)
+    assert n > floor_n
+    assert int(spark.conf.get(key)) == n
+    spark.conf.unset(key)

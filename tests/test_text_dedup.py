@@ -172,7 +172,7 @@ def test_embedding_near_dup_lsh_blocked_subset(spark):
     }
     blocked = {
         (r["id_a"], r["id_b"])
-        for r in embedding_near_dup_pairs(df, threshold=0.9, n_planes=4).collect()
+        for r in embedding_near_dup_pairs(df, threshold=0.9, n_planes=4, dim=8).collect()
     }
     # blocking never invents pairs, and near-identical twins mostly share
     # all 4 hyperplane signs -> recall should be high on this data
@@ -326,6 +326,31 @@ def test_semantic_dedup_blocks_and_drops(spark):
     # k-sizing helper keeps occupancy ~64
     assert recommended_clusters(64_000) == 1000
     assert recommended_clusters(10) == 2
+
+
+def test_semantic_dedup_sparse_ids(spark):
+    """Rank-based Lloyd init: ids far above k must still yield k centroids
+    (the `id < k` init silently produced zero centroids — and an empty
+    semantic_dedup — on any table whose ids all exceed k)."""
+    import numpy as np
+
+    from esper_tv_spark.operators.dedup import semantic_dedup
+    from esper_tv_spark.operators.similarity import lloyd_assign
+
+    rng = np.random.default_rng(11)
+    ids = [1_000_000 + 7 * i for i in range(12)]  # sparse, offset, none < k
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in ids]
+    # near-copy of the first vector under a much larger id
+    rows.append((9_999_999, [v * 1.01 + 1e-4 for v in rows[0][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assign = lloyd_assign(df, k=3).collect()
+    assert len(assign) == 13  # every vector assigned, none dropped
+    # centroid labels are the 3 smallest ids present, not 0..2
+    assert {r["cluster"] for r in assign} <= set(ids[:3])
+    out = {r["vec_id"]: r for r in semantic_dedup(df, k=3, threshold=0.95).collect()}
+    assert len(out) == 13
+    assert out[9_999_999]["is_dup"] is True
+    assert out[ids[0]]["is_dup"] is False
 
 
 def test_semantic_dedup_pair_join_is_cluster_equijoin(spark):

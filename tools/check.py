@@ -97,8 +97,14 @@ def bare_spark():
 
 
 def main():
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # point oracle generation at the corpus under test: q51's plane count
+    # is derived from the embeddings parquet footer at oracle-build time
+    # (cross-scale gates get a matching oracle with no hand regeneration)
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
 
     con = duckdb.connect()
     for t in TABLES:
