@@ -1386,6 +1386,28 @@ def _parquet_num_rows(path: str) -> int:
     return pq.read_metadata(path).num_rows
 
 
+def _parquet_list_dim(path: str, col: str = "embedding") -> int:
+    """Embedding dimensionality from ONE row of one column via pyarrow —
+    a driver-side micro-read (single row group page), never a Spark job.
+    Parquet footers don't record list lengths, so this is the cheapest
+    honest probe; it unpins the dim-64 assumption so scale fixtures can
+    carry higher-dim vectors (at dim 64 the cross-pair cosine noise floor
+    sigma ~ 1/sqrt(64) = 0.125 makes ANY threshold degenerate at 4e12
+    pairs — see tools/make_scale.py)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for fn in sorted(files):
+                if fn.endswith(".parquet"):
+                    path = os.path.join(root, fn)
+                    break
+            break
+    pf = pq.ParquetFile(path)
+    batch = next(pf.iter_batches(batch_size=1, columns=[col]))
+    return len(batch.column(0)[0].as_py())
+
+
 def q51_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family), SCALE PATH:
     signed-random-projection buckets block the comparison, so candidate
@@ -1419,6 +1441,7 @@ def q51_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     src = os.path.join(sf_dir, "embeddings.parquet")
     n_planes, n_bands, seed = dedup.recommended_planes(_parquet_num_rows(src)), 16, 42
+    dim = _parquet_list_dim(src)
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     tag = _dir_fingerprint(src)
     idx = os.path.join(
@@ -1430,7 +1453,7 @@ def q51_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dirs keep theirs — the prefix is sf-scoped)
         _evict_stale_siblings(f"esper_tv_srp_idx_{sf_tag}_", keep=idx)
         dedup.build_srp_index(
-            emb, idx, n_planes=n_planes, seed=seed, n_bands=n_bands, dim=64
+            emb, idx, n_planes=n_planes, seed=seed, n_bands=n_bands, dim=dim
         )
     return dedup.near_dup_pairs_from_index(emb, idx, threshold=0.4)
 
@@ -1451,19 +1474,23 @@ def _q51_sql(n_planes: int | None = None, n_bands: int = 16, seed: int = 42) -> 
     whose oracles pinned corpus-size constants)."""
     from esper_tv_spark.operators.similarity import random_hyperplanes
 
+    src = os.path.join(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        "embeddings.parquet",
+    )
     if n_planes is None:
-        src = os.path.join(
-            os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
-            "embeddings.parquet",
-        )
         try:
             n_planes = dedup.recommended_planes(_parquet_num_rows(src))
         except Exception:
             n_planes = 4  # the sf0.01 value; only hit when the dir is absent
+    try:
+        dim = _parquet_list_dim(src)
+    except Exception:
+        dim = 64
 
     rows = []
     for band in range(n_bands):
-        for i, p in enumerate(random_hyperplanes(64, n_planes, seed + band)):
+        for i, p in enumerate(random_hyperplanes(dim, n_planes, seed + band)):
             rows.append(f"({band}, {i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])")
     values = ",\n".join(rows)
     return f"""
@@ -2038,6 +2065,58 @@ FROM px GROUP BY asset_id, w, h ORDER BY asset_id
 """
 
 
+def q86_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third REAL codec for the multimodal decode pipeline: baseline
+    sequential JPEG (ITU T.81 public spec) decoded by a pure-numpy marker
+    walk + Huffman decode + dequant + IDCT + YCbCr->RGB
+    (operators/multimodal.jpeg_decode — general baseline 4:4:4 incl. AC
+    run/size coding and restart markers; unsupported subsets raise
+    DecoderNotAvailable). Fixture payloads are DC-only constant blocks
+    with all-ones quant tables, so each decoded pixel is a closed form of
+    asset_id: RGB -> YCbCr -> floor(8(v-128)+0.5)/8 roundtrip -> RGB'
+    clamp — the oracle recomputes the whole decode independently. Closes
+    the reference's frame-serving parity (app/esper/prelude.py:125-136):
+    PPM (q46) covers uncompressed, PNG (q84) lossless-compressed, JPEG
+    the lossy-DCT family."""
+    from esper_tv_spark.operators import multimodal as mm
+
+    assets = mm.make_jpeg_asset_table(spark, n=200)
+    return mm.decode_stats(assets)
+
+
+Q86_SQL = """
+WITH a AS (
+  SELECT range AS asset_id, 1 + range % 3 AS bw, 1 + (range * 5) % 3 AS bh
+  FROM range(200)
+),
+blk AS (
+  SELECT a.asset_id, a.bw, a.bh,
+         CAST((a.asset_id * 11 + b.range * 29) % 256 AS DOUBLE) AS r,
+         CAST((a.asset_id * 13 + b.range * 31) % 256 AS DOUBLE) AS g,
+         CAST((a.asset_id * 17 + b.range * 37) % 256 AS DOUBLE) AS bl
+  FROM a, range(9) b WHERE b.range < a.bw * a.bh
+),
+ycc AS (
+  SELECT asset_id, bw, bh,
+         128.0 + floor(8.0 * ((0.299 * r + 0.587 * g + 0.114 * bl) - 128.0) + 0.5) / 8.0 AS y2,
+         128.0 + floor(8.0 * ((128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl) - 128.0) + 0.5) / 8.0 AS cb2,
+         128.0 + floor(8.0 * ((128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl) - 128.0) + 0.5) / 8.0 AS cr2
+  FROM blk
+),
+rgb AS (
+  SELECT asset_id, bw, bh,
+         greatest(0, least(255, CAST(floor(y2 + 1.402 * (cr2 - 128.0) + 0.5) AS BIGINT))) AS rr,
+         greatest(0, least(255, CAST(floor(y2 - 0.344136 * (cb2 - 128.0) - 0.714136 * (cr2 - 128.0) + 0.5) AS BIGINT))) AS gg,
+         greatest(0, least(255, CAST(floor(y2 + 1.772 * (cb2 - 128.0) + 0.5) AS BIGINT))) AS bb
+  FROM ycc
+)
+SELECT asset_id, CAST(bw * 8 AS INT) AS width, CAST(bh * 8 AS INT) AS height,
+       CAST(bw * 8 * bh * 8 AS BIGINT) AS n_pixels,
+       CAST(sum(64 * (rr + gg + bb)) AS DOUBLE) / (bw * 8 * bh * 8 * 3) AS mean_luma
+FROM rgb GROUP BY asset_id, bw, bh ORDER BY asset_id
+"""
+
+
 def q85_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
     k-means-blocked semantic deduplication over the embeddings table.
@@ -2115,7 +2194,7 @@ def _q47_sql() -> str:
     same Hamming-1 probe set, same rounded-cosine top-10 cut."""
     from esper_tv_spark.operators.similarity import random_hyperplanes
 
-    planes = random_hyperplanes(64, 8, seed=42)
+    planes = random_hyperplanes(_oracle_embed_dim(), 8, seed=42)
     rows = ",\n".join(
         f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])" for i, p in enumerate(planes)
     )
@@ -2191,7 +2270,10 @@ def q78_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     avoids libm differences across engines."""
     from esper_tv_spark.operators.similarity import logreg_score, random_hyperplanes
 
-    w = random_hyperplanes(64, 1, seed=5)[0]
+    # the frozen model's width follows the corpus (footer-adjacent one-row
+    # probe, no Spark job) so scale fixtures may carry higher-dim vectors
+    dim = _parquet_list_dim(os.path.join(sf_dir, "embeddings.parquet"))
+    w = random_hyperplanes(dim, 1, seed=5)[0]
     emb = _t(spark, sf_dir, "embeddings")
     scored = logreg_score(emb, w, bias=-0.05)
     return (
@@ -2356,10 +2438,25 @@ FROM t GROUP BY l_returnflag
 """
 
 
+def _oracle_embed_dim() -> int:
+    """Embedding dim of the ORACLE corpus ($SPARK_GRAFT_ORACLE_SF_DIR,
+    default the driver's sf0.01 gate dir) — keeps seeded plane/weight
+    vectors in oracle SQL the same width the Spark side derives."""
+    try:
+        return _parquet_list_dim(
+            os.path.join(
+                os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+                "embeddings.parquet",
+            )
+        )
+    except Exception:
+        return 64
+
+
 def _q78_sql() -> str:
     from esper_tv_spark.operators.similarity import random_hyperplanes
 
-    w = random_hyperplanes(64, 1, seed=5)[0]
+    w = random_hyperplanes(_oracle_embed_dim(), 1, seed=5)[0]
     wlit = f"[{', '.join(repr(float(x)) for x in w)}]::DOUBLE[]"
     return f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3185,7 +3282,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_knn_predict": q57_knn_predict,
     "q59_bpe_token_counts": q59_bpe_token_counts,
     "q60_winnow_pairs": q60_winnow_pairs,
-    "q63_sentiment_rank": q63_sentiment_rank,
+    "q86_jpeg_decode_stats": q86_jpeg_decode_stats,
     "q48_kmeans_clusters": q48_kmeans_clusters,
     "q65_nearest_centroid": q65_nearest_centroid,
     "q67_decontaminate": q67_decontaminate,
@@ -3197,6 +3294,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_pq_codes": q81_pq_codes,
     # ---- position 50 cutoff: rows below were driver-green in r3 on
     # ---- code paths unchanged since; their record stands
+    "q63_sentiment_rank": q63_sentiment_rank,
     "q31_knn": q31_knn,
     "q01_pricing_summary": q01_pricing_summary,
     "q03_region_revenue": q03_region_revenue,
@@ -3319,6 +3417,7 @@ _ORACLES: dict[str, str] = {
     "q82_asof_forward": Q82_SQL,
     "q83_kmv_distinct": Q83_SQL,
     "q84_png_decode_stats": Q84_SQL,
+    "q86_jpeg_decode_stats": Q86_SQL,
     "q85_semantic_dedup": Q85_SQL,
 }
 
@@ -3335,7 +3434,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
-    # re-derived at CALL time, not import time: q51's plane count follows
-    # $SPARK_GRAFT_ORACLE_SF_DIR (tools/check.py sets it per gate corpus)
+    # re-derived at CALL time, not import time: q51's plane count and the
+    # q47/q51/q78 plane/weight widths follow $SPARK_GRAFT_ORACLE_SF_DIR
+    # (tools/check.py sets it per gate corpus)
     out["q51_near_dup_embeddings"] = _q51_sql()
+    out["q47_ann_topk"] = _q47_sql()
+    out["q78_logreg_score"] = _q78_sql()
     return out

@@ -229,14 +229,352 @@ def make_png_asset_table(spark, n: int = 200) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# baseline JPEG (ITU T.81, public spec) — pure Python/numpy
+# --------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _idct_matrix() -> np.ndarray:
+    """8-point DCT-III basis: row u of A holds C(u)/2 * cos((2x+1)u pi/16),
+    so spatial = A.T @ coefs @ A (the standard separable JPEG IDCT)."""
+    a = np.zeros((8, 8))
+    for u in range(8):
+        c = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+_IDCT_A = _idct_matrix()
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data with 0xFF00 byte
+    stuffing removed on the fly; surfaces RSTn markers to the caller."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf, self.pos, self.bit = buf, pos, 0
+
+    def read_bit(self) -> int:
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt != 0x00:
+                raise DecoderNotAvailable(f"marker 0x{nxt:02x} inside entropy data")
+        bit = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 2 if b == 0xFF else 1
+        return bit
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Skip to the next marker (for RSTn); returns the marker byte."""
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+        while self.buf[self.pos] != 0xFF or self.buf[self.pos + 1] == 0x00:
+            self.pos += 1
+        m = self.buf[self.pos + 1]
+        self.pos += 2
+        return m
+
+
+def _build_huffman(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, canonical JPEG code assignment."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | r.read_bit()
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+    raise DecoderNotAvailable("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG EXTEND: map `size`-bit magnitude bits to the signed value."""
+    return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def jpeg_decode(payload: bytes) -> np.ndarray:
+    """REAL decoder for baseline sequential JPEG (SOF0), pure numpy: marker
+    walk -> DQT/DHT/SOF0/SOS parse -> Huffman-decode interleaved MCUs
+    (general DC categories and AC run/size incl. ZRL and EOB, restart
+    markers honored) -> dequant -> dezigzag -> separable matrix IDCT ->
+    level shift -> YCbCr-to-RGB (3-component) or grayscale replicated to
+    RGB. Supported subset: 8-bit precision, 1x1 sampling (no chroma
+    subsampling), no progressive/arithmetic coding; anything else raises
+    DecoderNotAvailable so callers can fall back — same contract as
+    ppm_decode/png_decode. Entirely public-spec (ITU T.81 + JFIF)."""
+    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        raise DecoderNotAvailable("not a JPEG payload (no SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    w = h = None
+    comps: list[tuple[int, int, int]] = []  # (comp_id, qtab_id, sampling)
+    scan: list[tuple[int, int, int]] = []  # (comp_id, dc_tab, ac_tab)
+    dri = 0
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise DecoderNotAvailable("marker sync lost")
+        m = payload[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        data = payload[i + 4 : i + 2 + seglen]
+        if m == 0xDB:  # DQT
+            j = 0
+            while j < len(data):
+                pq_tq = data[j]
+                if pq_tq >> 4 != 0:
+                    raise DecoderNotAvailable("16-bit quant tables unsupported")
+                qt[pq_tq & 0xF] = np.array(list(data[j + 1 : j + 65]), dtype=np.int32)
+                j += 65
+        elif m == 0xC4:  # DHT
+            j = 0
+            while j < len(data):
+                tc_th = data[j]
+                bits = list(data[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(data[j + 17 : j + 17 + nv])
+                huff[(tc_th >> 4, tc_th & 0xF)] = _build_huffman(bits, vals)
+                j += 17 + nv
+        elif m == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = data[0], *struct.unpack(">HH", data[1:5]), data[5]
+            if prec != 8:
+                raise DecoderNotAvailable(f"precision {prec} unsupported")
+            for c in range(nc):
+                cid, samp, tq = data[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise DecoderNotAvailable("chroma subsampling unsupported")
+                comps.append((cid, tq, samp))
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise DecoderNotAvailable(f"non-baseline SOF 0x{m:02x} unsupported")
+        elif m == 0xDD:  # DRI
+            (dri,) = struct.unpack(">H", data[0:2])
+        elif m == 0xDA:  # SOS
+            ns = data[0]
+            for c in range(ns):
+                cid, tabs = data[1 + 2 * c], data[2 + 2 * c]
+                scan.append((cid, tabs >> 4, tabs & 0xF))
+            i = i + 2 + seglen
+            break
+        i += 2 + seglen
+    if w is None or not scan:
+        raise DecoderNotAvailable("missing SOF0 or SOS")
+    if len(scan) != len(comps):
+        raise DecoderNotAvailable("partial scans unsupported")
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comps]
+    qtab_of = {cid: qt[tq] for cid, tq, _ in comps}
+    order = [cid for cid, _, _ in scan]
+    r = _BitReader(payload, i)
+    pred = {cid: 0 for cid in order}
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if dri and mcu and mcu % dri == 0:
+                m2 = r.align_to_marker()
+                if not (0xD0 <= m2 <= 0xD7):
+                    raise DecoderNotAvailable(f"expected RST, got 0x{m2:02x}")
+                pred = {cid: 0 for cid in order}
+            for (cid, dc_t, ac_t) in scan:
+                if (0, dc_t) not in huff or (1, ac_t) not in huff:
+                    raise DecoderNotAvailable("missing Huffman table")
+                size = _huff_decode(r, huff[(0, dc_t)])
+                diff = _extend(r.read_bits(size), size)
+                pred[cid] += diff
+                coefs = np.zeros(64, dtype=np.int64)
+                coefs[0] = pred[cid]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(r, huff[(1, ac_t)])
+                    run, sz = rs >> 4, rs & 0xF
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise DecoderNotAvailable("AC run past block end")
+                    coefs[k] = _extend(r.read_bits(sz), sz)
+                    k += 1
+                deq = coefs * qtab_of[cid].astype(np.int64)
+                if not deq[1:].any():
+                    # DC-only block: the IDCT is exactly the constant DC/8
+                    # (a dyadic division, no float error) — the matrix
+                    # product would carry ~1e-14 of rounding that can flip
+                    # a floor(x+0.5) pixel landing exactly on a boundary
+                    spatial = np.full((8, 8), float(deq[0]) / 8.0 + 128.0)
+                else:
+                    block = np.zeros((8, 8))
+                    for z, pos in enumerate(_ZIGZAG):
+                        block[pos // 8, pos % 8] = deq[z]
+                    spatial = _IDCT_A.T @ block @ _IDCT_A + 128.0
+                p = planes[order.index(cid)]
+                p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
+            mcu += 1
+    planes = [p[:h, :w] for p in planes]
+    if len(planes) == 1:
+        g = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    y, cb, cr = planes
+    rr = y + 1.402 * (cr - 128.0)
+    gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bb = y + 1.772 * (cb - 128.0)
+    out = np.stack([rr, gg, bb], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc, self.nbits = 0, 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.write(0x7F >> (7 - ((8 - self.nbits) % 8)), (8 - self.nbits) % 8)
+
+
+# standard DC luminance Huffman spec (T.81 Annex K.3.1) — also used here for
+# chroma; a tiny 1-bit AC table (EOB only) is sufficient for DC-only fixtures
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [1] + [0] * 15
+_AC_VALS = [0x00]
+
+
+def _dc_codes() -> dict[int, tuple[int, int]]:
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(_DC_BITS[length - 1]):
+            codes[_DC_VALS[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def jpeg_encode_const_blocks(colors: np.ndarray, bw: int, bh: int) -> bytes:
+    """Minimal baseline JPEG encoder for CLOSED-FORM fixtures: each 8x8
+    block is one constant RGB color (`colors` is (bh*bw, 3) uint8, row
+    major), quant tables all ones, 4:4:4, DC-only blocks (AC coefficients
+    of a constant block are exactly zero, so the encode is lossless up to
+    the documented DC rounding — which is what lets a SQL oracle recompute
+    the decoded pixels independently)."""
+    w, h = bw * 8, bh * 8
+    colors = colors.astype(np.float64)
+    y = 0.299 * colors[:, 0] + 0.587 * colors[:, 1] + 0.114 * colors[:, 2]
+    cb = 128.0 - 0.168736 * colors[:, 0] - 0.331264 * colors[:, 1] + 0.5 * colors[:, 2]
+    cr = 128.0 + 0.5 * colors[:, 0] - 0.418688 * colors[:, 1] - 0.081312 * colors[:, 2]
+    dc = _dc_codes()
+    wtr = _BitWriter()
+    pred = [0, 0, 0]
+    for b in range(bw * bh):
+        for ci, plane in enumerate((y, cb, cr)):
+            # DC coefficient of a constant block v: 8 * (v - 128); qtable 1
+            coef = int(np.floor(8.0 * (plane[b] - 128.0) + 0.5))
+            diff = coef - pred[ci]
+            pred[ci] = coef
+            mag, size = abs(diff), 0
+            while mag >> size:
+                size += 1
+            code, length = dc[size]
+            wtr.write(code, length)
+            if size:
+                bits = diff if diff >= 0 else diff + (1 << size) - 1
+                wtr.write(bits & ((1 << size) - 1), size)
+            wtr.write(0, 1)  # EOB (1-bit code 0 in the tiny AC table)
+    wtr.flush()
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(wtr.out) + b"\xff\xd9"
+
+
+def make_jpeg_asset_table(spark, n: int = 200) -> DataFrame:
+    """Synthetic asset table with REAL baseline-JPEG payloads whose decoded
+    pixels are closed-form: image is (1 + id%3) x (1 + (id*5)%3) blocks of
+    8x8, block b's constant RGB = ((id*11 + b*29) % 256, (id*13 + b*31) %
+    256, (id*17 + b*37) % 256). With all-ones quant tables the decode
+    roundtrip is RGB -> YCbCr -> DC-quantize (floor(8v-1024+0.5)/8) ->
+    YCbCr' -> RGB' clamp — every step scalar math a SQL oracle replays."""
+    rows = []
+    for a in range(n):
+        bw, bh = 1 + a % 3, 1 + (a * 5) % 3
+        cols = np.array(
+            [
+                [(a * 11 + b * 29) % 256, (a * 13 + b * 31) % 256, (a * 17 + b * 37) % 256]
+                for b in range(bw * bh)
+            ],
+            dtype=np.uint8,
+        )
+        rows.append((a, bytearray(jpeg_encode_const_blocks(cols, bw, bh)), (bw * 8, bh * 8, "jpeg")))
+    return spark.createDataFrame(
+        rows, f"asset_id long, payload binary, meta struct<{IMAGE_META_SCHEMA}>"
+    )
+
+
 def _sniff_decode(payload: bytes) -> np.ndarray:
     """Default decoder: real PPM for P6 payloads, real PNG for PNG
-    signatures, deterministic fake otherwise (the container has no codec
-    libs for JPEG)."""
+    signatures, real baseline JPEG for SOI payloads, deterministic fake
+    otherwise."""
     if payload.startswith(b"P6"):
         return ppm_decode(payload)
     if payload.startswith(_PNG_SIG):
         return png_decode(payload)
+    if payload.startswith(b"\xff\xd8"):
+        return jpeg_decode(payload)
     return _fake_decode(payload)
 
 

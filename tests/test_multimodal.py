@@ -216,3 +216,128 @@ def test_png_zero_dims_and_bomb_rejected():
     # decompression bomb: stream inflates past the geometry-implied size
     with _pytest.raises(DecoderNotAvailable):
         png_decode(png(2, 2, b"\x00" * 1_000_000))
+
+
+def test_jpeg_decode_const_blocks_closed_form():
+    """The DC-only fixture decodes to per-block constant pixels equal to the
+    documented closed-form roundtrip (the q86 oracle's math)."""
+    import numpy as np
+
+    from esper_tv_spark.operators.multimodal import jpeg_decode, jpeg_encode_const_blocks
+
+    for a in (0, 7, 41, 199):
+        bw, bh = 1 + a % 3, 1 + (a * 5) % 3
+        cols = np.array(
+            [[(a * 11 + b * 29) % 256, (a * 13 + b * 31) % 256, (a * 17 + b * 37) % 256]
+             for b in range(bw * bh)],
+            dtype=np.uint8,
+        )
+        img = jpeg_decode(jpeg_encode_const_blocks(cols, bw, bh))
+        assert img.shape == (bh * 8, bw * 8, 3)
+        for b in range(bw * bh):
+            by, bx = b // bw, b % bw
+            block = img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8].reshape(-1, 3)
+            assert (block == block[0]).all()
+            r, g, bl = cols[b].astype(float)
+            y = 0.299 * r + 0.587 * g + 0.114 * bl
+            cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * bl
+            cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * bl
+            rt = lambda v: 128.0 + np.floor(8.0 * (v - 128.0) + 0.5) / 8.0
+            y2, cb2, cr2 = rt(y), rt(cb), rt(cr)
+            exp = [
+                int(np.clip(np.floor(x + 0.5), 0, 255))
+                for x in (
+                    y2 + 1.402 * (cr2 - 128),
+                    y2 - 0.344136 * (cb2 - 128) - 0.714136 * (cr2 - 128),
+                    y2 + 1.772 * (cb2 - 128),
+                )
+            ]
+            assert list(block[0]) == exp
+
+
+def test_jpeg_decode_general_ac_coefficients():
+    """Hand-assembled scan with a nonzero AC coefficient exercises the
+    general run/size Huffman path + matrix IDCT (the fixture is DC-only);
+    decoded pixels must match an independent direct IDCT."""
+    import struct
+
+    import numpy as np
+
+    from esper_tv_spark.operators.multimodal import jpeg_decode
+
+    # grayscale 8x8, qtable all ones; DC table = standard (size symbols),
+    # AC table: 1-bit codes for EOB(0x00)=0 -> impossible with also (0,1);
+    # use 2-symbol table: EOB '0', (run 0,size 1) '10'
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    ac_bits = [1, 1] + [0] * 14
+    ac_vals = [0x00, 0x04]  # EOB '0'; (run 0, size 4) '10'
+
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    # scan bits: DC size 4 ('101'), bits 1010 (=10); AC (0,4) code '10',
+    # bits 1010 (=+10); EOB '0'; pad 1s
+    # => 101 1010 10 1010 0 11 -> 10110101 01010011
+    scan = bytes([0b10110101, 0b01010011])
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + scan
+        + b"\xff\xd9"
+    )
+    img = jpeg_decode(payload)
+    # independent IDCT: F(0,0)=10 (DC), F(0,1)=1 (zigzag pos 1)
+    f = np.zeros((8, 8))
+    f[0, 0], f[0, 1] = 10.0, 10.0
+    a = np.zeros((8, 8))
+    for u in range(8):
+        c = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16)
+    exp = np.clip(np.floor(a.T @ f @ a + 128.0 + 0.5), 0, 255).astype(np.uint8)
+    assert (img[:, :, 0] == exp).all() and (img[:, :, 1] == exp).all()
+    assert not (img[:, :, 0] == img[0, 0, 0]).all()  # AC term varies across x
+
+
+def test_jpeg_malformed_and_unsupported_raise():
+    import struct
+
+    import pytest as _pytest
+
+    from esper_tv_spark.operators.multimodal import DecoderNotAvailable, jpeg_decode
+
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    with _pytest.raises(DecoderNotAvailable):
+        jpeg_decode(b"")
+    with _pytest.raises(DecoderNotAvailable):
+        jpeg_decode(b"\xff\xd8\xff\xd9")  # no SOF/SOS
+    # progressive (SOF2) refused
+    with _pytest.raises(DecoderNotAvailable):
+        jpeg_decode(b"\xff\xd8" + seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])))
+    # chroma subsampling refused
+    with _pytest.raises(DecoderNotAvailable):
+        jpeg_decode(
+            b"\xff\xd8" + seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+        )
+
+
+def test_jpeg_asset_table_decodes_in_spark(spark):
+    from pyspark.sql import functions as F
+
+    from esper_tv_spark.operators.multimodal import decode_stats, make_jpeg_asset_table
+
+    assets = make_jpeg_asset_table(spark, n=24)
+    out = decode_stats(assets).orderBy("asset_id").collect()
+    assert len(out) == 24
+    for r in out:
+        a = r["asset_id"]
+        assert r["width"] == (1 + a % 3) * 8 and r["height"] == (1 + (a * 5) % 3) * 8
+        assert r["n_pixels"] == r["width"] * r["height"]
+        assert 0.0 <= r["mean_luma"] <= 255.0

@@ -203,10 +203,10 @@ def test_embedding_near_dup_banded_recall(spark):
     }
     one = {
         (r["id_a"], r["id_b"])
-        for r in embedding_near_dup_pairs(df, threshold=0.6, n_planes=4, n_bands=1).collect()
+        for r in embedding_near_dup_pairs(df, threshold=0.6, n_planes=4, n_bands=1, dim=8).collect()
     }
     banded_rows = embedding_near_dup_pairs(
-        df, threshold=0.6, n_planes=4, n_bands=12
+        df, threshold=0.6, n_planes=4, n_bands=12, dim=8
     ).collect()
     banded = {(r["id_a"], r["id_b"]) for r in banded_rows}
     assert len(banded_rows) == len(banded)  # candidate dedup: one score per pair

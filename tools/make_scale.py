@@ -14,15 +14,37 @@ cross-copy duplicates and turn a linear dedup workload quadratic:
   +-1 sign pattern. Sign flips are isometries — dot(s.x, s.y) = dot(x, y)
   for same-pattern vectors — so every within-copy cosine (and therefore
   q51's per-copy near-dup pair set) is EXACTLY preserved, while cross-copy
-  cosines decorrelate to ~N(0, 1/sqrt(dim)), far below the 0.4 threshold.
+  cosines decorrelate to ~N(0, 1/sqrt(dim)).
 - documents: copy c suffixes every token with _c<copy>, which destroys
   cross-copy shingle overlap while keeping within-copy Jaccard structure
   identical.
 
+DIMENSIONALITY CAVEAT (the round-4 finding): at the driver's dim 64 the
+cross-copy cosine noise floor is sigma = 1/sqrt(64) = 0.125, so at 1000
+copies (4e12 potential pairs) the 0.4 near-dup threshold (3.2 sigma)
+admits millions of NOISE pairs — the answer itself goes super-linear, not
+the engine. No isometry trick fixes this; it is a property of random
+directions in 64-dim space. `embed_dim` > 64 (default 256 for scale
+fixtures) rebuilds the embeddings table instead of replicating it:
+
+- per copy, the base vectors are EXTENDED with copy-seeded Gaussian tail
+  dims (then the copy's sign isometry applies to the full width), pushing
+  cross-copy sigma to 1/sqrt(256) = 0.0625 — the 0.4 threshold is 6.4
+  sigma and noise pairs across 4e12 drop to ~hundreds;
+- each copy PLANTS `plant_per_copy` true near-duplicates (seeded small
+  perturbations, cosine ~0.95+, ids copy*1e6 + 500000 + i), so the
+  near-dup answer is a known, linear-in-copies quantity — the workload
+  stays semantically meaningful at any scale.
+
+The contract queries derive dim and plane/weight widths from the corpus
+(parquet footer + one-row probe), so a higher-dim fixture gates the same
+oracles; q81's PQ census reads the first 64 coords by construction on
+both engines.
+
 Writes to <out>/sf1/*.parquet (default .scale/ under the repo root —
 gitignored; /root/testdata is read-only). Usage:
 
-    python tools/make_scale.py [copies] [out_dir]
+    python tools/make_scale.py [copies] [out_dir] [--embed-dim N] [--only-embeddings]
 """
 
 from __future__ import annotations
@@ -46,9 +68,18 @@ KEY_SHIFTS = {
 COPY_ONCE = ["region", "nation"]
 
 
-def build(copies: int, out_dir: str) -> None:
+def build(
+    copies: int,
+    out_dir: str,
+    embed_dim: int | None = None,
+    plant_per_copy: int = 50,
+    only_embeddings: bool = False,
+) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
+    if only_embeddings:
+        _build_embeddings(con, copies, out_dir, embed_dim, plant_per_copy)
+        return
     # a <copies>-way UNION ALL nests one level per branch; the default
     # parser cap is 1000, which the sf100 (1000-copy) build exceeds
     con.sql(f"SET max_expression_depth TO {max(2000, copies * 2)}")
@@ -95,14 +126,30 @@ def build(copies: int, out_dir: str) -> None:
     )
     print("documents", con.sql(f"SELECT count(*) FROM '{out_dir}/documents.parquet'").fetchone()[0])
 
-    # embeddings: shift ids, per-copy elementwise +-1 sign isometry.
-    # Streamed one copy per row-group so a 1000-copy build never holds
-    # more than one copy's rows in memory.
+    _build_embeddings(con, copies, out_dir, embed_dim, plant_per_copy)
+
+
+def _build_embeddings(
+    con, copies: int, out_dir: str, embed_dim: int | None, plant_per_copy: int
+) -> None:
+    """Embeddings table: shift ids, per-copy +-1 sign isometry; optionally
+    widen to `embed_dim` with copy-seeded tail dims and plant per-copy true
+    near-duplicates (see module docstring). Streamed one copy per
+    row-group so a 1000-copy build never holds more than one copy's rows
+    in memory."""
+
+    def src(t: str) -> str:
+        return f"read_parquet('{SRC}/{t}.parquet')"
+
     base = con.sql(f"SELECT vec_id, embedding, label FROM {src('embeddings')}").fetchall()
-    dim = len(base[0][1])
+    base_dim = len(base[0][1])
+    dim = embed_dim or base_dim
+    assert dim >= base_dim, "embed_dim must be >= the base corpus dim"
     ids = np.array([r[0] for r in base], dtype=np.int64)
-    mat = np.array([r[1] for r in base], dtype=np.float32)
+    mat0 = np.array([r[1] for r in base], dtype=np.float32)
     labels = np.array([r[2] for r in base], dtype=np.int32)
+    # match the base coordinate scale so tail dims carry comparable mass
+    base_scale = float(mat0.std())
     rng = np.random.RandomState(12345)
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -117,29 +164,63 @@ def build(copies: int, out_dir: str) -> None:
     n = 0
     with pq.ParquetWriter(f"{out_dir}/embeddings.parquet", schema) as writer:
         for c in range(copies):
+            if dim > base_dim:
+                # copy-seeded tail: cross-copy cosines fall to
+                # ~N(0, 1/sqrt(dim)) even for same-base pairs
+                tail_rng = np.random.RandomState(777_000 + c)
+                tail = tail_rng.normal(scale=base_scale, size=(len(ids), dim - base_dim)).astype(
+                    np.float32
+                )
+                mat = np.concatenate([mat0, tail], axis=1)
+            else:
+                mat = mat0
             signs = np.ones(dim, dtype=np.float32) if c == 0 else rng.choice(
                 [-1.0, 1.0], size=dim
             ).astype(np.float32)
+            out_ids = [ids + c * 1_000_000]
+            out_mat = [mat * signs]
+            out_lab = [labels]
+            if dim > base_dim and plant_per_copy > 0:
+                # plant known near-duplicates: perturb the first
+                # `plant_per_copy` of THIS copy's vectors (cosine ~0.95+)
+                p_rng = np.random.RandomState(888_000 + c)
+                sel = out_mat[0][:plant_per_copy]
+                noise = p_rng.normal(scale=base_scale * 0.25, size=sel.shape).astype(np.float32)
+                out_ids.append(ids[:plant_per_copy] + c * 1_000_000 + 500_000)
+                out_mat.append(sel + noise)
+                out_lab.append(labels[:plant_per_copy])
             writer.write_table(
                 pa.table(
                     {
-                        "vec_id": pa.array(ids + c * 1_000_000, pa.int64()),
-                        "embedding": pa.array((mat * signs).tolist(), pa.list_(pa.float32())),
-                        "label": pa.array(labels, pa.int32()),
+                        "vec_id": pa.array(np.concatenate(out_ids), pa.int64()),
+                        "embedding": pa.array(
+                            np.concatenate(out_mat).tolist(), pa.list_(pa.float32())
+                        ),
+                        "label": pa.array(np.concatenate(out_lab), pa.int32()),
                     },
                     schema=schema,
                 )
             )
-            n += len(ids)
-    print("embeddings", n)
+            n += len(out_ids[0]) + (len(out_ids[1]) if len(out_ids) > 1 else 0)
+    print("embeddings", n, "dim", dim, "planted/copy", plant_per_copy if dim > base_dim else 0)
 
 
 if __name__ == "__main__":
-    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    copies = int(args[0]) if args else 10
     out = (
-        sys.argv[2]
-        if len(sys.argv) > 2
+        args[1]
+        if len(args) > 1
         else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
     )
-    build(copies, out)
+    embed_dim = None
+    for a in sys.argv[1:]:
+        if a.startswith("--embed-dim"):
+            embed_dim = int(a.split("=", 1)[1]) if "=" in a else 256
+    build(
+        copies,
+        out,
+        embed_dim=embed_dim,
+        only_embeddings="--only-embeddings" in sys.argv,
+    )
     print("wrote", out)
