@@ -488,11 +488,14 @@ def pq_assign_deterministic(
     scored = subs.join(F.broadcast(cents), "subspace").select(
         id_col, "subspace", "code", d2.alias("__d2")
     )
-    w = Window.partitionBy(id_col, "subspace").orderBy(F.col("__d2").asc(), F.col("code").asc())
+    # argmin via min(struct): lexicographic struct order = (d2 asc, code
+    # asc) — same tie rule as the former row_number window, but the n*m*k
+    # scored rows collapse map-side before the exchange (the lloyd_assign
+    # lesson: never shuffle the scored cross product)
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(id_col, "subspace", "code")
+        scored.groupBy(id_col, "subspace")
+        .agg(F.min(F.struct(F.col("__d2"), F.col("code"))).alias("__m"))
+        .select(id_col, "subspace", F.col("__m.code").alias("code"))
     )
 
 
@@ -588,10 +591,13 @@ def lloyd_assign(
     turns downstream cluster blocking quadratic or empty). Cluster label
     = the centroid's own id, so with contiguous ids-from-0 the labels
     are 0..k-1, unchanged. Scale shape: broadcast nested loop over k
-    centroids per row + one per-row argmin window keyed by id (no
-    shuffle of df when id is unique per row — the window partitions are
-    single rows; Catalyst still plans an exchange, so for very large df
-    prefer min_by-style aggregation per id, same semantics)."""
+    centroids per row, then argmin as ONE aggregation —
+    min(struct(d2, cluster)) per id, whose lexicographic struct order IS
+    the (distance asc, cluster asc) tie rule. The n x k scored rows are
+    collapsed by map-side partial aggregation BEFORE the exchange, so
+    the shuffle carries n rows; the previous row_number window shuffled
+    all n x k scored rows (6.6e8 at the 100x rehearsal's k ~ n/64 —
+    assignment, not the pair join, dominated SemDeDup's wall)."""
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
     if centroids is None:
         centroids = (
@@ -613,11 +619,10 @@ def lloyd_assign(
     scored = vecs.join(F.broadcast(cents)).select(
         F.col(id_col), F.col("cluster"), d2.alias("__d2")
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__d2").asc(), F.col("cluster").asc())
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(id_col, "cluster")
+        scored.groupBy(id_col)
+        .agg(F.min(F.struct(F.col("__d2"), F.col("cluster"))).alias("__m"))
+        .select(id_col, F.col("__m.cluster").alias("cluster"))
     )
 
 

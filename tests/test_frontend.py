@@ -433,3 +433,14 @@ def test_dsl_semantic_dedup_verb(spark, catalog):
     ]:
         with pytest.raises(DSLError):
             run_query(catalog, {"table": "embeddings", "dedup": bad})
+    # k omitted -> derived from corpus size (never the pinned-8 default
+    # that goes quadratic a decade up)
+    got_dk = run_query(
+        catalog, {"table": "embeddings", "dedup": {"op": "semantic", "threshold": 0.4}}
+    )
+    want_dk = dd.semantic_dedup(
+        emb, k=dd.recommended_clusters(emb.count()), threshold=0.4
+    )
+    assert sorted(tuple(r) for r in got_dk.collect()) == sorted(
+        tuple(r) for r in want_dk.collect()
+    )
