@@ -2121,18 +2121,20 @@ def q85_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
     k-means-blocked semantic deduplication over the embeddings table.
     Cluster assignment is the same closed-form Lloyd step as q48
-    (deterministic init = the 8 smallest-id vectors, rounded centroids);
+    (deterministic init = the k smallest-id vectors by rank, rounded);
     within each cluster a vector is dropped iff a strictly-smaller-id
     cluster-mate has rounded cosine >= 0.4 ("keep the earliest").  The
     oracle replays assignment AND the within-cluster pair scan, so the
     blocking structure itself is hash-matched.
 
     Scale shape: the pair join is an EQUI-join on the cluster id — cost
-    sum(n_c^2), held linear by sizing k from the corpus
+    sum(n_c^2) ~ n^2/k, and k = round(sqrt(n)) balances it against the
+    n*k assignment so total work is Theta(n^1.5 * dim)
     (dedup.recommended_clusters over the parquet FOOTER row count — no
-    Spark job, the q51 pattern: a pinned k goes quadratic one decade up).
-    The oracle is SCALE-INDEPENDENT: it recomputes the same half-up
-    k = max(2, floor(n/64 + 0.5)) from count(*) and selects the k
+    Spark job, the q51 pattern: a pinned k goes quadratic one decade up,
+    and the old k ~ n/64 made the assignment n^2/64).  The oracle is
+    SCALE-INDEPENDENT: it recomputes the same half-up
+    k = max(2, floor(sqrt(n) + 0.5)) from count(*) and selects the k
     smallest-id centroids by rank (ORDER BY vec_id LIMIT k — mirroring
     lloyd_assign's rank-based init, which is correct for sparse ids
     where an `id < k` predicate is not), so the identical SQL gates any
@@ -2153,7 +2155,7 @@ Q85_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT vec_id AS cluster, list_transform(v, x -> round(x, 6)) AS cv FROM e
       ORDER BY vec_id
-      LIMIT (SELECT greatest(2, CAST(floor(count(*) / 64.0 + 0.5) AS BIGINT)) FROM e)),
+      LIMIT (SELECT greatest(2, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) FROM e)),
 d AS (
   SELECT e.vec_id, c.cluster,
          round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)

@@ -55,6 +55,8 @@ HEADLINE = [
     "q77_bootstrap_validation",
     "q80_ivf_ann",
     "q81_pq_codes",
+    # round-5 addition: SemDeDup (cluster-blocked semantic dedup)
+    "q85_semantic_dedup",
 ]
 
 # run once each at the 10x rehearsal scale (see tools/make_scale.py)
@@ -65,6 +67,7 @@ SCALE_QUERIES = [
     "q81_pq_codes",
     "q80_ivf_ann",
     "q37_jaccard_verify",
+    "q85_semantic_dedup",
 ]
 
 

@@ -662,17 +662,25 @@ def dedup_groups(
     )
 
 
-def recommended_clusters(n_vectors: int, target_occupancy: float = 64.0) -> int:
-    """Cluster count for semantic_dedup at a given corpus size: k ~
-    n/occupancy keeps expected cluster size ~target, so the within-cluster
-    pair volume stays sum(n_c^2) ~ n * occupancy ~ LINEAR in n.  Same
-    logic as `recommended_planes` for the SRP block — a pinned k goes
-    quadratic one decade up.
+def recommended_clusters(n_vectors: int) -> int:
+    """Cluster count for semantic_dedup at a given corpus size: k =
+    round(sqrt(n)), which BALANCES the operator's two costs — centroid
+    assignment scores n*k (vector, centroid) rows, the within-cluster
+    pair join scores sum(n_c^2) ~ n^2/k — so total work is Theta(n^1.5 *
+    dim), minimized over k.  The round-4 occupancy-64 rule (k ~ n/64)
+    kept the PAIR join linear but made the ASSIGNMENT n^2/64 — at the
+    100x rehearsal the assignment was 50x the pair volume and dominated
+    the wall; a pinned k is worse still (pair join quadratic one decade
+    up, the q51 lesson).
 
     Rounds HALF-UP (floor(x + 0.5)), not Python banker's rounding, so a
-    SQL oracle can recompute the identical k from count(*) — DuckDB's
-    round() is half-away-from-zero and the two diverge at exact .5."""
-    return max(2, int(max(n_vectors, 2) / target_occupancy + 0.5))
+    SQL oracle can recompute the identical k from count(*) — sqrt is
+    IEEE-exact on both engines and the +0.5 never lands on an integer
+    boundary (it would need sqrt(n) = m + 0.5 exactly, impossible for
+    integer n)."""
+    import math
+
+    return max(2, int(math.sqrt(max(n_vectors, 2)) + 0.5))
 
 
 def semantic_dedup(
@@ -683,6 +691,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     round_digits: int = 6,
+    fast_assign: bool = False,
+    block_rows: int = 1024,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
     semantic deduplication by k-means blocking.  Vectors are assigned to
@@ -698,14 +708,16 @@ def semantic_dedup(
     corpus-scale generalization the training-data pipeline needs.
 
     Scale shape (100 TB): the cluster id is the blocking key — the pair
-    join is an EQUI-join on `cluster` (one shuffle), never O(n^2); cost is
-    sum(n_c^2), held linear by sizing k with `recommended_clusters` (k ~
-    n/64).  Centroid assignment is a broadcast of k centroid rows.  No
-    driver-side work: the whole operator is one declarative plan.
+    join is an EQUI-join on `cluster` (one shuffle), never O(n^2); cost
+    is sum(n_c^2) ~ n^2/k, balanced against the n*k centroid assignment
+    by `recommended_clusters` (k ~ sqrt(n), total Theta(n^1.5 * dim)).
+    Centroid assignment is a broadcast of k centroid rows + a map-side
+    min(struct) argmin (no n*k shuffle).  No driver-side work: the whole
+    operator is one declarative plan.
 
     Output: (id_col, cluster, is_dup) — every input vector, its cluster,
     and whether SemDeDup drops it."""
-    from esper_tv_spark.operators.similarity import dot, lloyd_assign
+    from esper_tv_spark.operators.similarity import dot, lloyd_assign, lloyd_assign_blas
     from esper_tv_spark.plans.partitions import advise_for_df
 
     # the within-cluster pair join materializes ~occupancy/2 partner
@@ -713,35 +725,80 @@ def semantic_dedup(
     # corpus bytes, not the session default (the q37 sf100 lesson)
     advise_for_df(df, blowup=64.0)
 
-    assign = lloyd_assign(
+    # fast_assign: Arrow-batched BLAS assignment (~100x cheaper per scored
+    # pair — interpreted HOF dots vs GEMM) for production pipelines;
+    # default stays the expression path the SQL oracle replays fold-exact
+    assigner = lloyd_assign_blas if fast_assign else lloyd_assign
+    assign = assigner(
         df, centroids=centroids, k=k, id_col=id_col, vec_col=vec_col, round_digits=round_digits
     )
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
     vn = vecs.withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
-    sided = assign.join(vn, id_col)
+    # PERSIST the (id, cluster, vector, norm) table: both sides of the
+    # self-join consume it, and without materialization Spark re-runs the
+    # whole n x k Lloyd scoring once per side (ReusedExchange does not
+    # fire across the two differently-projected subtrees — measured 2x
+    # assignment wall at sf1). n rows of vector+norm, spill-safe.
+    from pyspark.sql import Window
+
+    # Block index within each cluster (ordered by id, blocks of
+    # `block_rows`): the within-cluster all-pairs join is decomposed into
+    # a TRIANGLE GRID — pair (a, b) with blocks (i <= j) lands in exactly
+    # grid cell (i, j), so a HOT cluster's n_c^2/2 pair scorings spread
+    # over ~B^2/2 independent join cells instead of ONE task. Lloyd
+    # one-step clusters are heavy-tailed (sf1: max cluster 10x the mean),
+    # and the cluster id is the shuffle key, so without the grid the
+    # biggest cluster is a straggler task that idles the rest of the
+    # cluster — AQE cannot split it because its partition is small in
+    # BYTES (the cost is quadratic compute, invisible to size stats).
+    # Clusters smaller than `block_rows` have B=1: one copy per side,
+    # exactly the ungridded join.
+    wseq = Window.partitionBy("cluster").orderBy(F.col(id_col).asc())
+    sided = (
+        assign.join(vn, id_col)
+        .withColumn("__blk", ((F.row_number().over(wseq) - 1) / block_rows).cast("int"))
+        .withColumn("__maxblk", F.max("__blk").over(Window.partitionBy("cluster")))
+        .persist()
+    )
     # The assignment subtree feeds the pair join TWICE (probe + candidate
     # side) and nothing else: the annotated output falls out of a left
     # join + aggregate, so the Lloyd plan is not evaluated a third time
-    # and no post-hoc distinct/join-back is needed.
+    # and no post-hoc distinct/join-back is needed. persist() because
+    # ReusedExchange does not fire across the two differently-projected
+    # subtrees (measured 2x assignment wall at sf1 without it).
+    #
+    # a = the smaller-id (candidate) side, replicated to every grid
+    # column >= its own block; b = the probe side, replicated to every
+    # grid row <= its own block. blocks are id-ordered, so id_b > id_a
+    # implies blk_b >= blk_a and every valid pair is covered exactly once.
     a = sided.select(
         F.col("cluster").alias("__ca"),
         F.col(id_col).alias("__ida"),
         F.col("__v").alias("__va"),
         F.col("__n").alias("__na"),
+        F.col("__blk").alias("__bx"),
+        F.explode(F.sequence(F.col("__blk"), F.col("__maxblk"))).alias("__by"),
     )
     b = sided.select(
         F.col("cluster").alias("__cb"),
         F.col(id_col).alias("__idb"),
         F.col("__v").alias("__vb"),
         F.col("__n").alias("__nb"),
+        F.col("__blk").alias("__by"),
+        F.explode(F.sequence(F.lit(0), F.col("__blk"))).alias("__bx"),
     )
     sim = F.round(dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), round_digits)
-    # Equi-key on cluster keeps this a hash/merge join; the id inequality
-    # rides along as an extra join condition.  Left-outer keeps vectors
-    # with no earlier cluster-mate (they are keepers by definition).
+    # Equi-key on (cluster, grid cell) keeps this a hash/merge join; the
+    # id inequality rides along as an extra condition.  Left-outer keeps
+    # vectors with no earlier cluster-mate (keepers by definition) — the
+    # b side emits blk+1 replicas, and the per-id aggregation collapses
+    # them (unmatched replicas contribute the coalesce(False) arm).
     joined = b.join(
         a,
-        (F.col("__cb") == F.col("__ca")) & (F.col("__idb") > F.col("__ida")),
+        (F.col("__cb") == F.col("__ca"))
+        & (b["__bx"] == a["__bx"])
+        & (b["__by"] == a["__by"])
+        & (F.col("__idb") > F.col("__ida")),
         "left",
     )
     return joined.groupBy(

@@ -479,23 +479,28 @@ def pq_assign_deterministic(
         )
         .select("code", F.col("__c.subspace").alias("subspace"), F.col("__c.sc").alias("sc"))
     )
+    # per-side norms hoisted out of the (row, code) cross product — one
+    # dot per scored row instead of three, identical rounded d2
+    subs = subs.withColumn("__ss", dot(F.col("sv"), F.col("sv")))
+    cents = cents.withColumn("__cc", dot(F.col("sc"), F.col("sc")))
+    # dense per-subspace code rank for the packed argmin (see lloyd_assign:
+    # a struct-min buffer forces SortAggregate over the whole cross
+    # product; the packed long hash-aggregates inside the codegen stage)
+    rk = F.row_number().over(
+        Window.partitionBy("subspace").orderBy(F.col("code").asc())
+    ) - F.lit(1)
+    cents = cents.withColumn("__rk", rk)
     d2 = F.round(
-        dot(F.col("sv"), F.col("sv"))
-        - F.lit(2.0) * dot(F.col("sv"), F.col("sc"))
-        + dot(F.col("sc"), F.col("sc")),
+        F.col("__ss") - F.lit(2.0) * dot(F.col("sv"), F.col("sc")) + F.col("__cc"),
         round_digits,
     )
+    packed = _packed_argmin_key(d2, round_digits)
     scored = subs.join(F.broadcast(cents), "subspace").select(
-        id_col, "subspace", "code", d2.alias("__d2")
+        id_col, "subspace", "code", (packed + F.col("__rk")).alias("__pk")
     )
-    # argmin via min(struct): lexicographic struct order = (d2 asc, code
-    # asc) — same tie rule as the former row_number window, but the n*m*k
-    # scored rows collapse map-side before the exchange (the lloyd_assign
-    # lesson: never shuffle the scored cross product)
     return (
         scored.groupBy(id_col, "subspace")
-        .agg(F.min(F.struct(F.col("__d2"), F.col("code"))).alias("__m"))
-        .select(id_col, "subspace", F.col("__m.code").alias("code"))
+        .agg(F.min_by(F.col("code"), F.col("__pk")).alias("code"))
     )
 
 
@@ -567,6 +572,30 @@ def knn_predict(
     )
 
 
+def _packed_argmin_key(d2: Column, round_digits: int) -> Column:
+    """Order-preserving long encoding of a ROUNDED squared distance, with
+    21 low bits left free for a dense centroid rank: packed = round(d2 *
+    10^round_digits) << 21 (+ rank at the call site). d2 is already
+    rounded at `round_digits`, so the scaling is an exact integer; the
+    data-side raise_error fires if the integer would overflow the 42
+    distance bits (~4.4e6 at 6 dp) — fail loudly, never misassign."""
+    scale = float(10 ** round_digits)
+    d2i = F.round(d2 * F.lit(scale)).cast("long")
+    return F.shiftleft(
+        F.when(
+            d2i > F.lit((1 << 42) - 1),
+            F.raise_error(
+                F.lit(
+                    "packed argmin: squared distance exceeds the 42-bit "
+                    "packed range (~4.4e6 at 6 dp) — rescale the vectors "
+                    "or lower round_digits"
+                )
+            ).cast("long"),
+        ).otherwise(d2i),
+        21,
+    )
+
+
 def lloyd_assign(
     df: DataFrame,
     centroids: DataFrame | None = None,
@@ -591,13 +620,23 @@ def lloyd_assign(
     turns downstream cluster blocking quadratic or empty). Cluster label
     = the centroid's own id, so with contiguous ids-from-0 the labels
     are 0..k-1, unchanged. Scale shape: broadcast nested loop over k
-    centroids per row, then argmin as ONE aggregation —
-    min(struct(d2, cluster)) per id, whose lexicographic struct order IS
-    the (distance asc, cluster asc) tie rule. The n x k scored rows are
-    collapsed by map-side partial aggregation BEFORE the exchange, so
-    the shuffle carries n rows; the previous row_number window shuffled
-    all n x k scored rows (6.6e8 at the 100x rehearsal's k ~ n/64 —
-    assignment, not the pair join, dominated SemDeDup's wall)."""
+    centroids per row, then argmin as ONE HashAggregate —
+    min_by(cluster, packed) where packed = (round(d2 * 1e6) as long)
+    << 21 | centroid_rank. The packing is order-preserving (d2 is
+    already rounded at 6 dp, so scaling by 1e6 is an exact integer) and
+    rank is dense 0..k-1 ordered by cluster id, so min(packed) IS the
+    (distance asc, cluster asc) tie rule. Why packed instead of
+    min(struct(d2, cluster)): a struct-typed aggregation buffer forces
+    SortAggregate — two sorts of ALL n*k scored rows and an interpreted
+    per-row path outside whole-stage codegen (measured ~6us/row: 17s at
+    a 2.9M-row sf1 assignment that the codegen pipeline does in 0.1s);
+    a (long, long) min_by buffer hash-aggregates map-side inside the
+    same codegen stage as the scoring, so the exchange carries n rows
+    and the cross product is never materialized. A row_number window
+    (the round-4 shape) shuffled all n*k rows — worst of all three.
+    Guards: k < 2^21 (rank bits) asserted at plan time; d2 < 2^42/1e6
+    (~4.4e6) enforced by a data-side raise_error (the q77 idiom) so an
+    out-of-range corpus fails loudly, never silently misassigns."""
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
     if centroids is None:
         centroids = (
@@ -610,20 +649,98 @@ def lloyd_assign(
             "cluster", F.col("cvec").cast("array<double>").alias("__c")
         )
     cents = centroids.withColumn("__c", F.transform("__c", lambda x: F.round(x, round_digits)))
+    # hoist the per-side norms OUT of the n x k cross product: |x|^2 is one
+    # dot per VECTOR and |c|^2 one per CENTROID, so each scored row pays a
+    # single x.c dot instead of three — same doubles, same rounded d2 (the
+    # three-dot expression combined the identical unrounded values)
+    vecs = vecs.withColumn("__xx", dot(F.col("__v"), F.col("__v")))
+    cents = cents.withColumn("__cc", dot(F.col("__c"), F.col("__c")))
+    # dense centroid rank 0..k-1 ordered by cluster id — a k-row window on
+    # the broadcast side, so the global sort is over centroids, never data
+    rk = F.row_number().over(Window.orderBy(F.col("cluster").asc())) - F.lit(1)
+    cents = cents.withColumn(
+        "__rk",
+        F.when(
+            rk >= F.lit(1 << 21),
+            F.raise_error(
+                F.lit("lloyd_assign: more than 2^21 centroids exceeds the packed-argmin rank bits")
+            ).cast("int"),
+        ).otherwise(rk),
+    )
     d2 = F.round(
-        dot(F.col("__v"), F.col("__v"))
-        - F.lit(2.0) * dot(F.col("__v"), F.col("__c"))
-        + dot(F.col("__c"), F.col("__c")),
+        F.col("__xx") - F.lit(2.0) * dot(F.col("__v"), F.col("__c")) + F.col("__cc"),
         round_digits,
     )
+    packed = _packed_argmin_key(d2, round_digits)
     scored = vecs.join(F.broadcast(cents)).select(
-        F.col(id_col), F.col("cluster"), d2.alias("__d2")
+        F.col(id_col), F.col("cluster"), (packed + F.col("__rk")).alias("__pk")
     )
     return (
         scored.groupBy(id_col)
-        .agg(F.min(F.struct(F.col("__d2"), F.col("cluster"))).alias("__m"))
-        .select(id_col, F.col("__m.cluster").alias("cluster"))
+        .agg(F.min_by(F.col("cluster"), F.col("__pk")).alias("cluster"))
     )
+
+
+def lloyd_assign_blas(
+    df: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """PRODUCTION-scale Lloyd assignment: the same (distance asc, cluster
+    asc) argmin as `lloyd_assign`, computed as one Arrow-batched float64
+    matmul per batch (mapInPandas + numpy BLAS) instead of per-row
+    interpreted array folds. Spark's higher-order array functions do not
+    participate in whole-stage codegen — a 256-dim dot costs ~50-100us
+    per row interpreted, vs ~0.1us inside a BLAS GEMM — so at corpus
+    scale (n*k scored pairs) this path is two orders of magnitude
+    cheaper. The price: BLAS accumulation order differs from the
+    sequential fold the SQL oracle replays, so a rounded d2 within ~1e-10
+    of a rounding boundary could differ — use `lloyd_assign` for
+    oracle-gated contracts, this for production pipelines (pytest asserts
+    the two agree exactly on the test corpora).
+
+    Centroids (k rows) are collected to the driver and broadcast; the
+    argmin ties break to the smaller cluster id by sorting centroids by
+    id and relying on numpy argmin's first-occurrence rule."""
+    import numpy as np
+
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    if centroids is None:
+        cent_rows = (
+            vecs.orderBy(F.col(id_col).asc())
+            .limit(k)
+            .select(F.col(id_col).alias("cluster"), F.col("__v").alias("__c"))
+            .collect()
+        )
+    else:
+        cent_rows = centroids.select(
+            "cluster", F.col("cvec").cast("array<double>").alias("__c")
+        ).collect()
+    cent_rows.sort(key=lambda r: r["cluster"])
+    cids = np.array([r["cluster"] for r in cent_rows], dtype=np.int64)
+    cmat = np.round(
+        np.array([r["__c"] for r in cent_rows], dtype=np.float64), round_digits
+    )
+    ccsq = (cmat * cmat).sum(axis=1)
+    bc = df.sparkSession.sparkContext.broadcast((cids, cmat, ccsq))
+
+    def assign(batches):
+        import pandas as pd
+
+        b_cids, b_cmat, b_ccsq = bc.value
+        for pdf in batches:
+            x = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            d2 = np.round(
+                (x * x).sum(axis=1)[:, None] - 2.0 * (x @ b_cmat.T) + b_ccsq[None, :],
+                round_digits,
+            )
+            best = d2.argmin(axis=1)  # first occurrence = smallest cluster id
+            yield pd.DataFrame({id_col: pdf[id_col], "cluster": b_cids[best]})
+
+    return vecs.mapInPandas(assign, schema=f"{id_col} long, cluster long")
 
 
 def logreg_score(

@@ -376,3 +376,45 @@ def test_near_dup_formula_planes_recall_vs_exact(spark):
     if exact:
         recall = len(blocked & exact) / len(exact)
         assert recall >= 0.95, f"recall {recall:.3f} over {len(exact)} true pairs"
+
+
+def test_lloyd_assign_blas_matches_exact(spark):
+    """The BLAS assignment (production path) must agree with the
+    expression path the oracle replays — including sparse/offset ids and
+    argmin ties broken to the smaller cluster id."""
+    import numpy as np
+
+    from esper_tv_spark.operators.similarity import lloyd_assign, lloyd_assign_blas
+
+    rng = np.random.default_rng(19)
+    ids = [5_000_000 + 3 * i for i in range(60)]
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in ids]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for k in (3, 7, 13):
+        exact = {r["vec_id"]: r["cluster"] for r in lloyd_assign(df, k=k).collect()}
+        fast = {r["vec_id"]: r["cluster"] for r in lloyd_assign_blas(df, k=k).collect()}
+        assert exact == fast
+
+
+def test_lloyd_assign_blas_matches_on_fixture(spark):
+    """Same agreement on the real embeddings fixture (64-dim, 200 rows)."""
+    from esper_tv_spark.operators.similarity import lloyd_assign, lloyd_assign_blas
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {r["vec_id"]: r["cluster"] for r in lloyd_assign(emb, k=8).collect()}
+    fast = {r["vec_id"]: r["cluster"] for r in lloyd_assign_blas(emb, k=8).collect()}
+    assert exact == fast
+
+
+def test_semantic_dedup_fast_assign_matches(spark):
+    import numpy as np
+
+    from esper_tv_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(29)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(50)]
+    rows.append((999, [v * 1.01 + 1e-4 for v in rows[4][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    slow = sorted(tuple(r) for r in semantic_dedup(df, k=7, threshold=0.95).collect())
+    fast = sorted(tuple(r) for r in semantic_dedup(df, k=7, threshold=0.95, fast_assign=True).collect())
+    assert slow == fast

@@ -323,9 +323,10 @@ def test_semantic_dedup_blocks_and_drops(spark):
     assert by_id[2]["is_dup"] is False  # keeper = smaller id
     assert by_id[100]["cluster"] == by_id[2]["cluster"]
     assert sum(r["is_dup"] for r in out) == 1
-    # k-sizing helper keeps occupancy ~64
-    assert recommended_clusters(64_000) == 1000
-    assert recommended_clusters(10) == 2
+    # k-sizing helper balances assignment (n*k) vs pair join (n^2/k)
+    assert recommended_clusters(64_000) == 253  # ~sqrt(n)
+    assert recommended_clusters(10) == 3
+    assert recommended_clusters(2) == 2
 
 
 def test_semantic_dedup_sparse_ids(spark):
@@ -369,3 +370,26 @@ def test_semantic_dedup_pair_join_is_cluster_equijoin(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2  # one per lloyd_assign consumer
     assert "hashjoin" in plan.lower() or "sortmergejoin" in plan.lower()
+
+
+def test_semantic_dedup_triangle_grid_equivalence(spark):
+    """The triangle-grid pair decomposition (hot-cluster parallelization)
+    must produce byte-identical results to the ungridded join: force
+    multi-block clusters with a tiny block_rows and compare."""
+    import numpy as np
+
+    from esper_tv_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(41)
+    # k=2 -> two big clusters (~30 rows each), block_rows=4 -> ~8 blocks
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    rows += [(1000 + i, [v * 1.02 + 1e-3 for v in rows[i][1]]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    big = sorted(
+        tuple(r) for r in semantic_dedup(df, k=2, threshold=0.95, block_rows=10**9).collect()
+    )
+    grid = sorted(
+        tuple(r) for r in semantic_dedup(df, k=2, threshold=0.95, block_rows=4).collect()
+    )
+    assert big == grid
+    assert sum(r[2] for r in grid) >= 10  # the planted near-copies drop
