@@ -1397,12 +1397,21 @@ def _parquet_list_dim(path: str, col: str = "embedding") -> int:
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
-        for root, _dirs, files in os.walk(path):
+        # recurse the whole tree (partitioned datasets nest part files in
+        # key=value subdirs); take the first part file found, determinism
+        # via sorted dirs + files
+        found = None
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
             for fn in sorted(files):
                 if fn.endswith(".parquet"):
-                    path = os.path.join(root, fn)
+                    found = os.path.join(root, fn)
                     break
-            break
+            if found:
+                break
+        if found is None:
+            raise FileNotFoundError(f"no .parquet part files under {path}")
+        path = found
     pf = pq.ParquetFile(path)
     batch = next(pf.iter_batches(batch_size=1, columns=[col]))
     return len(batch.column(0)[0].as_py())
@@ -1474,18 +1483,24 @@ def _q51_sql(n_planes: int | None = None, n_bands: int = 16, seed: int = 42) -> 
     whose oracles pinned corpus-size constants)."""
     from esper_tv_spark.operators.similarity import random_hyperplanes
 
+    explicit = "SPARK_GRAFT_ORACLE_SF_DIR" in os.environ
     src = os.path.join(
         os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
         "embeddings.parquet",
     )
-    if n_planes is None:
-        try:
-            n_planes = dedup.recommended_planes(_parquet_num_rows(src))
-        except Exception:
-            n_planes = 4  # the sf0.01 value; only hit when the dir is absent
+    # fall back to the sf0.01 constants ONLY when the env var is unset: a
+    # mistyped/stale EXPLICIT dir must raise here (a clear error naming the
+    # path), not surface later as an opaque oracle hash mismatch
     try:
+        if n_planes is None:
+            n_planes = dedup.recommended_planes(_parquet_num_rows(src))
         dim = _parquet_list_dim(src)
-    except Exception:
+    except Exception as e:
+        if explicit:
+            raise RuntimeError(
+                f"SPARK_GRAFT_ORACLE_SF_DIR was set but {src} is unreadable: {e}"
+            ) from e
+        n_planes = n_planes if n_planes is not None else 4  # the sf0.01 values
         dim = 64
 
     rows = []
@@ -1695,9 +1710,15 @@ def q56_commercial_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     s = F.unix_micros("ts").cast("double") / 1e6
-    base = ev.select(
-        F.col("user_id").alias("video_id"), "event_type", s.alias("t")
-    ).persist()
+    from esper_tv_spark.plans.cache import register_persisted
+
+    # site-keyed persist (plans/cache.py): repeat invocations at different
+    # scales unpersist the previous call's cached projection instead of
+    # accumulating executor storage (round-5 ADVICE)
+    base = register_persisted(
+        "q56.base",
+        ev.select(F.col("user_id").alias("video_id"), "event_type", s.alias("t")),
+    )
 
     def sec_iv(event_type: str, length_s: float) -> DataFrame:
         return base.where(F.col("event_type") == event_type).select(
@@ -2443,15 +2464,21 @@ FROM t GROUP BY l_returnflag
 def _oracle_embed_dim() -> int:
     """Embedding dim of the ORACLE corpus ($SPARK_GRAFT_ORACLE_SF_DIR,
     default the driver's sf0.01 gate dir) — keeps seeded plane/weight
-    vectors in oracle SQL the same width the Spark side derives."""
+    vectors in oracle SQL the same width the Spark side derives. An
+    EXPLICITLY set but unreadable dir raises (never a silent dim-64
+    fallback that shows up as an opaque hash mismatch)."""
+    explicit = "SPARK_GRAFT_ORACLE_SF_DIR" in os.environ
+    src = os.path.join(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        "embeddings.parquet",
+    )
     try:
-        return _parquet_list_dim(
-            os.path.join(
-                os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
-                "embeddings.parquet",
-            )
-        )
-    except Exception:
+        return _parquet_list_dim(src)
+    except Exception as e:
+        if explicit:
+            raise RuntimeError(
+                f"SPARK_GRAFT_ORACLE_SF_DIR was set but {src} is unreadable: {e}"
+            ) from e
         return 64
 
 

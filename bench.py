@@ -222,7 +222,13 @@ def main() -> None:
         out["scale_sf1"] = scale
     if skew:
         out["skew"] = skew
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # also persist the artifact to a file: the round-5 driver capture
+    # truncated the stdout JSON line ("parsed": null), losing the per-query
+    # runs and exchange counts — the file survives any stdout mangling
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as f:
+        f.write(line + "\n")
+    print(line)
     spark.stop()
 
 

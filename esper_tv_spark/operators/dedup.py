@@ -754,11 +754,16 @@ def semantic_dedup(
     # Clusters smaller than `block_rows` have B=1: one copy per side,
     # exactly the ungridded join.
     wseq = Window.partitionBy("cluster").orderBy(F.col(id_col).asc())
-    sided = (
+    from esper_tv_spark.plans.cache import register_persisted
+
+    # site-keyed persist: bounds the cached-table leak to ONE live table
+    # across repeat invocations (bench loops run this at several scales);
+    # plans.cache.release_all() is the explicit suite-runner cleanup
+    sided = register_persisted(
+        "semantic_dedup.sided",
         assign.join(vn, id_col)
         .withColumn("__blk", ((F.row_number().over(wseq) - 1) / block_rows).cast("int"))
-        .withColumn("__maxblk", F.max("__blk").over(Window.partitionBy("cluster")))
-        .persist()
+        .withColumn("__maxblk", F.max("__blk").over(Window.partitionBy("cluster"))),
     )
     # The assignment subtree feeds the pair join TWICE (probe + candidate
     # side) and nothing else: the annotated output falls out of a left

@@ -147,6 +147,8 @@ def knn_join_vectorized(
     def score(it):
         ids_b, mat_b = bq.value
         for pdf in it:
+            if len(pdf) == 0:
+                continue
             c_mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
             sims = np.round(c_mat @ mat_b.T, round_digits)  # (n_corpus, n_q)
@@ -438,10 +440,18 @@ def pq_assign_deterministic(
 
     Output: (id, subspace, code), m rows per vector. Scale shape: the
     codebook side is m*k rows (broadcast); the window partitions are
-    (vector, subspace) — map-side work plus one small shuffle.  Pass
-    `dim` when known (callers that pin it in their oracle already do) —
-    otherwise a `.first()` driver job sniffs it per invocation."""
-    sub = (dim if dim is not None else len(df.select(vec_col).first()[0])) // m
+    (vector, subspace) — map-side work plus one small shuffle.  `dim` is
+    REQUIRED (fail-closed, same contract as build_srp_index /
+    embedding_near_dup_pairs): no schema metadata carries array length,
+    and a silent `.first()` sniff is a hidden per-invocation driver job —
+    callers read the parquet footer-adjacent one-row probe instead."""
+    if dim is None:
+        raise ValueError(
+            "pq_assign_deterministic: dim is required (no schema metadata "
+            "carries array length; refusing to run a driver-side .first() "
+            "scan — probe the parquet footer instead)"
+        )
+    sub = dim // m
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
     subs = vecs.select(
         id_col,
@@ -732,6 +742,10 @@ def lloyd_assign_blas(
 
         b_cids, b_cmat, b_ccsq = bc.value
         for pdf in batches:
+            if len(pdf) == 0:
+                # mapInPandas can deliver empty batches on skewed/empty
+                # partitions; np.array([]) is 1-D and would crash the GEMM
+                continue
             x = np.array(pdf["__v"].tolist(), dtype=np.float64)
             d2 = np.round(
                 (x * x).sum(axis=1)[:, None] - 2.0 * (x @ b_cmat.T) + b_ccsq[None, :],
@@ -852,17 +866,25 @@ def pq_fit(
     vec_col: str = "embedding",
     sample_fraction: float = 1.0,
     seed: int = 42,
+    dim: int | None = None,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: split the vector into `m` subspaces and KMeans
     each with `k` centroids. Returns codebooks[m][k][sub_dim] — m*k
     sub-centroids, a few KB regardless of corpus size (the whole point:
     vectors compress to m small codes, ~8 bytes vs 256 for 64 floats).
     Training runs on a sample; the fit is the only driver-coordinated step,
-    like ivf_fit."""
+    like ivf_fit. `dim` is REQUIRED (fail-closed, the library-wide
+    contract): callers derive it from the parquet footer-adjacent one-row
+    probe, never a hidden `.first()` driver job."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        raise ValueError(
+            "pq_fit: dim is required (no schema metadata carries array "
+            "length; refusing to run a driver-side .first() scan — probe "
+            "the parquet footer instead)"
+        )
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
@@ -901,6 +923,8 @@ def pq_encode(
 
     def encode(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             codes = np.empty((len(pdf), m), dtype=np.int32)
             for j in range(m):

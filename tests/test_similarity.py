@@ -186,7 +186,7 @@ def test_pq_encode_matches_numpy_and_adc(spark):
     from esper_tv_spark.operators.similarity import pq_encode, pq_fit, pq_topk
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    books = pq_fit(emb, m=8, k=16)
+    books = pq_fit(emb, m=8, k=16, dim=64)
     assert len(books) == 8 and all(len(b) == 16 for b in books)
     codes = pq_encode(emb, books)
     # spot-check encode against straight numpy argmin
@@ -204,7 +204,7 @@ def test_pq_topk_recall_vs_exact(spark):
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     q = emb.where("vec_id = 7").first()["embedding"]
-    books = pq_fit(emb, m=8, k=16)
+    books = pq_fit(emb, m=8, k=16, dim=64)
     codes = pq_encode(emb, books).select("vec_id", "pq_code").cache()
     got = {r["vec_id"] for r in pq_topk(codes, emb, books, q, 10, shortlist=100).collect()}
     want = {r["vec_id"] for r in cosine_topk(emb, q, 10).collect()}
@@ -336,7 +336,7 @@ def test_pq_assign_deterministic_vs_numpy(spark):
     m, k, sub = 4, 8, 4
     got = {
         (r["vec_id"], r["subspace"]): r["code"]
-        for r in pq_assign_deterministic(df, m=m, k=k).collect()
+        for r in pq_assign_deterministic(df, m=m, k=k, dim=16).collect()
     }
     books = np.round(vecs[:k], 6)
     for i, v in enumerate(vecs):
@@ -418,3 +418,30 @@ def test_semantic_dedup_fast_assign_matches(spark):
     slow = sorted(tuple(r) for r in semantic_dedup(df, k=7, threshold=0.95).collect())
     fast = sorted(tuple(r) for r in semantic_dedup(df, k=7, threshold=0.95, fast_assign=True).collect())
     assert slow == fast
+
+
+def test_pq_dim_fail_closed(spark):
+    """pq_fit / pq_assign_deterministic refuse to run a hidden .first()
+    dim-sniff job: missing `dim` is a loud ValueError naming the contract
+    (the library-wide fail-closed rule, same as build_srp_index)."""
+    import pytest
+
+    from esper_tv_spark.operators.similarity import pq_assign_deterministic, pq_fit
+
+    df = spark.createDataFrame([(0, [0.0] * 16)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dim is required"):
+        pq_fit(df, m=4, k=2)
+    with pytest.raises(ValueError, match="dim is required"):
+        pq_assign_deterministic(df, m=4, k=2)
+
+
+def test_lloyd_assign_blas_empty_partitions(spark):
+    """Arrow batches can be empty on skewed partitions — the BLAS assigner
+    must skip them, not crash on a 1-D np.array([])."""
+    from esper_tv_spark.operators.similarity import lloyd_assign_blas
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)], "vec_id long, embedding array<double>"
+    ).repartition(16)  # far more partitions than rows -> empty batches
+    got = lloyd_assign_blas(df, k=2).collect()
+    assert len(got) == 4

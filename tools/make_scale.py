@@ -129,6 +129,22 @@ def build(
     _build_embeddings(con, copies, out_dir, embed_dim, plant_per_copy)
 
 
+def plant_offset(ids: "np.ndarray", plant_per_copy: int) -> int:
+    """Id offset for a copy's planted near-duplicates. 500_000 when the
+    base id space provably cannot collide with it (the shipped fixtures'
+    value — keeps existing .scale dirs valid); otherwise max(id)+1. Either
+    way the whole per-copy block (base ids + plants) must fit under the
+    1_000_000 copy stride, or the FIXTURE's known-answer contract silently
+    corrupts — assert, never wrap (the round-5 ADVICE finding)."""
+    hi = int(ids.max())
+    off = 500_000 if hi < 500_000 else hi + 1
+    assert off + max(int(ids[:plant_per_copy].max(initial=0)), 0) < 1_000_000, (
+        f"plant ids would overflow the 1M copy stride (base max id {hi}, "
+        f"offset {off}) — raise the copy stride before planting"
+    )
+    return off
+
+
 def _build_embeddings(
     con, copies: int, out_dir: str, embed_dim: int | None, plant_per_copy: int
 ) -> None:
@@ -146,6 +162,7 @@ def _build_embeddings(
     dim = embed_dim or base_dim
     assert dim >= base_dim, "embed_dim must be >= the base corpus dim"
     ids = np.array([r[0] for r in base], dtype=np.int64)
+    plant_off = plant_offset(ids, plant_per_copy)
     mat0 = np.array([r[1] for r in base], dtype=np.float32)
     labels = np.array([r[2] for r in base], dtype=np.int32)
     # match the base coordinate scale so tail dims carry comparable mass
@@ -186,7 +203,7 @@ def _build_embeddings(
                 p_rng = np.random.RandomState(888_000 + c)
                 sel = out_mat[0][:plant_per_copy]
                 noise = p_rng.normal(scale=base_scale * 0.25, size=sel.shape).astype(np.float32)
-                out_ids.append(ids[:plant_per_copy] + c * 1_000_000 + 500_000)
+                out_ids.append(ids[:plant_per_copy] + c * 1_000_000 + plant_off)
                 out_mat.append(sel + noise)
                 out_lab.append(labels[:plant_per_copy])
             writer.write_table(
