@@ -418,6 +418,111 @@ def ivf_topk_deterministic(
     return cosine_topk(cand, query_vec, k, id_col, vec_col, round_digits)
 
 
+def ivf_build_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> None:
+    """Persist the deterministic IVF index: build once, probe many — the
+    IVF twin of the SRP split (dedup.build_srp_index /
+    near_dup_pairs_from_index) and the frozen-store pattern of the
+    reference's embedding queries (face_embeddings.py:74-96: repeated knn
+    against one precomputed store). `ivf_topk_deterministic` recomputes
+    the Lloyd assignment per query — fine for one-shot audits, but every
+    repeated query pays the n*k scoring again; the index pays it ONCE.
+
+    Writes two parquet tables under `path`:
+
+    - ``cells/``      (cell, id, v array<double>, norm double),
+      PARTITIONED BY cell — a probe of p cells is partition-pruned I/O
+      over p/n_cells of the corpus, no join back to the live table
+      (classic IVF posting lists carry the vectors);
+    - ``centroids/``  (cell, cv array<double>) — the n_cells rank-based
+      rounded centroids (the k smallest-id vectors, lloyd_assign's init),
+      a tiny table the probe ranks with the same fold expressions the SQL
+      oracle replays.
+
+    Everything stored is the output of deterministic relational plans and
+    parquet doubles round-trip binary-exact, so probe results are
+    bit-identical to the inline `ivf_topk_deterministic`."""
+    import os
+
+    assigned = lloyd_assign(
+        df, k=n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+    ).withColumnRenamed("cluster", "cell")
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    (
+        assigned.select(F.col(id_col).alias("id"), "cell")
+        .join(vecs, "id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "cells"))
+    )
+    (
+        df.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell"),
+            F.transform(
+                F.col(vec_col).cast("array<double>"), lambda x: F.round(x, round_digits)
+            ).alias("cv"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "centroids"))
+    )
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Probe an `ivf_build_index` index: rank the persisted centroids by
+    rounded query-cosine (ties to the smaller cell id — the same fold
+    expressions the oracle replays, over an n_cells-row table), collect
+    the n_probe winning cell ids (a handful of ints — the one driver
+    action, same stance as the SRP probe list), and scan ONLY those
+    cells' partitions for the exact rerank.
+
+    Probe-path plan: one TakeOrdered over n_cells centroid rows + one
+    TakeOrdered over the pruned cells scan — ≤2 exchanges, no joins, I/O
+    = n_probe/n_cells of the corpus (PartitionFilters on the scan,
+    asserted in tests/test_plans.py)."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    qlit = lit_vector(query_vec)
+    probe_rows = (
+        cents.select(
+            "cell", F.round(cosine(F.col("cv"), qlit), round_digits).alias("__sim")
+        )
+        .orderBy(F.col("__sim").desc(), F.col("cell").asc())
+        .limit(n_probe)
+        .collect()
+    )
+    probe = [int(r["cell"]) for r in probe_rows]
+    cells = spark.read.parquet(os.path.join(path, "cells")).where(
+        F.col("cell").isin(probe)
+    )
+    sim = F.round(
+        dot(F.col("v"), qlit) / (F.col("norm") * F.sqrt(dot(qlit, qlit))), round_digits
+    )
+    return (
+        cells.select(F.col("id").alias(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def pq_assign_deterministic(
     df: DataFrame,
     m: int = 8,

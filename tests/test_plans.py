@@ -15,6 +15,7 @@ from esper_tv_spark.plans import (
     choose_band_width,
     count_shuffles,
     has_broadcast_join,
+    physical_plan,
     pushed_filters,
     read_schemas,
 )
@@ -122,12 +123,34 @@ def test_banded_interval_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in banded and "CartesianProduct" not in banded
 
 
-def test_q80_ivf_probe_broadcasts(spark):
-    """The IVF probe list (n_probe rows) must reach the candidate filter as
-    a broadcast, and the plan must contain no cartesian product beyond the
-    k-row centroid loop."""
+def test_q80_ivf_probe_is_partition_pruned(spark):
+    """The persisted-index probe path: the cells scan must carry a
+    PartitionFilters clause on `cell` (only the n_probe probed cells'
+    partitions are read), the plan must contain NO join (posting lists
+    carry the vectors), and ≤2 exchanges total (two TakeOrdereds)."""
     df = m.queries()["q80_ivf_ann"](spark, SF)
-    assert has_broadcast_join(df)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert count_shuffles(df) <= 2
+
+
+def test_ivf_probe_index_matches_inline(spark, tmp_path):
+    """Persisted-index probe returns bit-identical results to the inline
+    ivf_topk_deterministic (parquet doubles round-trip exact)."""
+    from esper_tv_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_probe_index,
+        ivf_topk_deterministic,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(emb, idx, n_cells=16)
+    got = [tuple(r) for r in ivf_probe_index(spark, idx, q, 10, n_probe=3).collect()]
+    want = [tuple(r) for r in ivf_topk_deterministic(emb, q, 10, n_cells=16, n_probe=3).collect()]
+    assert got == want
 
 
 def test_advise_shuffle_partitions_from_input_bytes(spark, tmp_path):
