@@ -662,7 +662,9 @@ def dedup_groups(
     )
 
 
-def recommended_clusters(n_vectors: int) -> int:
+def recommended_clusters(
+    n_vectors: int, dim: int | None = None, max_flops: float | None = None
+) -> int:
     """Cluster count for semantic_dedup at a given corpus size: k =
     round(sqrt(n)), which BALANCES the operator's two costs — centroid
     assignment scores n*k (vector, centroid) rows, the within-cluster
@@ -677,10 +679,30 @@ def recommended_clusters(n_vectors: int) -> int:
     SQL oracle can recompute the identical k from count(*) — sqrt is
     IEEE-exact on both engines and the +0.5 never lands on an integer
     boundary (it would need sqrt(n) = m + 0.5 exactly, impossible for
-    integer n)."""
+    integer n).
+
+    COST-MODEL CEILING (`max_flops`, requires `dim`): sqrt-balance is
+    Theta(n^1.5 * dim) TOTAL, which is infeasible at 10^10+ vectors even
+    on the BLAS path.  Production SemDeDup (Abbas et al. 2023 run k =
+    50000 over 200M LAION vectors, far below sqrt) PINS k so the
+    assignment (~2*dim*n*k flops) fits a budget and accepts the n^2/k
+    pair join as the explicit remainder — the within-cluster blocks are
+    straggler-bounded by semantic_dedup's triangle grid and scored on
+    the Arrow/BLAS path (fast_assign defaults True whenever centroids
+    are caller-frozen, i.e. every production scoring call).  With a
+    budget: k = min(sqrt-balance, max_flops / (4*dim*n)) — the
+    assignment spends at most half the budget — never below 2.  The
+    oracle-gated contract path passes no budget, so the SQL-replayable
+    formula is unchanged."""
     import math
 
-    return max(2, int(math.sqrt(max(n_vectors, 2)) + 0.5))
+    k_bal = max(2, int(math.sqrt(max(n_vectors, 2)) + 0.5))
+    if max_flops is None:
+        return k_bal
+    if dim is None:
+        raise ValueError("recommended_clusters: max_flops requires dim for the cost model")
+    k_pin = int(max_flops / (4.0 * dim * max(n_vectors, 1)))
+    return max(2, min(k_bal, k_pin))
 
 
 def semantic_dedup(
@@ -691,7 +713,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     round_digits: int = 6,
-    fast_assign: bool = False,
+    fast_assign: bool | None = None,
     block_rows: int = 1024,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
@@ -726,8 +748,13 @@ def semantic_dedup(
     advise_for_df(df, blowup=64.0)
 
     # fast_assign: Arrow-batched BLAS assignment (~100x cheaper per scored
-    # pair — interpreted HOF dots vs GEMM) for production pipelines;
-    # default stays the expression path the SQL oracle replays fold-exact
+    # pair — interpreted HOF dots vs GEMM).  Default RESOLVES BY PATH:
+    # caller-frozen centroids mean a production scoring run (no SQL oracle
+    # replays a frozen-model pipeline) -> BLAS; centroids=None is the
+    # deterministic-init contract path -> the expression fold the oracle
+    # replays bit-exact.  Explicit True/False always wins.
+    if fast_assign is None:
+        fast_assign = centroids is not None
     assigner = lloyd_assign_blas if fast_assign else lloyd_assign
     assign = assigner(
         df, centroids=centroids, k=k, id_col=id_col, vec_col=vec_col, round_digits=round_digits

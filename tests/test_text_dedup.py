@@ -393,3 +393,51 @@ def test_semantic_dedup_triangle_grid_equivalence(spark):
     )
     assert big == grid
     assert sum(r[2] for r in grid) >= 10  # the planted near-copies drop
+
+
+def test_recommended_clusters_cost_ceiling():
+    """With a FLOPs budget the cluster count is pinned so the assignment
+    spends at most half the budget (production SemDeDup pins k far below
+    sqrt-balance); without one the sqrt-balance formula is unchanged (the
+    oracle-replayable contract path)."""
+    import pytest
+
+    from esper_tv_spark.operators.dedup import recommended_clusters
+
+    n, dim = 1_000_000, 256
+    assert recommended_clusters(n) == 1000  # sqrt balance
+    # budget: assignment 2*dim*n*k <= max_flops/2 -> k = budget/(4*dim*n)
+    budget = 4.0 * dim * n * 100  # admits k=100
+    assert recommended_clusters(n, dim=dim, max_flops=budget) == 100
+    # a huge budget never raises k above the sqrt balance
+    assert recommended_clusters(n, dim=dim, max_flops=1e30) == 1000
+    # a starvation budget floors at 2, never 0
+    assert recommended_clusters(n, dim=dim, max_flops=1.0) == 2
+    with pytest.raises(ValueError):
+        recommended_clusters(n, max_flops=budget)
+
+
+def test_semantic_dedup_fast_assign_default_by_path(spark):
+    """fast_assign resolves by path: frozen centroids (production scoring)
+    default to the BLAS assigner, centroids=None (the oracle-gated
+    contract) stays on the expression fold — and both agree on the test
+    corpus regardless."""
+    import numpy as np
+
+    from esper_tv_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(31)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    rows.append((777, [v * 1.02 + 1e-4 for v in rows[3][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(5)], "cluster long, cvec array<float>"
+    )
+    frozen_default = sorted(
+        tuple(r) for r in semantic_dedup(df, threshold=0.95, centroids=cents).collect()
+    )
+    frozen_exact = sorted(
+        tuple(r)
+        for r in semantic_dedup(df, threshold=0.95, centroids=cents, fast_assign=False).collect()
+    )
+    assert frozen_default == frozen_exact
