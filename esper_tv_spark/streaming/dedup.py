@@ -132,6 +132,137 @@ def streaming_lsh_candidates(
     )
 
 
+def streaming_semantic_dedup(
+    stream: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    max_cluster_size: int | None = 65536,
+) -> DataFrame:
+    """Streaming SemDeDup (Abbas et al. 2023): incremental semantic
+    deduplication against FROZEN centroids — completes the streaming dedup
+    family (exact / MinHash-LSH / semantic), mirroring the batch
+    `operators.dedup.semantic_dedup` the way `streaming_lsh_candidates`
+    mirrors `lsh_candidate_pairs`.
+
+    Decomposition (the same two phases as batch, re-cast stream-shaped):
+
+    - ASSIGNMENT is a pure per-row projection against the frozen centroid
+      matrix — an Arrow-batched BLAS argmin (mapInPandas, stream-safe:
+      stateless), identical math to `lloyd_assign_blas` (rounded d2,
+      first-occurrence = smallest cluster id tie-break). Centroids are a
+      driver-side list because a stream cannot collect a DataFrame
+      mid-plan; freeze them with a batch job (the q48 pyspark.ml fit or
+      lloyd init) exactly as every production scoring pipeline does.
+    - The WITHIN-CLUSTER probe keys state by cluster
+      (applyInPandasWithState): each cluster's seen (id, vector, norm)
+      rows live in state; an arrival is a duplicate iff some
+      ALREADY-SEEN cluster-mate has rounded cosine >= threshold. Rows in
+      a micro-batch are processed in ascending id order, so when ingest
+      is id-ordered (event-time ingest) the verdicts equal the batch
+      operator's smaller-id rule — asserted stream==batch in
+      tests/test_streaming_dedup.py.
+
+    State is O(cluster occupancy) vectors; `max_cluster_size` bounds it —
+    a full cluster stops storing NEW vectors (arrivals still get verdicts
+    against the stored prefix; with id-ordered ingest that prefix is
+    exactly the batch rule's smaller-id candidates up to the cap). Output:
+    (id_col, cluster, is_dup)."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cent_rows = sorted(((int(c), list(map(float, v))) for c, v in centroids), key=lambda r: r[0])
+    cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    cmat = np.round(np.array([r[1] for r in cent_rows], dtype=np.float64), round_digits)
+    ccsq = (cmat * cmat).sum(axis=1)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            d2 = np.round(
+                (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cmat.T) + ccsq[None, :],
+                round_digits,
+            )
+            best = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "cluster": cids[best],
+                    "__v": [r.tolist() for r in x],
+                }
+            )
+
+    assigned = stream.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        assign, schema=f"{id_col} long, cluster long, __v array<double>"
+    )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cluster", LongType()),
+            StructField("is_dup", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType())),
+            StructField("vecs", ArrayType(ArrayType(DoubleType()))),
+            StructField("norms", ArrayType(DoubleType())),
+        ]
+    )
+
+    def probe(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (cluster,) = key
+        if state.exists:
+            s_ids, s_vecs, s_norms = state.get
+            s_ids = list(s_ids)
+            mat = [np.asarray(v, dtype=np.float64) for v in s_vecs]
+            nrm = list(s_norms)
+        else:
+            s_ids, mat, nrm = [], [], []
+        rows: list[tuple] = []
+        for pdf in pdf_iter:
+            order = pdf[id_col].astype("int64").argsort(kind="mergesort")
+            for i in order:
+                new_id = int(pdf[id_col].iloc[i])
+                v = np.asarray(pdf["__v"].iloc[i], dtype=np.float64)
+                vn = float(np.sqrt(v @ v))
+                dup = False
+                if mat:
+                    sims = np.round((np.stack(mat) @ v) / (np.asarray(nrm) * vn), round_digits)
+                    dup = bool((sims >= threshold).any())
+                rows.append((new_id, int(cluster), dup))
+                if max_cluster_size is None or len(s_ids) < max_cluster_size:
+                    s_ids.append(new_id)
+                    mat.append(v)
+                    nrm.append(vn)
+        state.update((s_ids, [x.tolist() for x in mat], nrm))
+        if rows:
+            yield pd.DataFrame(rows, columns=[id_col, "cluster", "is_dup"])
+
+    return assigned.groupBy("cluster").applyInPandasWithState(
+        probe,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     key_cols: list[str],

@@ -107,3 +107,42 @@ def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
     got = {r["content_hash"] for r in spark.table("exd").collect()}
     assert got == {"a", "b", "c", "d"}
     assert spark.table("exd").count() == 4
+
+
+def test_streaming_semantic_dedup_equals_batch(spark, tmp_path):
+    """Streaming SemDeDup against frozen centroids == the batch operator
+    when ingest is id-ordered (two id-ranged micro-batches)."""
+    import numpy as np
+
+    from esper_tv_spark.operators.dedup import semantic_dedup
+    from esper_tv_spark.streaming.dedup import streaming_semantic_dedup
+
+    rng = np.random.default_rng(47)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    # planted near-dups: late ids close to early vectors
+    rows.append((200, [v * 1.01 + 1e-4 for v in rows[5][1]]))
+    rows.append((201, [v * 0.99 - 1e-4 for v in rows[35][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent_rows = [(i, rows[i][1]) for i in range(6)]
+    cdf = spark.createDataFrame(cent_rows, "cluster long, cvec array<double>")
+
+    want = sorted(
+        tuple(r)
+        for r in semantic_dedup(df, threshold=0.95, centroids=cdf, fast_assign=True).collect()
+    )
+
+    src = str(tmp_path / "vec_src")
+    df.where("vec_id < 30").coalesce(1).write.parquet(src)
+    df.where("vec_id >= 30").coalesce(1).write.parquet(src, mode="append")
+    stream = file_stream(spark, src, df.schema, max_files_per_trigger=1)
+    out = streaming_semantic_dedup(stream, cent_rows, threshold=0.95)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("semdd")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(tuple(r) for r in spark.table("semdd").collect())
+    assert got == want and any(r[2] for r in got)
