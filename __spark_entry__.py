@@ -3336,61 +3336,32 @@ SELECT * FROM out_u UNION ALL SELECT * FROM out_a ORDER BY cls, variant
 # their record stands (CORRECTNESS_r03/r04) and all remain verified by
 # tools/check.py locally.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- round-5 driver window (first 50) ----
-    "q55_panel_scene_graph": q55_panel_scene_graph,
-    "q56_commercial_detection": q56_commercial_detection,
+    # ORDER GENERATED by tools/rotate_window.py — the driver checks only
+    # the first 50 entries; the window is flagships + every query whose
+    # code path changed since its last driver record (git-diff-driven,
+    # see the tool's docstring) + stalest-record fill.
     "q08_weighted_screen_time": q08_weighted_screen_time,
+    "q56_commercial_detection": q56_commercial_detection,
+    "q85_semantic_dedup": q85_semantic_dedup,
     "q51_near_dup_embeddings": q51_near_dup_embeddings,
-    "q19_interval_overlap_pairs": q19_interval_overlap_pairs,
-    "q20_interval_minus": q20_interval_minus,
-    "q21_interval_overlap_measure": q21_interval_overlap_measure,
-    "q22_interval_merge_near": q22_interval_merge_near,
-    "q34_interview_composite": q34_interview_composite,
-    "q66_coverage_sweep": q66_coverage_sweep,
-    "q77_bootstrap_validation": q77_bootstrap_validation,
-    "q29_simhash": q29_simhash,
-    "q02_top_revenue_orders": q02_top_revenue_orders,
-    "q28_minhash_lsh_pairs": q28_minhash_lsh_pairs,
-    "q32_label_centroids": q32_label_centroids,
-    "q04_late_ship_priority": q04_late_ship_priority,
-    "q05_quiet_customers": q05_quiet_customers,
-    "q06_top_order_per_customer": q06_top_order_per_customer,
-    "q09_sum_distinct_orders": q09_sum_distinct_orders,
-    "q10_orders_with_seven_items": q10_orders_with_seven_items,
-    "q11_orders_by_dateparts": q11_orders_by_dateparts,
-    "q13_part_string_ops": q13_part_string_ops,
-    "q14_math_ops": q14_math_ops,
-    "q15_rollup_revenue": q15_rollup_revenue,
-    "q33_embedding_norms": q33_embedding_norms,
-    "q35_sliding_topic": q35_sliding_topic,
-    "q36_trigram_tf": q36_trigram_tf,
     "q37_jaccard_verify": q37_jaccard_verify,
+    "q28_minhash_lsh_pairs": q28_minhash_lsh_pairs,
+    "q29_simhash": q29_simhash,
+    "q32_label_centroids": q32_label_centroids,
+    "q33_embedding_norms": q33_embedding_norms,
     "q38_knn_join": q38_knn_join,
-    "q39_status_priority_cube": q39_status_priority_cube,
-    "q44_lowercase_segments": q44_lowercase_segments,
-    "q45_caption_query_search": q45_caption_query_search,
-    "q49_json_props": q49_json_props,
-    "q50_auto_join_path": q50_auto_join_path,
-    "q52_precision_bucket_probability": q52_precision_bucket_probability,
     "q57_knn_predict": q57_knn_predict,
-    "q59_bpe_token_counts": q59_bpe_token_counts,
     "q60_winnow_pairs": q60_winnow_pairs,
-    "q86_jpeg_decode_stats": q86_jpeg_decode_stats,
     "q48_kmeans_clusters": q48_kmeans_clusters,
     "q65_nearest_centroid": q65_nearest_centroid,
-    "q67_decontaminate": q67_decontaminate,
-    "q68_stratified_sample": q68_stratified_sample,
-    "q69_chunk_documents": q69_chunk_documents,
     "q71_dedup_groups": q71_dedup_groups,
-    "q85_semantic_dedup": q85_semantic_dedup,
     "q47_ann_topk": q47_ann_topk,
     "q81_pq_codes": q81_pq_codes,
     "q80_ivf_ann": q80_ivf_ann,
     "q87_ivf_cell_census": q87_ivf_cell_census,
-    # ---- position 50 cutoff: rows below were driver-green in r3 on
-    # ---- code paths unchanged since; their record stands
-    "q63_sentiment_rank": q63_sentiment_rank,
     "q31_knn": q31_knn,
+    "q78_logreg_score": q78_logreg_score,
+    "q58_clean_corpus": q58_clean_corpus,
     "q01_pricing_summary": q01_pricing_summary,
     "q03_region_revenue": q03_region_revenue,
     "q07_balance_percentile": q07_balance_percentile,
@@ -3402,14 +3373,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q25_doc_quality": q25_doc_quality,
     "q26_language_id": q26_language_id,
     "q27_doc_fingerprints": q27_doc_fingerprints,
-    "q84_png_decode_stats": q84_png_decode_stats,
-    "q79_label_writeback": q79_label_writeback,
-    "q46_asset_decode_stats": q46_asset_decode_stats,
     "q40_views_before_purchase": q40_views_before_purchase,
     "q41_split_chunks": q41_split_chunks,
     "q42_hourly_profile": q42_hourly_profile,
     "q43_latest_event_per_user": q43_latest_event_per_user,
-    "q64_pos_tags": q64_pos_tags,
     "q53_point_in_interval": q53_point_in_interval,
     "q54_stride_sample": q54_stride_sample,
     "q61_median_price": q61_median_price,
@@ -3420,12 +3387,48 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_count_min_heavy_hitters": q74_count_min_heavy_hitters,
     "q75_bm25_search": q75_bm25_search,
     "q76_corpus_mix": q76_corpus_mix,
-    "q78_logreg_score": q78_logreg_score,
-    "q58_clean_corpus": q58_clean_corpus,
-    "q24_word_counts": q24_word_counts,
-    "q30_source_token_stats": q30_source_token_stats,
     "q82_asof_forward": q82_asof_forward,
     "q83_kmv_distinct": q83_kmv_distinct,
+    "q63_sentiment_rank": q63_sentiment_rank,
+    # ---- position 50 cutoff: rows below hold a prior-round green
+    # ---- record on code paths unchanged since (rule enforced above)
+    "q55_panel_scene_graph": q55_panel_scene_graph,
+    "q19_interval_overlap_pairs": q19_interval_overlap_pairs,
+    "q20_interval_minus": q20_interval_minus,
+    "q21_interval_overlap_measure": q21_interval_overlap_measure,
+    "q22_interval_merge_near": q22_interval_merge_near,
+    "q34_interview_composite": q34_interview_composite,
+    "q66_coverage_sweep": q66_coverage_sweep,
+    "q77_bootstrap_validation": q77_bootstrap_validation,
+    "q02_top_revenue_orders": q02_top_revenue_orders,
+    "q04_late_ship_priority": q04_late_ship_priority,
+    "q05_quiet_customers": q05_quiet_customers,
+    "q06_top_order_per_customer": q06_top_order_per_customer,
+    "q09_sum_distinct_orders": q09_sum_distinct_orders,
+    "q10_orders_with_seven_items": q10_orders_with_seven_items,
+    "q11_orders_by_dateparts": q11_orders_by_dateparts,
+    "q13_part_string_ops": q13_part_string_ops,
+    "q14_math_ops": q14_math_ops,
+    "q15_rollup_revenue": q15_rollup_revenue,
+    "q35_sliding_topic": q35_sliding_topic,
+    "q36_trigram_tf": q36_trigram_tf,
+    "q39_status_priority_cube": q39_status_priority_cube,
+    "q44_lowercase_segments": q44_lowercase_segments,
+    "q45_caption_query_search": q45_caption_query_search,
+    "q49_json_props": q49_json_props,
+    "q50_auto_join_path": q50_auto_join_path,
+    "q52_precision_bucket_probability": q52_precision_bucket_probability,
+    "q59_bpe_token_counts": q59_bpe_token_counts,
+    "q86_jpeg_decode_stats": q86_jpeg_decode_stats,
+    "q67_decontaminate": q67_decontaminate,
+    "q68_stratified_sample": q68_stratified_sample,
+    "q69_chunk_documents": q69_chunk_documents,
+    "q84_png_decode_stats": q84_png_decode_stats,
+    "q79_label_writeback": q79_label_writeback,
+    "q46_asset_decode_stats": q46_asset_decode_stats,
+    "q64_pos_tags": q64_pos_tags,
+    "q24_word_counts": q24_word_counts,
+    "q30_source_token_stats": q30_source_token_stats,
 }
 
 _ORACLES: dict[str, str] = {
