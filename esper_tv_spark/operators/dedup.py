@@ -715,6 +715,7 @@ def semantic_dedup(
     round_digits: int = 6,
     fast_assign: bool | None = None,
     block_rows: int = 1024,
+    fast_pairs: bool | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
     semantic deduplication by k-means blocking.  Vectors are assigned to
@@ -738,7 +739,17 @@ def semantic_dedup(
     operator is one declarative plan.
 
     Output: (id_col, cluster, is_dup) — every input vector, its cluster,
-    and whether SemDeDup drops it."""
+    and whether SemDeDup drops it.
+
+    Fast paths (both default ON when `centroids` are caller-frozen, i.e.
+    every production scoring run; the deterministic-init contract path a
+    SQL oracle replays keeps the expression folds): `fast_assign` scores
+    the n*k centroid assignment as Arrow-batched BLAS
+    (lloyd_assign_blas); `fast_pairs` scores each triangle-grid cell's
+    within-cluster cosines as one GEMM in applyInPandas
+    (_semantic_dedup_pairs_blas) — the interpreted HOF fold costs ~0.5ms
+    per 256-dim pair, which makes the n^2/k pair stream DAYS at n=2M
+    where BLAS is minutes (sf100 rehearsal numbers in NEXT_STEPS)."""
     from esper_tv_spark.operators.similarity import dot, lloyd_assign, lloyd_assign_blas
     from esper_tv_spark.plans.partitions import advise_for_df
 
@@ -799,6 +810,22 @@ def semantic_dedup(
     # ReusedExchange does not fire across the two differently-projected
     # subtrees (measured 2x assignment wall at sf1 without it).
     #
+    # fast_pairs: score each grid cell as ONE numpy GEMM inside
+    # applyInPandas instead of per-pair interpreted HOF dots.  The
+    # expression fold costs ~0.5ms per 256-dim pair (measured: the whole
+    # exact q85 at 10x is 138s for 5.8M scored rows) — at n=2M / k=sqrt(n)
+    # the n^2/k pair stream is ~3e9 dots, DAYS interpreted vs ~minutes as
+    # BLAS.  Same default rule as fast_assign (frozen centroids =
+    # production scoring); the oracle-gated contract path keeps the fold.
+    # BLAS summation order can flip a verdict whose rounded cosine sits
+    # within ~1e-10 of the threshold — the documented fast-path trade.
+    if fast_pairs is None:
+        fast_pairs = centroids is not None
+    if fast_pairs:
+        return _semantic_dedup_pairs_blas(
+            sided, id_col=id_col, threshold=threshold, round_digits=round_digits
+        )
+
     # a = the smaller-id (candidate) side, replicated to every grid
     # column >= its own block; b = the probe side, replicated to every
     # grid row <= its own block. blocks are id-ordered, so id_b > id_a
@@ -837,4 +864,77 @@ def semantic_dedup(
         F.col("__idb").alias(id_col), F.col("__cb").alias("cluster")
     ).agg(
         F.coalesce(F.max(sim >= F.lit(threshold)), F.lit(False)).alias("is_dup")
+    )
+
+
+def _semantic_dedup_pairs_blas(
+    sided: DataFrame, id_col: str, threshold: float, round_digits: int
+) -> DataFrame:
+    """semantic_dedup's production pair-scoring path: the same triangle
+    grid, but each cell's cross-block cosines are ONE float64 GEMM inside
+    applyInPandas instead of a per-pair expression fold.
+
+    Rows are tagged a-side (replicated to grid columns >= own block) and
+    b-side (rows <= own block), unioned, grouped by (cluster, bx, by);
+    the cell kernel computes sims = (B/|B|) @ (A/|A|).T rounded at
+    `round_digits` and emits ONE row per b-side member — (id, cluster,
+    had a smaller-id mate >= threshold in this cell) — so the shuffle
+    after scoring carries n * (blocks_per_row) tiny rows, never the pair
+    stream.  A final per-id max() merges cell verdicts (every row sees
+    its own diagonal cell, so keepers emit too).  Work: sum(n_c^2) * dim
+    flops in BLAS (~0.1ns/flop) vs ~0.5ms per interpreted pair — the
+    difference between days and minutes at n=2M."""
+    import pandas as pd
+
+    import numpy as np
+
+    a = sided.select(
+        F.col("cluster"),
+        F.col("__blk").alias("__bx"),
+        F.explode(F.sequence(F.col("__blk"), F.col("__maxblk"))).alias("__by"),
+        F.lit(0).alias("__side"),
+        F.col(id_col).alias("__id"),
+        F.col("__v"),
+        F.col("__n"),
+    )
+    b = sided.select(
+        F.col("cluster"),
+        F.explode(F.sequence(F.lit(0), F.col("__blk"))).alias("__bx"),
+        F.col("__blk").alias("__by"),
+        F.lit(1).alias("__side"),
+        F.col(id_col).alias("__id"),
+        F.col("__v"),
+        F.col("__n"),
+    )
+    tagged = a.unionByName(b)
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"__id": [], "cluster": [], "__dup": []})
+        av = pdf[pdf["__side"] == 0]
+        bv = pdf[pdf["__side"] == 1]
+        if len(bv) == 0:
+            return pd.DataFrame({"__id": [], "cluster": [], "__dup": []})
+        out_dup = np.zeros(len(bv), dtype=bool)
+        if len(av):
+            amat = np.array(av["__v"].tolist(), dtype=np.float64)
+            bmat = np.array(bv["__v"].tolist(), dtype=np.float64)
+            an = av["__n"].to_numpy(dtype=np.float64)
+            bn = bv["__n"].to_numpy(dtype=np.float64)
+            sims = np.round((bmat @ amat.T) / (bn[:, None] * an[None, :]), round_digits)
+            smaller = av["__id"].to_numpy()[None, :] < bv["__id"].to_numpy()[:, None]
+            out_dup = ((sims >= threshold) & smaller).any(axis=1)
+        return pd.DataFrame(
+            {
+                "__id": bv["__id"].to_numpy(),
+                "cluster": bv["cluster"].to_numpy(),
+                "__dup": out_dup,
+            }
+        )
+
+    cells = tagged.groupBy("cluster", "__bx", "__by").applyInPandas(
+        score_cell, schema="__id long, cluster long, __dup boolean"
+    )
+    return cells.groupBy(F.col("__id").alias(id_col), "cluster").agg(
+        F.max("__dup").alias("is_dup")
     )

@@ -438,6 +438,37 @@ def test_semantic_dedup_fast_assign_default_by_path(spark):
     )
     frozen_exact = sorted(
         tuple(r)
-        for r in semantic_dedup(df, threshold=0.95, centroids=cents, fast_assign=False).collect()
+        for r in semantic_dedup(
+            df, threshold=0.95, centroids=cents, fast_assign=False, fast_pairs=False
+        ).collect()
     )
     assert frozen_default == frozen_exact
+
+
+def test_semantic_dedup_fast_pairs_matches_exact(spark):
+    """The GEMM cell-scoring path (fast_pairs) returns the same verdicts
+    as the expression-fold pair join, including across grid-cell splits
+    (block_rows smaller than the cluster forces multi-cell clusters)."""
+    import numpy as np
+
+    from esper_tv_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(53)
+    rows = [(i, [float(x) for x in rng.normal(size=12)]) for i in range(80)]
+    for j, src in enumerate((2, 17, 44)):
+        rows.append((300 + j, [v * 1.01 + 1e-4 for v in rows[src][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for br in (1024, 8):
+        exact = sorted(
+            tuple(r)
+            for r in semantic_dedup(
+                df, k=5, threshold=0.95, block_rows=br, fast_pairs=False
+            ).collect()
+        )
+        fast = sorted(
+            tuple(r)
+            for r in semantic_dedup(
+                df, k=5, threshold=0.95, block_rows=br, fast_pairs=True
+            ).collect()
+        )
+        assert exact == fast and any(r[2] for r in exact), br
