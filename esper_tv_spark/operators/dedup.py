@@ -496,6 +496,40 @@ def build_srp_index(
     ).parquet(os.path.join(path, "norms"))
 
 
+def _estimated_vector_bytes(df: DataFrame, norms_path: str) -> int | None:
+    """In-memory size estimate of the vector table: parquet FOOTER row
+    count of the persisted norms x (dim x 8 + row overhead), dim probed
+    from ONE row of the live table's first backing parquet file. Pure
+    metadata reads — no Spark job. None when the inputs aren't
+    file-backed (small-scale/in-memory callers: broadcast is safe there)."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    try:
+        n_rows = 0
+        for root, _dirs, files in _os.walk(norms_path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    n_rows += pq.read_metadata(_os.path.join(root, fn)).num_rows
+        files = [f[7:] if f.startswith("file://") else f for f in df.inputFiles()]
+        if not files or n_rows == 0:
+            return None
+        pf = pq.ParquetFile(files[0])
+        batch = next(pf.iter_batches(batch_size=1))
+        dim = None
+        for col in batch.schema.names:
+            v = batch.column(col)[0].as_py()
+            if isinstance(v, list):
+                dim = len(v)
+                break
+        if dim is None:
+            return None
+        return n_rows * (dim * 8 + 48)
+    except Exception:
+        return None
+
+
 def near_dup_pairs_from_index(
     df: DataFrame,
     path: str,
@@ -539,13 +573,20 @@ def near_dup_pairs_from_index(
     bn = vecs.join(norms, "id").select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("__nb")
     )
-    # broadcast the vector side: candidate pairs outnumber vectors by
-    # occupancy*bands/2 (~300x), so shuffling pairs against a shuffled
-    # vector table moves pairs x 2 x dim doubles — while the whole vector
-    # set is megabytes. Map-side lookup keeps the pair stream in place.
-    # (At corpus sizes where vectors stop fitting in an executor, swap for
-    # a bucketed co-partitioned join on id.)
-    j = cand.join(F.broadcast(an), "id_a").join(F.broadcast(bn), "id_b")
+    # STATS-DRIVEN vector attach: when the whole vector table fits an
+    # executor (<=256MB estimated from the norms footer row count x the
+    # live table's parquet dim — metadata reads, no Spark job), broadcast
+    # it — candidate pairs outnumber vectors by occupancy*bands/2
+    # (~300x), so a map-side lookup keeps the pair stream in place.
+    # Above that, an UNCONDITIONAL broadcast is the scale-killer the
+    # round-6 sf100 rehearsal caught: collecting a 2M x 256-double table
+    # (4.2GB) to the driver blows maxResultSize and would OOM executors.
+    # The big-side plan is the plain co-partitioned shuffle join (AQE
+    # sizes it; advise_for_df already raised the partition count).
+    est_bytes = _estimated_vector_bytes(df, os.path.join(path, "norms"))
+    if est_bytes is not None and est_bytes <= 256 * 1024 * 1024:
+        an, bn = F.broadcast(an), F.broadcast(bn)
+    j = cand.join(an, "id_a").join(bn, "id_b")
     sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")), 6)
     return (
         j.select("id_a", "id_b", sim.alias("cosine_sim"))

@@ -50,34 +50,33 @@ def emit(row: dict) -> None:
 def main() -> None:
     import __spark_entry__ as m
     from esper_tv_spark import get_spark
-    from verify_plants import expected_pairs
+    from verify_plants import expected_pairs, score_plants
 
     spark = get_spark("rehearse-r6")
     spark.sparkContext.setLogLevel("ERROR")
     qs = m.queries()
 
-    # ---- 1. q51 @ sf100: planted-pair closed form -----------------------
-    t0 = time.time()
-    got = {
-        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
-        for r in qs["q51_near_dup_embeddings"](spark, SF100).collect()
-    }
+    # ---- 1. q51 @ sf100: planted-pair closed form (executor-side score:
+    # the pair stream is GBs at this scale — never collected) ------------
     want = expected_pairs(SF100, 50)
+    hit, extra, wall = score_plants(spark, m, SF100, want)
     emit(
         {
             "step": "q51_sf100_plants",
             "planted": len(want),
-            "recovered": len(got & want),
-            "extra": len(got - want),
-            "wall_s": round(time.time() - t0, 1),
+            "recovered": hit,
+            "extra": extra,
+            "wall_s": wall,
         }
     )
     spark.catalog.clearCache()
 
-    # ---- 2/3. q37, q56 @ sf100: Spark walls, default confs only ---------
+    # ---- 2/3. q37, q56 @ sf100: Spark walls, default confs only
+    # (count() materializes the full computation without shipping
+    # multi-GB result sets to the driver) ---------------------------------
     for name in ("q37_jaccard_verify", "q56_commercial_detection"):
         t0 = time.time()
-        n = len(qs[name](spark, SF100).collect())
+        n = qs[name](spark, SF100).count()
         emit({"step": f"{name}_sf100", "rows": n, "wall_s": round(time.time() - t0, 1)})
         spark.catalog.clearCache()
 

@@ -49,6 +49,36 @@ def expected_pairs(scale_dir: str, plant_per_copy: int = 50) -> set[tuple[int, i
     return out
 
 
+def score_plants(spark, entry_mod, scale_dir: str, want: set[tuple[int, int]]):
+    """(recovered, extra, wall_s): q51's pair stream scored against the
+    planted set EXECUTOR-side — a broadcast semi/anti join + count, never
+    a driver collect (at sf100 the base corpus's own near-dups replicate
+    x1000 copies and the pair stream is GBs — it blew
+    spark.driver.maxResultSize on the first rehearsal attempt).  `extra`
+    counts replicated base-corpus near-dups plus any cross-copy noise."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    t0 = _time.time()
+    pairs = entry_mod.queries()["q51_near_dup_embeddings"](spark, scale_dir).select(
+        F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+    )
+    wdf = spark.createDataFrame(sorted(want), "a long, b long").withColumn(
+        "__hit", F.lit(1)
+    )
+    row = (
+        pairs.join(F.broadcast(wdf), ["a", "b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("hit"),
+        )
+        .first()
+    )
+    hit = int(row["hit"] or 0)
+    return hit, int(row["total"]) - hit, round(_time.time() - t0, 1)
+
+
 def main() -> None:
     scale_dir = sys.argv[1]
     ppc = int(sys.argv[2]) if len(sys.argv) > 2 else 50
@@ -60,13 +90,7 @@ def main() -> None:
     spark = get_spark("verify-plants")
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
-    got = {
-        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
-        for r in m.queries()["q51_near_dup_embeddings"](spark, scale_dir).collect()
-    }
-    wall = time.time() - t0
-    hit = len(got & want)
-    extra = len(got - want)
+    hit, extra, wall = score_plants(spark, m, scale_dir, want)
     print(
         f"planted {len(want)}  recovered {hit} ({hit / max(len(want), 1):.4f})  "
         f"extra {extra}  wall {wall:.1f}s"
