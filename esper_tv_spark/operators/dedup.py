@@ -573,18 +573,22 @@ def near_dup_pairs_from_index(
     bn = vecs.join(norms, "id").select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("__nb")
     )
-    # STATS-DRIVEN vector attach: when the whole vector table fits an
-    # executor (<=256MB estimated from the norms footer row count x the
-    # live table's parquet dim — metadata reads, no Spark job), broadcast
-    # it — candidate pairs outnumber vectors by occupancy*bands/2
-    # (~300x), so a map-side lookup keeps the pair stream in place.
-    # Above that, an UNCONDITIONAL broadcast is the scale-killer the
-    # round-6 sf100 rehearsal caught: collecting a 2M x 256-double table
-    # (4.2GB) to the driver blows maxResultSize and would OOM executors.
-    # The big-side plan is the plain co-partitioned shuffle join (AQE
-    # sizes it; advise_for_df already raised the partition count).
+    # STATS-DRIVEN vector attach (sized from the norms footer row count x
+    # a one-row parquet dim probe — metadata reads, no Spark job).
+    # Candidate pairs outnumber vectors by occupancy*bands/2 (~250x), so
+    # the map-side (broadcast) lookup is the RIGHT plan whenever the
+    # vector table fits executor memory: the alternative shuffle join
+    # carries 2 x dim doubles per PAIR through an exchange — ~1TB at
+    # n=2M/256-dim, three orders over the 4.2GB table it avoids moving.
+    # The cutoff is 6GB (headroom under Spark's 8GB broadcast cap; the
+    # sf100 rehearsal runs the 4.2GB broadcast in a 48GB local JVM —
+    # driver.maxResultSize must admit the collect, get_spark sets 8g).
+    # Beyond 6GB the plain co-partitioned shuffle join stands, with the
+    # documented multi-TB exchange spread across the cluster — at that
+    # corpus size a deployment pre-buckets the index and vector tables by
+    # id so the attach is shuffle-free.
     est_bytes = _estimated_vector_bytes(df, os.path.join(path, "norms"))
-    if est_bytes is not None and est_bytes <= 256 * 1024 * 1024:
+    if est_bytes is not None and est_bytes <= 6 * 1024 * 1024 * 1024:
         an, bn = F.broadcast(an), F.broadcast(bn)
     j = cand.join(an, "id_a").join(bn, "id_b")
     sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")), 6)

@@ -91,6 +91,11 @@ def get_spark(
         # nanosecond timestamp type, so read as long and rebuild micros
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # broadcast-hinted map-side tables are collected through the
+        # driver; the 1g default rejects the legitimate multi-GB lookup
+        # tables the scale rehearsals broadcast (vector attach in the SRP
+        # index probe) — this is a cap, not an allocation
+        .config("spark.driver.maxResultSize", os.environ.get("SPARK_MAX_RESULT_SIZE", "8g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
