@@ -517,15 +517,20 @@ def _estimated_vector_bytes(df: DataFrame, norms_path: str) -> int | None:
             return None
         pf = pq.ParquetFile(files[0])
         batch = next(pf.iter_batches(batch_size=1))
-        dim = None
+        dim = elem = None
+        import pyarrow as pa
+
         for col in batch.schema.names:
-            v = batch.column(col)[0].as_py()
-            if isinstance(v, list):
-                dim = len(v)
+            typ = batch.schema.field(col).type
+            if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+                dim = len(batch.column(col)[0].as_py())
+                elem = typ.value_type.bit_width // 8
                 break
         if dim is None:
             return None
-        return n_rows * (dim * 8 + 48)
+        # x2: measured LongHashedRelation overhead over the nominal row
+        # bytes (the sf100 rehearsal built 8.1GiB from a 4.2GB estimate)
+        return n_rows * (dim * elem + 48) * 2
     except Exception:
         return None
 
@@ -566,7 +571,10 @@ def near_dup_pairs_from_index(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    # vectors stay in their SOURCE element width (float32 halves the
+    # broadcast relation vs an eager array<double> cast; dot() casts each
+    # element inside the expression, so the scored doubles are identical)
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     an = vecs.join(norms, "id").select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("__na")
     )
