@@ -2467,6 +2467,96 @@ FROM a WHERE rn = 1 GROUP BY subspace, code ORDER BY subspace, code
 """
 
 
+def _pq_store_dir(spark: SparkSession, sf_dir: str, m: int = 8, k: int = 16) -> str:
+    """Build (once per dataset fingerprint) and return the persisted
+    deterministic PQ store for `sf_dir`'s embeddings — same stat-based
+    fingerprint + stale-sibling eviction stance as `_ivf_index_dir`."""
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _dir_fingerprint(src)
+    idx = os.path.join(
+        tempfile.gettempdir(), f"esper_tv_pq_store_{sf_tag}_{tag}_m{m}k{k}"
+    )
+    if not os.path.exists(os.path.join(idx, "codebooks", "_SUCCESS")):
+        _evict_stale_siblings(f"esper_tv_pq_store_{sf_tag}_", keep=idx)
+        # dim pinned like Q88_SQL's hardcoded 8-wide subspace slices (the
+        # q81 stance): both engines quantize the FIRST 64 dims whatever
+        # the corpus width, so the oracle replays cross-scale unchanged
+        similarity.pq_build_store(
+            _t(spark, sf_dir, "embeddings"), idx, m=m, k=k, dim=64
+        )
+    return idx
+
+
+def q88_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k over a PERSISTED store
+    (similarity.pq_build_store / pq_probe_store): the deterministic
+    encode (q81's hash-proven codes) is computed once per dataset
+    fingerprint and written as (id, packed code ranks) + the m*k
+    codebooks; each probe builds the ADC lookup table from the stored
+    codebooks (one tiny driver job over m*k rows), embeds it as a
+    literal, and scores every code row with pure BIGINT expressions —
+    scan -> project -> TakeOrdered, zero joins (plan asserted in
+    tests/test_plans.py).  The oracle replays encode + LUT + scaled-int
+    ADC sum end-to-end from the base table, so a single wrong stored
+    code or LUT cell fails the gate.  Completes the build-once family:
+    SRP (q51), IVF (q80/q87), PQ (q81/q88) — reference pattern
+    face_embeddings.py:74-96 (frozen store, repeated queries)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    store = _pq_store_dir(spark, sf_dir, m=8, k=16)
+    return similarity.pq_probe_store(spark, store, qv, 10)
+
+
+Q88_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+subs AS (
+  SELECT e.vec_id, j.range AS subspace,
+         list_slice(e.v, j.range * 8 + 1, j.range * 8 + 8) AS sv
+  FROM e, range(8) j
+),
+cents AS (
+  SELECT e.vec_id AS code, j.range AS subspace,
+         list_transform(list_slice(e.v, j.range * 8 + 1, j.range * 8 + 8),
+                        x -> round(x, 6)) AS sc
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16) e, range(8) j
+),
+d AS (
+  SELECT s.vec_id, s.subspace, c.code,
+         round(list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.sc)
+               + list_dot_product(c.sc, c.sc), 6) AS d2
+  FROM subs s JOIN cents c ON s.subspace = c.subspace
+),
+a AS (
+  SELECT vec_id, subspace, code,
+         row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) AS rn
+  FROM d
+),
+qs AS (
+  SELECT j.range AS subspace, list_slice(q.qv, j.range * 8 + 1, j.range * 8 + 8) AS sv
+  FROM q, range(8) j
+),
+lut AS (
+  SELECT c.subspace, c.code,
+         CAST(round(round(list_dot_product(qs.sv, qs.sv)
+                          - 2.0 * list_dot_product(qs.sv, c.sc)
+                          + list_dot_product(c.sc, c.sc), 6) * 1000000.0, 0) AS BIGINT) AS sd2
+  FROM cents c JOIN qs ON qs.subspace = c.subspace
+),
+s AS (
+  SELECT a.vec_id, CAST(sum(l.sd2) AS BIGINT) AS ssum
+  FROM a JOIN lut l ON l.subspace = a.subspace AND l.code = a.code
+  WHERE a.rn = 1
+  GROUP BY a.vec_id
+)
+SELECT vec_id, round(ssum / 1000000.0, 6) AS adist
+FROM s ORDER BY adist ASC, vec_id ASC LIMIT 10
+"""
+
+
 def q79_label_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label write-back composite (reference identity.py:165-199: calibrated
     probabilities bulk-created into a derived DB table, later re-read and
@@ -3359,6 +3449,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_pq_codes": q81_pq_codes,
     "q80_ivf_ann": q80_ivf_ann,
     "q87_ivf_cell_census": q87_ivf_cell_census,
+    "q88_pq_adc_topk": q88_pq_adc_topk,
     "q31_knn": q31_knn,
     "q78_logreg_score": q78_logreg_score,
     "q58_clean_corpus": q58_clean_corpus,
@@ -3514,6 +3605,7 @@ _ORACLES: dict[str, str] = {
     "q80_ivf_ann": Q80_SQL,
     "q81_pq_codes": Q81_SQL,
     "q87_ivf_cell_census": Q87_SQL,
+    "q88_pq_adc_topk": Q88_SQL,
     "q82_asof_forward": Q82_SQL,
     "q83_kmv_distinct": Q83_SQL,
     "q84_png_decode_stats": Q84_SQL,

@@ -619,6 +619,175 @@ def pq_assign_deterministic(
     )
 
 
+def pq_build_store(
+    df: DataFrame,
+    path: str,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    dim: int | None = None,
+) -> None:
+    """Persist the deterministic PQ store: encode once, probe many — the
+    PQ twin of `ivf_build_index` (and the frozen-store pattern of the
+    reference's repeated embedding queries, face_embeddings.py:74-96).
+    q81 proves the ENCODE; this makes the encode a build-once artifact so
+    every subsequent ANN query pays only an ADC scan over the codes.
+
+    Writes two parquet tables under `path`:
+
+    - ``codes/``      (id, codes array<int>) — one row per vector, the m
+      per-subspace codebook RANKS in subspace order (dense 0..k-1 rank,
+      not the raw centroid id: ranks index straight into the probe's
+      literal lookup table).  n rows x m small ints — the 100 TB story:
+      the scannable representation is ~dim*4/m x smaller than the
+      vectors, and an ADC probe never touches the vector table.
+    - ``codebooks/``  (subspace, rk, code, sc array<double>) — the m*k
+      rank-based rounded sub-centroids (pq_assign_deterministic's
+      codebook: subspace slices of the k smallest-id vectors).
+
+    Everything stored is the output of deterministic relational plans and
+    parquet doubles round-trip binary-exact, so probe results are
+    bit-identical to an inline encode+ADC replay (parity-tested)."""
+    import os
+
+    if dim is None:
+        raise ValueError(
+            "pq_build_store: dim is required (same fail-closed contract as "
+            "pq_assign_deterministic — no schema metadata carries array "
+            "length; probe the parquet footer instead)"
+        )
+    sub = dim // m
+    codes = pq_assign_deterministic(
+        df, m=m, k=k, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits, dim=dim,
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    cents = (
+        vecs.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col).alias("code"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("subspace"),
+                            F.transform(
+                                F.slice(F.col("__v"), j * sub + 1, sub),
+                                lambda x: F.round(x, round_digits),
+                            ).alias("sc"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("__c"),
+        )
+        .select(
+            F.col("__c.subspace").alias("subspace"),
+            "code",
+            F.col("__c.sc").alias("sc"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("subspace").orderBy(F.col("code").asc())
+            )
+            - F.lit(1),
+        )
+    )
+    # code (= centroid vec_id) -> dense rank, broadcast m*k rows; pack the
+    # m ranks per vector in subspace order (array_sort on the struct is
+    # deterministic: subspace is the leading field)
+    rank_map = cents.select("subspace", "code", "rk")
+    packed = (
+        codes.join(F.broadcast(rank_map), ["subspace", "code"])
+        .groupBy(F.col(id_col).alias("id"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "rk"))),
+                lambda s: s["rk"].cast("int"),
+            ).alias("codes")
+        )
+    )
+    packed.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    cents.select("subspace", "rk", "code", "sc").write.mode("overwrite").parquet(
+        os.path.join(path, "codebooks")
+    )
+
+
+def pq_probe_store(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k_top: int,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Probe a `pq_build_store` store with asymmetric distance computation
+    (ADC): build the m x k lookup table of rounded query-to-subcentroid
+    squared distances from the persisted codebooks (one tiny driver job
+    over m*k rows — the PQ analogue of the IVF probe's centroid ranking),
+    embed it as a LITERAL nested array, and score every stored code row
+    with a pure expression — zero joins, zero wide shuffles: scan ->
+    project -> TakeOrdered (asserted in tests/test_plans.py).
+
+    Determinism across engines: each LUT cell is round(d2, round_digits)
+    scaled to an exact integer (x1e6 for round_digits=6), so the m-term
+    sum is BIGINT arithmetic — order-free and bit-identical in any engine
+    — and only the final /scale division returns to double.  Output:
+    (id_col, adist), ascending approximate distance, ties to smaller id."""
+    import os
+
+    scale = 10 ** round_digits
+    cb = spark.read.parquet(os.path.join(path, "codebooks"))
+    # geometry comes from the STORE, not the query vector: the store may
+    # quantize a fixed prefix of a wider corpus (the q81/q88 cross-scale
+    # stance), and a len(query_vec)-derived width would silently slice
+    # wrong. One driver action over the m*k-row codebook table.
+    mrow = cb.agg(F.max("subspace"), F.max(F.size("sc"))).collect()[0]
+    m, sub = int(mrow[0]) + 1, int(mrow[1])
+    qlits = [lit_vector([float(x) for x in query_vec[j * sub : (j + 1) * sub]]) for j in range(m)]
+    qsel = F.array(*qlits)
+    d2 = F.round(
+        dot(F.element_at(qsel, F.col("subspace") + 1), F.element_at(qsel, F.col("subspace") + 1))
+        - F.lit(2.0) * dot(F.element_at(qsel, F.col("subspace") + 1), F.col("sc"))
+        + dot(F.col("sc"), F.col("sc")),
+        round_digits,
+    )
+    lut_rows = (
+        cb.select(
+            "subspace",
+            "rk",
+            F.round(d2 * F.lit(float(scale)), 0).cast("long").alias("sd2"),
+        )
+        .collect()
+    )
+    lut: dict[tuple[int, int], int] = {
+        (int(r["subspace"]), int(r["rk"])): int(r["sd2"]) for r in lut_rows
+    }
+    ks = max(rk for (_j, rk) in lut) + 1
+    lut_col = F.array(
+        *[
+            F.array(*[F.lit(lut[(j, r)]).cast("long") for r in range(ks)])
+            for j in range(m)
+        ]
+    )
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    ssum = F.aggregate(
+        F.zip_with(lut_col, F.col("codes"), lambda row, c: F.element_at(row, c + 1)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    adist = F.round(ssum / F.lit(float(scale)), round_digits)
+    return (
+        codes.select(F.col("id").alias(id_col), adist.alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+        .limit(k_top)
+    )
+
+
 def dist_to_targets(
     df: DataFrame,
     target_vecs: list[list[float]],

@@ -153,6 +153,82 @@ def test_ivf_probe_index_matches_inline(spark, tmp_path):
     assert got == want
 
 
+def test_q88_pq_probe_is_joinless_scan(spark):
+    """The persisted PQ store's ADC probe: the LUT is a literal nested
+    array, so the scoring plan is scan -> project -> TakeOrdered — NO
+    join of any kind and zero wide shuffles beyond the TakeOrdered."""
+    df = m.queries()["q88_pq_adc_topk"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert count_shuffles(df) <= 1
+
+
+def test_pq_probe_store_matches_inline_adc(spark, tmp_path):
+    """Persisted-store ADC probe returns bit-identical results to an
+    inline encode + scaled-int ADC replay built from
+    pq_assign_deterministic (parquet round-trip exact; BIGINT sum is
+    order-free so the join-based replay can't drift)."""
+    from pyspark.sql import functions as F
+
+    from esper_tv_spark.operators.similarity import (
+        dot,
+        lit_vector,
+        pq_assign_deterministic,
+        pq_build_store,
+        pq_probe_store,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim, msub, kcb = 64, 8, 16
+    q = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    store = str(tmp_path / "pq")
+    pq_build_store(emb, store, m=msub, k=kcb, dim=dim)
+    got = [tuple(r) for r in pq_probe_store(spark, store, q, 10).collect()]
+
+    codes = pq_assign_deterministic(emb, m=msub, k=kcb, dim=dim)
+    sub = dim // msub
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = (
+        vecs.orderBy("vec_id")
+        .limit(kcb)
+        .select(
+            F.col("vec_id").alias("code"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("subspace"),
+                            F.transform(
+                                F.slice("v", j * sub + 1, sub), lambda x: F.round(x, 6)
+                            ).alias("sc"),
+                        )
+                        for j in range(msub)
+                    ]
+                )
+            ).alias("c"),
+        )
+        .select("code", "c.subspace", "c.sc")
+    )
+    qsel = F.array(*[lit_vector(q[j * sub : (j + 1) * sub]) for j in range(msub)])
+    qs = F.element_at(qsel, F.col("subspace") + 1)
+    sd2 = F.round(
+        F.round(dot(qs, qs) - F.lit(2.0) * dot(qs, F.col("sc")) + dot(F.col("sc"), F.col("sc")), 6)
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    lut = cents.select("subspace", "code", sd2.alias("sd2"))
+    want = [
+        tuple(r)
+        for r in codes.join(lut, ["subspace", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("sd2") / F.lit(1e6), 6).alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    ]
+    assert got == want
+
+
 def test_advise_shuffle_partitions_from_input_bytes(spark, tmp_path):
     """Shuffle advice = ceil(bytes * blowup / target), floored at the
     session parallelism, capped, monotone (never lowers a prior advice)."""

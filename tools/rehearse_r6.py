@@ -143,14 +143,24 @@ def main() -> None:
     spark.stop()
 
     # ---- 6. full hash gate @ sf1 (87 queries, own process) --------------
+    # The bare-session gate defaults to a ~1g driver JVM; at sf1 that heap
+    # OOMs mid-gate (first observed run: JVM died after 11 queries, the
+    # remaining 76 failed ConnectionRefused).  SPARK_CHECK_DRIVER_MEMORY
+    # is check.py's documented scale-rehearsal deviation — set it here.
+    # Stream stdout to a file so a mid-gate death can't lose the per-query
+    # record (the first run's tail-only capture did).
     t0 = time.time()
-    r = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "check.py"), SF1],
-        capture_output=True,
-        text=True,
-        cwd=REPO,
-    )
-    tail = [l for l in r.stdout.splitlines() if l.strip()][-3:]
+    gate_log = os.path.join(REPO, ".scale", "gate_sf1_r6.log")
+    env = dict(os.environ, SPARK_CHECK_DRIVER_MEMORY="12g")
+    with open(gate_log, "w") as lf:
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "check.py"), SF1],
+            stdout=lf,
+            stderr=subprocess.STDOUT,
+            cwd=REPO,
+            env=env,
+        )
+    tail = [l for l in open(gate_log).read().splitlines() if l.strip()][-3:]
     emit(
         {
             "step": "full_gate_sf1",
