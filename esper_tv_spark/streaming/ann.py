@@ -1,0 +1,171 @@
+"""Incremental maintenance for the persisted IVF index.
+
+Completes the streaming story for the ANN family (reference pattern:
+face_embeddings.py:74-96 — a frozen embedding store that repeated queries
+probe; new embeddings arrive continuously in the reference's ingest
+pipeline, embed_kernel.py batch jobs): new vectors are folded into the
+`ivf_build_index` store as they arrive, and an offline compaction step
+re-centers the cells when drift accumulates.
+
+Two halves:
+
+- `ivf_stream_insert` — a Structured Streaming foreachBatch sink that
+  assigns each micro-batch against the STORED (frozen) centroids and
+  appends posting rows to ``cells/`` partitioned by cell.  Because the
+  centroids are frozen, stream-inserting a tail of the corpus is
+  bit-identical to rebuilding the index over the union (as long as the
+  rank-based init set — the k smallest-id vectors — is in the base
+  build), which is exactly what the stream==batch test asserts.  At
+  100 TB the insert path touches only the micro-batch: one broadcast of
+  n_cells centroids, one map-side argmin, one partitioned append — no
+  read of the existing posting lists.
+
+- `ivf_recenter` — the offline compaction every IVF deployment runs: new
+  centroid = elementwise mean of the cell's posting vectors, then ONE
+  reassignment pass rewrites the posting lists against the new centroids
+  (a single Lloyd iteration as maintenance).  The mean is computed over
+  scaled BIGINTs (round to `round_digits`, scale, exact integer sum) so
+  the result is accumulation-order-free — deterministic under any
+  partitioning, any engine.  Shuffle shape: posexplode to (cell, pos)
+  partial sums — map-side combine reduces the exchange to
+  n_cells x dim rows regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esper_tv_spark.operators.similarity import dot, lloyd_assign
+
+
+def _stored_centroids(spark: SparkSession, index_path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_path, "centroids")).select(
+        F.col("cell").alias("cluster"), F.col("cv").alias("cvec")
+    )
+
+
+def _posting_rows(
+    batch_df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    assigned = lloyd_assign(
+        batch_df, centroids=centroids, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    ).withColumnRenamed("cluster", "cell")
+    vecs = batch_df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    return assigned.select(F.col(id_col).alias("id"), "cell").join(vecs, "id")
+
+
+def ivf_stream_insert(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+):
+    """Return a ready-to-start writeStream that folds arriving vectors
+    into an `ivf_build_index` store: per micro-batch, assign against the
+    stored frozen centroids and append (cell, id, v, norm) posting rows
+    PARTITIONED BY cell.  Centroids are re-read per batch (tiny table) so
+    an `ivf_recenter` between batches takes effect on the next trigger.
+
+    Delivery: the checkpoint makes the file source exactly-once per
+    batch; a crash BETWEEN the parquet append and the checkpoint commit
+    can replay one batch's appends (at-least-once, the same contract as
+    the ledger sink in streaming/ingest.py) — probes dedup on id if the
+    producer can re-deliver."""
+
+    def insert(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        cents = _stored_centroids(spark, index_path)
+        (
+            _posting_rows(batch_df, cents, id_col, vec_col, round_digits)
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(os.path.join(index_path, "cells"))
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(insert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def ivf_recenter(
+    spark: SparkSession, index_path: str, round_digits: int = 6
+) -> None:
+    """One Lloyd iteration as offline compaction: recompute each cell's
+    centroid as the deterministic elementwise mean of its posting
+    vectors, then reassign ALL posting rows against the new centroids and
+    rewrite both tables (write-aside then swap — never overwrite a table
+    being read).  Cell LABELS are preserved (mean of cell c keeps label
+    c), so probes and the census keep their key space.
+
+    Determinism: each element is rounded at `round_digits` and scaled to
+    BIGINT before the sum, so partial aggregation order cannot change the
+    mean; the final divide + round returns to double once."""
+    scale = float(10 ** round_digits)
+    cells_dir = os.path.join(index_path, "cells")
+    cents_dir = os.path.join(index_path, "centroids")
+    posting = spark.read.parquet(cells_dir)
+
+    elem = posting.select(
+        "cell", "id", F.posexplode(F.col("v")).alias("pos", "x")
+    ).select(
+        "cell",
+        "pos",
+        F.round(F.round(F.col("x"), round_digits) * F.lit(scale), 0)
+        .cast("long")
+        .alias("sx"),
+    )
+    means = (
+        elem.groupBy("cell", "pos")
+        .agg(F.sum("sx").alias("ssum"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cell",
+            "pos",
+            F.round((F.col("ssum") / F.col("n")) / F.lit(scale), round_digits).alias("m"),
+        )
+    )
+    new_cents = (
+        means.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+    )
+    cents_tmp = cents_dir + "__rc"
+    new_cents.write.mode("overwrite").parquet(cents_tmp)
+
+    fresh = spark.read.parquet(cents_tmp).select(
+        F.col("cell").alias("cluster"), F.col("cv").alias("cvec")
+    )
+    vec_in = posting.select(F.col("id").alias("vec_id"), F.col("v").alias("embedding"))
+    cells_tmp = cells_dir + "__rc"
+    (
+        _posting_rows(vec_in, fresh, "vec_id", "embedding", round_digits)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(cells_tmp)
+    )
+
+    import shutil
+
+    for live, tmp in ((cells_dir, cells_tmp), (cents_dir, cents_tmp)):
+        old = live + "__old"
+        os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old)

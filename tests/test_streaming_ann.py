@@ -1,0 +1,116 @@
+"""Incremental IVF maintenance: streaming inserts against frozen stored
+centroids must equal a batch rebuild over the union, and the re-center
+compaction must leave a self-consistent, label-preserving index."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from esper_tv_spark.operators.similarity import (
+    ivf_build_index,
+    ivf_probe_index,
+    lloyd_assign,
+)
+from esper_tv_spark.streaming import file_stream
+from esper_tv_spark.streaming.ann import ivf_recenter, ivf_stream_insert
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+
+
+def test_stream_insert_equals_batch_rebuild(spark, tmp_path):
+    emb = _emb(spark)
+    # base holds the k smallest ids (the rank-based init set), so the
+    # union rebuild derives the SAME frozen centroids the stream used
+    base = emb.where(F.col("vec_id") < 100)
+    tail = emb.where(F.col("vec_id") >= 100)
+
+    idx = str(tmp_path / "ivf_stream")
+    ivf_build_index(base, idx, n_cells=16)
+
+    src = str(tmp_path / "tail_src")
+    tail.where(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(src)
+    tail.where(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(src, mode="append")
+    stream = file_stream(spark, src, tail.schema, max_files_per_trigger=1)
+    q = ivf_stream_insert(stream, idx, str(tmp_path / "ckpt")).start()
+    q.awaitTermination(180)
+
+    idx_full = str(tmp_path / "ivf_full")
+    ivf_build_index(emb, idx_full, n_cells=16)
+
+    qv = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    got = [tuple(r) for r in ivf_probe_index(spark, idx, qv, 10, n_probe=3).collect()]
+    want = [tuple(r) for r in ivf_probe_index(spark, idx_full, qv, 10, n_probe=3).collect()]
+    assert got == want and len(got) == 10
+
+    # the stored posting lists themselves match the full rebuild
+    a = sorted(
+        tuple(r) for r in spark.read.parquet(os.path.join(idx, "cells"))
+        .select("id", "cell").collect()
+    )
+    b = sorted(
+        tuple(r) for r in spark.read.parquet(os.path.join(idx_full, "cells"))
+        .select("id", "cell").collect()
+    )
+    assert a == b
+
+
+def test_recenter_is_self_consistent_and_label_preserving(spark, tmp_path):
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf_rc")
+    ivf_build_index(emb, idx, n_cells=8)
+    before_cells = spark.read.parquet(os.path.join(idx, "cells"))
+    n_before = before_cells.count()
+    labels_before = {
+        r["cell"] for r in spark.read.parquet(os.path.join(idx, "centroids"))
+        .select("cell").collect()
+    }
+
+    ivf_recenter(spark, idx)
+
+    cells = spark.read.parquet(os.path.join(idx, "cells"))
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    assert cells.count() == n_before
+    assert {r["cell"] for r in cents.select("cell").collect()} == labels_before
+
+    # self-consistency: every stored posting row sits in the argmin cell
+    # of the NEW centroids (the rewrite really did reassign)
+    re = lloyd_assign(
+        cells.select(F.col("id").alias("vec_id"), F.col("v").alias("embedding")),
+        centroids=cents.select(F.col("cell").alias("cluster"), F.col("cv").alias("cvec")),
+    )
+    mism = (
+        cells.select(F.col("id").alias("vec_id"), F.col("cell").alias("stored"))
+        .join(re, "vec_id")
+        .where(F.col("stored") != F.col("cluster"))
+        .count()
+    )
+    assert mism == 0
+
+    # the probe still runs and returns full k over the re-centered index
+    qv = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    assert len(ivf_probe_index(spark, idx, qv, 10, n_probe=3).collect()) == 10
+
+
+def test_recenter_is_deterministic_across_partitionings(spark, tmp_path):
+    emb = _emb(spark)
+    idx1 = str(tmp_path / "a")
+    idx2 = str(tmp_path / "b")
+    ivf_build_index(emb, idx1, n_cells=8)
+    ivf_build_index(emb.repartition(13), idx2, n_cells=8)
+    ivf_recenter(spark, idx1)
+    ivf_recenter(spark, idx2)
+    c1 = sorted(
+        (r["cell"], tuple(r["cv"]))
+        for r in spark.read.parquet(os.path.join(idx1, "centroids")).collect()
+    )
+    c2 = sorted(
+        (r["cell"], tuple(r["cv"]))
+        for r in spark.read.parquet(os.path.join(idx2, "centroids")).collect()
+    )
+    assert c1 == c2
