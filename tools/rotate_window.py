@@ -11,9 +11,15 @@ Selection = FLAGSHIPS ∪ CHANGED ∪ STALEST-fill, where
 
 - FLAGSHIPS are the pinned always-in-window composites;
 - CHANGED is computed from `git diff --name-only <base>..HEAD`:
-  * a changed operator/package module selects every query whose function
-    body references it (AST scan of __spark_entry__.py import aliases and
-    attribute usage, plus each query's `from esper_tv_spark...` imports);
+  * package modules are resolved at SYMBOL granularity: diff hunks map to
+    enclosing top-level defs/classes, a caller-ward fixpoint propagates
+    "affected" across the package's reference graph (same-module names +
+    cross-module import aliases), and a query is selected only if its
+    body (or an entry helper it calls) references an affected symbol.
+    Module granularity was tried first and flagged 85/87 queries when a
+    get_spark-only conf change landed — a function the driver's
+    bare-session gate never calls; hunks OUTSIDE any def (module-level
+    imports/constants) still flag the whole module, fail-open;
   * a changed `__spark_entry__.py` is resolved per-FUNCTION: diff hunks
     are mapped to enclosing module-level defs, and helper changes
     propagate to queries through the module call graph (so touching
@@ -112,10 +118,11 @@ def entry_function_map() -> dict[str, tuple[int, int]]:
     }
 
 
-def entry_deps() -> tuple[dict[str, set[str]], dict[str, set[str]]]:
+def entry_deps() -> tuple[dict[str, set[str]], dict[str, set[str]], dict[str, set["Sym"]]]:
     """For each module-level function in __spark_entry__:
     (names of other module-level functions it references,
-     esper_tv_spark module files its body imports/uses)."""
+     esper_tv_spark module files its body imports/uses,
+     package (file, symbol) pairs its body references)."""
     src = open(ENTRY).read()
     tree = ast.parse(src)
     mod_files = _module_files()
@@ -124,85 +131,198 @@ def entry_deps() -> tuple[dict[str, set[str]], dict[str, set[str]]]:
     }
     # module-level import aliases (import ... as sim / from x import y)
     alias_to_file: dict[str, str] = {}
-    for n in tree.body:
-        if isinstance(n, ast.Import):
-            for a in n.names:
+    name_to_sym: dict[str, Sym] = {}
+
+    def harvest(node, a2f, n2s) -> None:
+        if isinstance(node, ast.Import):
+            for a in node.names:
                 if a.name in mod_files:
-                    alias_to_file[a.asname or a.name.split(".")[0]] = mod_files[a.name]
-        elif isinstance(n, ast.ImportFrom) and n.module and n.module.startswith("esper_tv_spark"):
-            for a in n.names:
-                full = f"{n.module}.{a.name}"
-                target = mod_files.get(full, mod_files.get(n.module))
-                if target:
-                    alias_to_file[a.asname or a.name] = target
+                    a2f[a.asname or a.name.split(".")[0]] = mod_files[a.name]
+        elif isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(
+            "esper_tv_spark"
+        ):
+            for a in node.names:
+                full = f"{node.module}.{a.name}"
+                if full in mod_files:
+                    a2f[a.asname or a.name] = mod_files[full]
+                elif node.module in mod_files:
+                    n2s[a.asname or a.name] = (mod_files[node.module], a.name)
+
+    for n in tree.body:
+        harvest(n, alias_to_file, name_to_sym)
 
     calls: dict[str, set[str]] = {}
     mods: dict[str, set[str]] = {}
+    syms: dict[str, set[Sym]] = {}
     for n in tree.body:
         if not isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef)):
             continue
         used_fns: set[str] = set()
         used_mods: set[str] = set()
+        used_syms: set[Sym] = set()
+        local_a2f = dict(alias_to_file)
+        local_n2s = dict(name_to_sym)
         for sub in ast.walk(n):
+            harvest(sub, local_a2f, local_n2s)
             if isinstance(sub, ast.Name) and sub.id in top_names and sub.id != n.name:
                 used_fns.add(sub.id)
-            if isinstance(sub, ast.Name) and sub.id in alias_to_file:
-                used_mods.add(alias_to_file[sub.id])
-            if isinstance(sub, ast.ImportFrom) and sub.module and sub.module.startswith(
-                "esper_tv_spark"
-            ):
-                for a in sub.names:
-                    full = f"{sub.module}.{a.name}"
-                    target = mod_files.get(full, mod_files.get(sub.module))
-                    if target:
-                        used_mods.add(target)
-            if isinstance(sub, ast.Import):
-                for a in sub.names:
-                    if a.name in mod_files:
-                        used_mods.add(mod_files[a.name])
+            if isinstance(sub, ast.Name):
+                if sub.id in local_a2f:
+                    used_mods.add(local_a2f[sub.id])
+                if sub.id in local_n2s:
+                    used_syms.add(local_n2s[sub.id])
+                    used_mods.add(local_n2s[sub.id][0])
+            if isinstance(sub, ast.Attribute) and isinstance(sub.value, ast.Name):
+                if sub.value.id in local_a2f:
+                    used_syms.add((local_a2f[sub.value.id], sub.attr))
         calls[n.name] = used_fns
         mods[n.name] = used_mods
-    return calls, mods
+        syms[n.name] = used_syms
+    return calls, mods, syms
 
 
-def _package_closure(changed_files: set[str]) -> set[str]:
-    """Changed esper_tv_spark files + files that import a changed module
-    (one transitive sweep: operators compose, e.g. dedup uses similarity)."""
+Sym = tuple[str, str]  # (repo-relative file, top-level symbol name)
+
+
+def _pkg_trees() -> dict[str, ast.Module]:
+    out = {}
+    for rel in _module_files().values():
+        try:
+            out[rel] = ast.parse(open(os.path.join(REPO, rel)).read())
+        except SyntaxError:
+            continue
+    return out
+
+
+def _top_symbols(tree: ast.Module) -> dict[str, tuple[int, int]]:
+    """Top-level def/class name -> (first line incl. decorators, last)."""
+    out = {}
+    for n in tree.body:
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            lo = min([n.lineno] + [d.lineno for d in n.decorator_list])
+            out[n.name] = (lo, n.end_lineno)
+    return out
+
+
+def _changed_pkg_symbols(base: str, diff_files: set[str]) -> dict[str, set[str]]:
+    """Changed package file -> its changed TOP-LEVEL symbols, resolved from
+    diff hunks exactly like the entry file.  '*' means module-level code
+    outside any def/class changed (imports, constants) — conservatively
+    the whole module.  Symbol granularity is the point: a get_spark-only
+    change must not flag every query (the driver's gate runs a BARE
+    session and never calls it — round 6 found module granularity marking
+    85/87 queries changed, which makes the window rule unsatisfiable)."""
+    trees = _pkg_trees()
+    out: dict[str, set[str]] = {}
+    for rel in diff_files:
+        if rel not in trees:
+            continue
+        spans = _top_symbols(trees[rel])
+        syms: set[str] = set()
+        hunks = _git("diff", "-U0", f"{base}..HEAD", "--", rel)
+        for m in re.finditer(r"^@@ .* \+(\d+)(?:,(\d+))? @@", hunks, re.M):
+            start = int(m.group(1))
+            count = int(m.group(2) or "1")
+            lo, hi = start, start + max(count - 1, 0)
+            enclosing = [s for s, (a, b) in spans.items() if a <= hi and b >= lo]
+            if enclosing:
+                syms.update(enclosing)
+            else:
+                syms.add("*")
+        out[rel] = syms
+    return out
+
+
+def _pkg_symbol_deps() -> dict[Sym, set[Sym]]:
+    """(file, symbol) -> package symbols it references: same-module
+    top-level names, plus cross-module names via `import esper_tv_spark.x
+    as y` attribute access and `from esper_tv_spark.x import f` (module-
+    and function-level imports both)."""
     mod_files = _module_files()
-    file_to_mod = {v: k for k, v in mod_files.items()}
-    changed = {f for f in changed_files if f in file_to_mod}
-    for _ in range(5):
+    trees = _pkg_trees()
+    deps: dict[Sym, set[Sym]] = {}
+    for rel, tree in trees.items():
+        tops = _top_symbols(tree)
+        # alias -> file (module alias) / (file, symbol) (imported name)
+        mod_alias: dict[str, str] = {}
+        name_alias: dict[str, Sym] = {}
+
+        def harvest_imports(node) -> None:
+            if isinstance(node, ast.Import):
+                for a in node.names:
+                    if a.name in mod_files:
+                        mod_alias[a.asname or a.name.split(".")[0]] = mod_files[a.name]
+            elif isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(
+                "esper_tv_spark"
+            ):
+                for a in node.names:
+                    full = f"{node.module}.{a.name}"
+                    if full in mod_files:
+                        mod_alias[a.asname or a.name] = mod_files[full]
+                    elif node.module in mod_files:
+                        name_alias[a.asname or a.name] = (mod_files[node.module], a.name)
+
+        for n in tree.body:
+            harvest_imports(n)
+        for sym, _span in tops.items():
+            node = next(
+                n
+                for n in tree.body
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef))
+                and n.name == sym
+            )
+            local_mod = dict(mod_alias)
+            local_name = dict(name_alias)
+            refs: set[Sym] = set()
+            for sub in ast.walk(node):
+                harvest_imports(sub)  # function-level imports accumulate into local view
+                if isinstance(sub, ast.Attribute) and isinstance(sub.value, ast.Name):
+                    if sub.value.id in local_mod:
+                        refs.add((local_mod[sub.value.id], sub.attr))
+                elif isinstance(sub, ast.Name):
+                    if sub.id in local_name:
+                        refs.add(local_name[sub.id])
+                    elif sub.id in tops and sub.id != sym:
+                        refs.add((rel, sub.id))
+            deps[(rel, sym)] = refs
+    return deps
+
+
+def _affected_pkg_symbols(base: str, diff_files: set[str]) -> tuple[set[Sym], set[str]]:
+    """Fixpoint caller-ward propagation: a symbol is affected if it changed
+    or references an affected symbol.  Returns (affected symbols, files
+    whose module-level code changed — treated as wholly affected)."""
+    changed = _changed_pkg_symbols(base, diff_files)
+    trees = _pkg_trees()
+    star_files = {rel for rel, syms in changed.items() if "*" in syms}
+    affected: set[Sym] = set()
+    for rel, syms in changed.items():
+        tops = _top_symbols(trees[rel])
+        names = tops.keys() if "*" in syms else (syms & tops.keys())
+        affected.update((rel, s) for s in names)
+    deps = _pkg_symbol_deps()
+    for _ in range(20):
         grew = False
-        for mod, rel in mod_files.items():
-            if rel in changed:
+        for sym, refs in deps.items():
+            if sym in affected:
                 continue
-            try:
-                tree = ast.parse(open(os.path.join(REPO, rel)).read())
-            except SyntaxError:
-                continue
-            imports: set[str] = set()
-            for n in ast.walk(tree):
-                if isinstance(n, ast.Import):
-                    imports.update(a.name for a in n.names)
-                elif isinstance(n, ast.ImportFrom) and n.module:
-                    imports.add(n.module)
-                    imports.update(f"{n.module}.{a.name}" for a in n.names)
-            if any(mod_files.get(i) in changed for i in imports if i in mod_files):
-                changed.add(rel)
+            if refs & affected or any(r[0] in star_files for r in refs):
+                affected.add(sym)
                 grew = True
         if not grew:
             break
-    return changed
+    return affected, star_files
 
 
 def changed_queries(base: str) -> set[str]:
     diff_files = set(_git("diff", "--name-only", f"{base}..HEAD").split())
     queries = [q for q in registry_order()]
-    calls, mods = entry_deps()
+    calls, mods, symrefs = entry_deps()
     fn_lines = entry_function_map()
 
-    # 1) operator-package changes (with one import-transitive sweep)
-    pkg_changed = _package_closure(diff_files)
+    # 1) operator-package changes at SYMBOL granularity (hunks -> enclosing
+    #    top-level defs, caller-ward fixpoint across the package)
+    affected_syms, star_files = _affected_pkg_symbols(base, diff_files)
 
     # 2) entry-file changes resolved per function via diff hunks
     touched_fns: set[str] = set()
@@ -227,15 +347,18 @@ def changed_queries(base: str) -> set[str]:
         if not grew:
             break
 
+    def fn_touches_pkg(fn: str) -> bool:
+        return bool(
+            symrefs.get(fn, set()) & affected_syms
+            or mods.get(fn, set()) & star_files
+        )
+
     out: set[str] = set()
     for q in queries:
-        if q in affected_fns:
+        if q in affected_fns or fn_touches_pkg(q):
             out.add(q)
             continue
-        if mods.get(q, set()) & pkg_changed:
-            out.add(q)
-            continue
-        # helper functions this query calls may use changed modules
+        # helper functions this query calls may use changed symbols
         seen: set[str] = set()
         stack = list(calls.get(q, ()))
         while stack:
@@ -243,7 +366,7 @@ def changed_queries(base: str) -> set[str]:
             if h in seen:
                 continue
             seen.add(h)
-            if mods.get(h, set()) & pkg_changed or h in affected_fns:
+            if fn_touches_pkg(h) or h in affected_fns:
                 out.add(q)
                 break
             stack.extend(calls.get(h, ()))
