@@ -2138,6 +2138,47 @@ FROM rgb GROUP BY asset_id, bw, bh ORDER BY asset_id
 """
 
 
+def q89_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth REAL codec, extending the decode pipeline to the AUDIO
+    modality: RIFF/WAVE PCM16 parsed by a pure struct+numpy chunk walk
+    (operators/multimodal.wav_decode — word-aligned chunk skipping,
+    fmt validation; non-PCM16 raises DecoderNotAvailable).  Fixture
+    samples are a closed form of asset_id (frames = 256 + 13*id % 256,
+    channels = 1 + id % 2, rate = 8000 + (id % 4)*4000, flat sample i =
+    (id*7919 + i*104729) % 65536 - 32768), so duration / L1 energy /
+    peak are all exact integers the oracle recomputes without touching
+    the binary.  Reference parity: audio tracks the reference stores as
+    opaque paths (app/esper video model) become decodable columns."""
+    from esper_tv_spark.operators import multimodal as mm
+
+    assets = mm.make_wav_asset_table(spark, n=200)
+    return mm.audio_stats(assets)
+
+
+Q89_SQL = """
+WITH a AS (
+  SELECT range AS asset_id,
+         256 + (range * 13) % 256 AS frames,
+         1 + range % 2 AS channels,
+         8000 + (range % 4) * 4000 AS rate
+  FROM range(200)
+),
+s AS (
+  SELECT a.asset_id, a.frames, a.channels, a.rate,
+         abs(((a.asset_id * 7919 + i.range * 104729) % 65536) - 32768) AS av
+  FROM a, range(1024) i WHERE i.range < a.frames * a.channels
+)
+SELECT asset_id,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(channels AS INT) AS channels,
+       CAST(frames AS BIGINT) AS frames,
+       CAST(floor(frames * 1000.0 / rate) AS BIGINT) AS duration_ms,
+       CAST(sum(av) AS BIGINT) AS sum_abs,
+       CAST(max(av) AS INT) AS peak_abs
+FROM s GROUP BY asset_id, rate, channels, frames ORDER BY asset_id
+"""
+
+
 def q85_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
     k-means-blocked semantic deduplication over the embeddings table.
@@ -3450,6 +3491,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_ivf_ann": q80_ivf_ann,
     "q87_ivf_cell_census": q87_ivf_cell_census,
     "q88_pq_adc_topk": q88_pq_adc_topk,
+    "q89_wav_decode_stats": q89_wav_decode_stats,
     "q31_knn": q31_knn,
     "q78_logreg_score": q78_logreg_score,
     "q58_clean_corpus": q58_clean_corpus,
@@ -3610,6 +3652,7 @@ _ORACLES: dict[str, str] = {
     "q83_kmv_distinct": Q83_SQL,
     "q84_png_decode_stats": Q84_SQL,
     "q86_jpeg_decode_stats": Q86_SQL,
+    "q89_wav_decode_stats": Q89_SQL,
     "q85_semantic_dedup": Q85_SQL,
 }
 

@@ -684,3 +684,120 @@ def resize_plan(assets: DataFrame, target_w: int, target_h: int) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(batches, schema="asset_id long, scale_x double, scale_y double")
+
+
+# ---------------------------------------------------------------------------
+# Audio: real WAV (RIFF/PCM) codec — the fourth modality with a REAL format
+# parse (PPM/PNG/JPEG cover images; WAV covers audio).  The RIFF container
+# and PCM encoding are public (Microsoft/IBM 1991 spec); parsing needs only
+# struct + numpy, no codec library.  Reference parity: the reference treats
+# audio as opaque rows next to video (app/esper: audio tracks referenced by
+# path only); here the payload column is decodable in-engine.
+# ---------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = "sample_rate int, channels int, format string"
+AUDIO_STATS_SCHEMA = (
+    "asset_id long, sample_rate int, channels int, frames bigint, "
+    "duration_ms bigint, sum_abs bigint, peak_abs int"
+)
+
+
+def wav_encode_pcm16(samples: np.ndarray, rate: int) -> bytes:
+    """Encode (frames, channels) int16 samples as a canonical RIFF/WAVE
+    PCM payload (16-byte fmt chunk, little-endian interleaved data)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    frames, channels = samples.shape
+    data = samples.astype("<i2").tobytes()
+    block_align = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block_align, block_align, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL decoder for RIFF/WAVE PCM16: walks the chunk list (skipping
+    unknown chunks, honoring the spec's even-byte chunk padding), validates
+    the fmt chunk (PCM, 16-bit), and returns ((frames, channels) int16,
+    sample_rate).  Raises DecoderNotAvailable on anything that is not a
+    PCM16 WAV — same contract as ppm/png/jpeg_decode."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise DecoderNotAvailable("not a RIFF/WAVE payload")
+    pos, end = 12, len(payload)
+    rate = channels = None
+    data = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body_at = pos + 8
+        if body_at + clen > end:
+            raise DecoderNotAvailable("truncated chunk %r" % cid)
+        if cid == b"fmt ":
+            if clen < 16:
+                raise DecoderNotAvailable("short fmt chunk")
+            audio_format, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, body_at
+            )
+            if audio_format != 1 or bits != 16:
+                raise DecoderNotAvailable(
+                    "unsupported WAV encoding (format=%d bits=%d)" % (audio_format, bits)
+                )
+        elif cid == b"data":
+            data = payload[body_at : body_at + clen]
+        pos = body_at + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise DecoderNotAvailable("missing fmt or data chunk")
+    if len(data) % (2 * channels):
+        raise DecoderNotAvailable("data chunk is not whole frames")
+    flat = np.frombuffer(data, dtype="<i2")
+    return flat.reshape(-1, channels), int(rate)
+
+
+def make_wav_asset_table(spark, n: int = 200) -> DataFrame:
+    """Synthetic audio asset table with REAL PCM16 WAV payloads whose
+    samples are a closed form of asset_id: frames = 256 + (id*13) % 256,
+    channels = 1 + id % 2, rate = 8000 + (id % 4) * 4000, flat sample i =
+    ((id*7919 + i*104729) % 65536) - 32768 — so decoded stats are
+    independently computable by a SQL oracle (the q46/q84/q86 pattern,
+    extended to the audio modality)."""
+    rows = []
+    for a in range(n):
+        frames = 256 + (a * 13) % 256
+        channels = 1 + a % 2
+        rate = 8000 + (a % 4) * 4000
+        i = np.arange(frames * channels, dtype=np.int64)
+        flat = ((a * 7919 + i * 104729) % 65536) - 32768
+        payload = wav_encode_pcm16(flat.astype(np.int16).reshape(frames, channels), rate)
+        rows.append((a, bytearray(payload), (rate, channels, "wav")))
+    return spark.createDataFrame(
+        rows, f"asset_id long, payload binary, meta struct<{AUDIO_META_SCHEMA}>"
+    )
+
+
+def audio_stats(assets: DataFrame) -> DataFrame:
+    """Decode every WAV payload and emit exact integer per-asset stats
+    (duration, L1 energy, peak) — Arrow-batched like decode_stats; all
+    outputs are integers so oracle hash parity needs no float care."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = {k: [] for k in
+                   ("asset_id", "sample_rate", "channels", "frames",
+                    "duration_ms", "sum_abs", "peak_abs")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                samples, rate = wav_decode(bytes(payload))
+                frames, channels = samples.shape
+                absval = np.abs(samples.astype(np.int64))
+                out["asset_id"].append(aid)
+                out["sample_rate"].append(rate)
+                out["channels"].append(channels)
+                out["frames"].append(frames)
+                out["duration_ms"].append(frames * 1000 // rate)
+                out["sum_abs"].append(int(absval.sum()))
+                out["peak_abs"].append(int(absval.max()) if absval.size else 0)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=AUDIO_STATS_SCHEMA)

@@ -341,3 +341,50 @@ def test_jpeg_asset_table_decodes_in_spark(spark):
         assert r["width"] == (1 + a % 3) * 8 and r["height"] == (1 + (a * 5) % 3) * 8
         assert r["n_pixels"] == r["width"] * r["height"]
         assert 0.0 <= r["mean_luma"] <= 255.0
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    s = (np.arange(24, dtype=np.int16) * 1000 - 12000).reshape(12, 2)
+    p = mm.wav_encode_pcm16(s, 44100)
+    d, rate = mm.wav_decode(p)
+    assert rate == 44100 and d.shape == (12, 2) and (d == s).all()
+    # mono 1-D input gets a channel axis
+    d1, _ = mm.wav_decode(mm.wav_encode_pcm16(np.array([1, -2, 3], dtype=np.int16), 8000))
+    assert d1.shape == (3, 1)
+    # unknown odd-length chunk before data: spec word-alignment honored
+    extra = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    spliced = p[:12] + extra + p[12:]
+    spliced = b"RIFF" + (len(spliced) - 8).to_bytes(4, "little") + spliced[8:]
+    d2, _ = mm.wav_decode(spliced)
+    assert (d2 == s).all()
+
+
+def test_wav_malformed_raise():
+    good = mm.wav_encode_pcm16(np.zeros((4, 1), dtype=np.int16), 8000)
+    for bad in (
+        b"",
+        b"RIFX" + good[4:],                       # wrong magic
+        good[:20],                                # truncated chunk
+        good[:12],                                # no fmt/data
+        good.replace(b"\x01\x00\x01\x00", b"\x03\x00\x01\x00", 1),  # IEEE-float fmt
+    ):
+        with pytest.raises(mm.DecoderNotAvailable):
+            mm.wav_decode(bad)
+
+
+def test_wav_asset_table_stats_in_spark(spark):
+    assets = mm.make_wav_asset_table(spark, n=12)
+    out = {r["asset_id"]: r for r in mm.audio_stats(assets).collect()}
+    assert len(out) == 12
+    for a in range(12):
+        frames = 256 + (a * 13) % 256
+        channels = 1 + a % 2
+        rate = 8000 + (a % 4) * 4000
+        i = np.arange(frames * channels, dtype=np.int64)
+        flat = ((a * 7919 + i * 104729) % 65536) - 32768
+        r = out[a]
+        assert r["frames"] == frames and r["channels"] == channels
+        assert r["sample_rate"] == rate
+        assert r["duration_ms"] == frames * 1000 // rate
+        assert r["sum_abs"] == int(np.abs(flat).sum())
+        assert r["peak_abs"] == int(np.abs(flat).max())
