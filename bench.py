@@ -57,6 +57,11 @@ HEADLINE = [
     "q81_pq_codes",
     # round-5 addition: SemDeDup (cluster-blocked semantic dedup)
     "q85_semantic_dedup",
+    # round-6 additions: the persisted-store probe paths (IVF census +
+    # joinless PQ ADC) and the audio decode stage
+    "q87_ivf_cell_census",
+    "q88_pq_adc_topk",
+    "q89_wav_decode_stats",
 ]
 
 # run once each at the 10x rehearsal scale (see tools/make_scale.py)

@@ -588,15 +588,23 @@ def near_dup_pairs_from_index(
     # vector table fits executor memory: the alternative shuffle join
     # carries 2 x dim doubles per PAIR through an exchange — ~1TB at
     # n=2M/256-dim, three orders over the 4.2GB table it avoids moving.
-    # The cutoff is 6GB (headroom under Spark's 8GB broadcast cap; the
-    # sf100 rehearsal runs the 4.2GB broadcast in a 48GB local JVM —
-    # driver.maxResultSize must admit the collect, get_spark sets 8g).
-    # Beyond 6GB the plain co-partitioned shuffle join stands, with the
-    # documented multi-TB exchange spread across the cluster — at that
-    # corpus size a deployment pre-buckets the index and vector tables by
-    # id so the attach is shuffle-free.
+    # The cutoff is TWO-SIDED: est_bytes <= 6GB (headroom under Spark's
+    # 8GB broadcast-relation cap) AND both relations fit the session's
+    # actual heap budget (broadcast_budget_bytes — the sf100 rehearsal's
+    # 2 x 8.1GiB builds fit its 48g JVM but OOM'd get_spark's default 8g
+    # heap, so the plan choice must follow the memory the session was
+    # GIVEN).  Beyond the budget the plain co-partitioned shuffle join
+    # stands, with the documented multi-TB exchange spread across the
+    # cluster — at that corpus size a deployment pre-buckets the index
+    # and vector tables by id so the attach is shuffle-free.
+    from esper_tv_spark.plans.partitions import broadcast_budget_bytes
+
     est_bytes = _estimated_vector_bytes(df, os.path.join(path, "norms"))
-    if est_bytes is not None and est_bytes <= 6 * 1024 * 1024 * 1024:
+    if (
+        est_bytes is not None
+        and est_bytes <= 6 * 1024 * 1024 * 1024
+        and 2 * est_bytes <= broadcast_budget_bytes(spark)
+    ):
         an, bn = F.broadcast(an), F.broadcast(bn)
     j = cand.join(an, "id_a").join(bn, "id_b")
     sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")), 6)

@@ -114,3 +114,41 @@ def advise_for_df(df, blowup: float, target_task_bytes: int = 256 * 1024 * 1024)
     return advise_shuffle_partitions(
         df.sparkSession, paths, blowup=blowup, target_task_bytes=target_task_bytes
     )
+
+
+def _parse_jvm_size(s: str) -> int:
+    """'48g' / '512m' / '1024k' / bare bytes -> bytes (JVM -Xmx grammar)."""
+    s = s.strip().lower()
+    mult = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def broadcast_budget_bytes(spark, fraction: float = 0.35) -> int:
+    """The bytes of broadcast-relation state this session can actually
+    hold: `fraction` of the smallest JVM heap that must build or host the
+    relations.  local[*] masters have ONE JVM (the driver builds AND
+    hosts), so only spark.driver.memory binds; on a cluster the executors
+    host a copy each, so the smaller of driver/executor heap binds.
+
+    Exists because a fixed byte cutoff is a footgun: the 6GB index-probe
+    cutoff assumed the 48g rehearsal JVM and OOM'd the same plan on
+    get_spark's default 8g heap — the choice between a map-side attach
+    and a shuffle join must follow the memory the session was GIVEN, not
+    the memory the author benchmarked with."""
+    def conf(key: str, default: str) -> int:
+        try:
+            return _parse_jvm_size(spark.conf.get(key, default))
+        except Exception:
+            return _parse_jvm_size(default)
+
+    heap = conf("spark.driver.memory", "1g")
+    master = ""
+    try:
+        master = spark.conf.get("spark.master", "")
+    except Exception:
+        pass
+    if not master.startswith("local"):
+        heap = min(heap, conf("spark.executor.memory", "1g"))
+    return int(heap * fraction)

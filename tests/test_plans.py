@@ -296,3 +296,18 @@ def test_advise_for_df_from_backing_files(spark, tmp_path):
     assert n > floor_n
     assert int(spark.conf.get(key)) == n
     spark.conf.unset(key)
+
+
+def test_broadcast_budget_follows_session_heap(spark):
+    from esper_tv_spark.plans.partitions import _parse_jvm_size, broadcast_budget_bytes
+
+    assert _parse_jvm_size("48g") == 48 * 1024**3
+    assert _parse_jvm_size("512M") == 512 * 1024**2
+    assert _parse_jvm_size("1024") == 1024
+    budget = broadcast_budget_bytes(spark)
+    heap = _parse_jvm_size(spark.conf.get("spark.driver.memory", "1g"))
+    # local master: driver heap is the only JVM; budget is a fraction of it
+    assert budget == int(heap * 0.35)
+    # a ~2x-heap relation pair must NOT pass the two-sided cutoff rule
+    est = heap  # one side alone fills the heap
+    assert not (2 * est <= budget)

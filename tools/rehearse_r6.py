@@ -48,6 +48,15 @@ def emit(row: dict) -> None:
 
 
 def main() -> None:
+    # The rehearsal provisions the documented 48g local JVM (the same
+    # environment deviation as check.py's SPARK_CHECK_DRIVER_MEMORY): at
+    # sf100 the q51 probe's two vector-attach broadcasts build ~8GiB
+    # relations each, and the heap-aware cutoff
+    # (plans/partitions.broadcast_budget_bytes) routes them to a shuffle
+    # join on small heaps — we want the rehearsal to exercise the
+    # production map-side plan, so give it production memory.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+
     import __spark_entry__ as m
     from esper_tv_spark import get_spark
     from verify_plants import expected_pairs, score_plants
