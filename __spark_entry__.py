@@ -2155,6 +2155,60 @@ def q89_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_stats(assets)
 
 
+def q90_avi_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth REAL codec, upgrading the VIDEO modality from metadata-only
+    plumbing to actual frame decode: MJPEG-in-AVI parsed by a pure struct
+    RIFF chunk walk (operators/multimodal.avi_decode_mjpeg — avih header
+    validation, LIST 'movi' traversal, word-aligned chunks), each '00dc'
+    chunk decoded through the repo's own baseline jpeg_decode.  Fixture
+    frames are const-block JPEGs whose pixels are a closed form of
+    (asset_id, frame, block) — the q86 DC-rounding roundtrip applies per
+    frame — so the oracle replays the container AND the codec without
+    touching the binary.  Reference parity: the reference serves video
+    frames via an external frameserver (app/esper/prelude.py:125-136);
+    here the video payload is a decodable binary column in-engine."""
+    from esper_tv_spark.operators import multimodal as mm
+
+    assets = mm.make_avi_asset_table(spark, n=150)
+    return mm.video_stats(assets)
+
+
+Q90_SQL = """
+WITH a AS (
+  SELECT range AS asset_id, 1 + range % 3 AS bw, 1 + (range * 5) % 3 AS bh,
+         1 + (range * 3) % 4 AS nf
+  FROM range(150)
+),
+blk AS (
+  SELECT a.asset_id, a.bw, a.bh, a.nf,
+         CAST((a.asset_id * 11 + f.range * 41 + b.range * 29) % 256 AS DOUBLE) AS r,
+         CAST((a.asset_id * 13 + f.range * 43 + b.range * 31) % 256 AS DOUBLE) AS g,
+         CAST((a.asset_id * 17 + f.range * 47 + b.range * 37) % 256 AS DOUBLE) AS bl
+  FROM a, range(4) f, range(9) b
+  WHERE f.range < a.nf AND b.range < a.bw * a.bh
+),
+ycc AS (
+  SELECT asset_id, bw, bh, nf,
+         128.0 + floor(8.0 * ((0.299 * r + 0.587 * g + 0.114 * bl) - 128.0) + 0.5) / 8.0 AS y2,
+         128.0 + floor(8.0 * ((128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl) - 128.0) + 0.5) / 8.0 AS cb2,
+         128.0 + floor(8.0 * ((128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl) - 128.0) + 0.5) / 8.0 AS cr2
+  FROM blk
+),
+rgb AS (
+  SELECT asset_id, bw, bh, nf,
+         greatest(0, least(255, CAST(floor(y2 + 1.402 * (cr2 - 128.0) + 0.5) AS BIGINT))) AS rr,
+         greatest(0, least(255, CAST(floor(y2 - 0.344136 * (cb2 - 128.0) - 0.714136 * (cr2 - 128.0) + 0.5) AS BIGINT))) AS gg,
+         greatest(0, least(255, CAST(floor(y2 + 1.772 * (cb2 - 128.0) + 0.5) AS BIGINT))) AS bb
+  FROM ycc
+)
+SELECT asset_id, CAST(bw * 8 AS INT) AS width, CAST(bh * 8 AS INT) AS height,
+       CAST(nf AS INT) AS n_frames,
+       CAST(bw * 8 * bh * 8 * nf AS BIGINT) AS n_pixels,
+       CAST(sum(64 * (rr + gg + bb)) AS DOUBLE) / (bw * 8 * bh * 8 * 3 * nf) AS mean_luma
+FROM rgb GROUP BY asset_id, bw, bh, nf ORDER BY asset_id
+"""
+
+
 Q89_SQL = """
 WITH a AS (
   SELECT range AS asset_id,
@@ -3492,6 +3546,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_ivf_cell_census": q87_ivf_cell_census,
     "q88_pq_adc_topk": q88_pq_adc_topk,
     "q89_wav_decode_stats": q89_wav_decode_stats,
+    "q90_avi_decode_stats": q90_avi_decode_stats,
     "q31_knn": q31_knn,
     "q78_logreg_score": q78_logreg_score,
     "q58_clean_corpus": q58_clean_corpus,
@@ -3653,6 +3708,7 @@ _ORACLES: dict[str, str] = {
     "q84_png_decode_stats": Q84_SQL,
     "q86_jpeg_decode_stats": Q86_SQL,
     "q89_wav_decode_stats": Q89_SQL,
+    "q90_avi_decode_stats": Q90_SQL,
     "q85_semantic_dedup": Q85_SQL,
 }
 

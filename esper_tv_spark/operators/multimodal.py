@@ -801,3 +801,187 @@ def audio_stats(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(batches, schema=AUDIO_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: real MJPEG-in-AVI codec — the FIFTH real format parse, upgrading the
+# video modality from metadata-only plumbing to actual frame decode.  The AVI
+# RIFF container (Microsoft 1992 spec) is a chunk list like WAV: LIST 'hdrl'
+# (avih main header + one 'strl' stream list) + LIST 'movi' ('00dc' compressed
+# video chunks, each a complete baseline JPEG) + 'idx1' index.  Parsing needs
+# only struct; frame pixels come from the repo's own jpeg_decode, so the whole
+# path is a real two-level format parse with no codec library.  Reference
+# parity: the reference stores videos as paths + frame metadata and serves
+# pixels through an external frame server (app/esper/prelude.py:125-136);
+# here the video payload itself is a decodable binary column.
+# ---------------------------------------------------------------------------
+
+VIDEO_META_SCHEMA = "width int, height int, fps int, n_frames int, format string"
+VIDEO_STATS_SCHEMA = (
+    "asset_id long, width int, height int, n_frames int, n_pixels bigint, mean_luma double"
+)
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _riff_list(ltype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", ltype + body)
+
+
+def avi_encode_mjpeg(frames: list[bytes], width: int, height: int, fps: int = 24) -> bytes:
+    """Encode complete per-frame JPEG payloads as a canonical MJPEG AVI:
+    RIFF('AVI ') { LIST hdrl { avih, LIST strl { strh('vids'/'MJPG'),
+    strf(BITMAPINFOHEADER) } }, LIST movi { '00dc' chunks }, idx1 }.
+    Chunks are word-aligned per the RIFF spec."""
+    n = len(frames)
+    us_per_frame = 1_000_000 // max(fps, 1)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        us_per_frame, 0, 0, 0x10, n, 0, 1, max((len(f) for f in frames), default=0),
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIiI4H", 0, 0, 0, 0, 1, fps, 0, n, 0, -1, 0, 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b"movi"
+    offsets = []
+    for f in frames:
+        offsets.append(len(movi_body))  # offset of the ckid within the movi list
+        movi_body += _riff_chunk(b"00dc", f)
+    movi = _riff_chunk(b"LIST", movi_body)
+    idx1 = _riff_chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off, len(f))
+            for off, f in zip(offsets, frames)
+        ),
+    )
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_walk(buf: bytes, pos: int, end: int):
+    """Yield (chunk_id, list_type_or_None, body_start, body_len) for each
+    chunk in [pos, end); raises DecoderNotAvailable on truncation."""
+    while pos + 8 <= end:
+        cid = buf[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", buf, pos + 4)
+        body_at = pos + 8
+        if body_at + clen > end:
+            raise DecoderNotAvailable("truncated AVI chunk %r" % cid)
+        if cid == b"LIST":
+            yield cid, buf[body_at : body_at + 4], body_at + 4, clen - 4
+        else:
+            yield cid, None, body_at, clen
+        pos = body_at + clen + (clen & 1)
+
+
+def avi_decode_mjpeg(payload: bytes) -> tuple[list[np.ndarray], int, int, int]:
+    """REAL decoder for MJPEG AVI: validates the RIFF/'AVI ' container,
+    parses the avih main header (width/height/total_frames/us_per_frame),
+    walks LIST 'movi' collecting '00dc'/'00db' video chunks, and decodes
+    each through the repo's baseline jpeg_decode.  Frame dimensions are
+    validated against the header and the frame count against avih —
+    anything malformed raises DecoderNotAvailable (the ppm/png/jpeg/wav
+    contract).  Returns (frames, width, height, fps)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise DecoderNotAvailable("not a RIFF/AVI payload")
+    width = height = total = us_per_frame = None
+    frames: list[np.ndarray] = []
+    for cid, ltype, at, clen in _riff_walk(payload, 12, len(payload)):
+        if cid == b"LIST" and ltype == b"hdrl":
+            for c2, l2, at2, len2 in _riff_walk(payload, at, at + clen):
+                if c2 == b"avih":
+                    if len2 < 40:
+                        raise DecoderNotAvailable("short avih header")
+                    vals = struct.unpack_from("<10I", payload, at2)
+                    us_per_frame, total, width, height = vals[0], vals[4], vals[8], vals[9]
+        elif cid == b"LIST" and ltype == b"movi":
+            for c2, _l2, at2, len2 in _riff_walk(payload, at, at + clen):
+                if c2 in (b"00dc", b"00db"):
+                    frames.append(jpeg_decode(payload[at2 : at2 + len2]))
+    if width is None:
+        raise DecoderNotAvailable("missing avih header")
+    if total is not None and total != len(frames):
+        raise DecoderNotAvailable(
+            "frame count mismatch: header %d, movi %d" % (total, len(frames))
+        )
+    for fr in frames:
+        if fr.shape[1] != width or fr.shape[0] != height:
+            raise DecoderNotAvailable(
+                "frame is %dx%d, header says %dx%d"
+                % (fr.shape[1], fr.shape[0], width, height)
+            )
+    fps = 1_000_000 // us_per_frame if us_per_frame else 0
+    return frames, int(width), int(height), int(fps)
+
+
+def make_avi_asset_table(spark, n: int = 150) -> DataFrame:
+    """Synthetic video asset table with REAL MJPEG-AVI payloads whose
+    decoded pixels are closed-form: asset is (1 + id%3) x (1 + (id*5)%3)
+    blocks of 8x8 per frame, 1 + (id*3)%4 frames; frame f block b's
+    constant RGB = ((id*11 + f*41 + b*29) % 256, (id*13 + f*43 + b*31) %
+    256, (id*17 + f*47 + b*37) % 256).  Each frame is an independent
+    const-block JPEG (the q86 closed-form roundtrip applies per frame), so
+    a SQL oracle replays the full container+codec decode."""
+    rows = []
+    for a in range(n):
+        bw, bh = 1 + a % 3, 1 + (a * 5) % 3
+        nf = 1 + (a * 3) % 4
+        frames = []
+        for f in range(nf):
+            cols = np.array(
+                [
+                    [
+                        (a * 11 + f * 41 + b * 29) % 256,
+                        (a * 13 + f * 43 + b * 31) % 256,
+                        (a * 17 + f * 47 + b * 37) % 256,
+                    ]
+                    for b in range(bw * bh)
+                ],
+                dtype=np.uint8,
+            )
+            frames.append(jpeg_encode_const_blocks(cols, bw, bh))
+        payload = avi_encode_mjpeg(frames, bw * 8, bh * 8, fps=24)
+        rows.append((a, bytearray(payload), (bw * 8, bh * 8, 24, nf, "avi-mjpeg")))
+    return spark.createDataFrame(
+        rows, f"asset_id long, payload binary, meta struct<{VIDEO_META_SCHEMA}>"
+    )
+
+
+def video_stats(assets: DataFrame) -> DataFrame:
+    """Decode every AVI payload (container walk + per-frame JPEG decode)
+    and emit per-video stats — Arrow-batched like decode_stats; mean_luma
+    is the mean over all frames' RGB samples."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = {
+                k: []
+                for k in ("asset_id", "width", "height", "n_frames", "n_pixels", "mean_luma")
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                frames, w, h, _fps = avi_decode_mjpeg(bytes(payload))
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["n_pixels"].append(int(w) * int(h) * len(frames))
+                stack = np.stack(frames).astype(np.float64)
+                out["mean_luma"].append(float(stack.mean()))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=VIDEO_STATS_SCHEMA)

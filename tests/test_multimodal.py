@@ -388,3 +388,68 @@ def test_wav_asset_table_stats_in_spark(spark):
         assert r["duration_ms"] == frames * 1000 // rate
         assert r["sum_abs"] == int(np.abs(flat).sum())
         assert r["peak_abs"] == int(np.abs(flat).max())
+
+
+def test_avi_mjpeg_roundtrip():
+    frames = []
+    for f in range(3):
+        cols = np.array(
+            [[(5 * 11 + f * 41 + b * 29) % 256,
+              (5 * 13 + f * 43 + b * 31) % 256,
+              (5 * 17 + f * 47 + b * 37) % 256] for b in range(6)],
+            dtype=np.uint8,
+        )
+        frames.append(mm.jpeg_encode_const_blocks(cols, 3, 2))
+    payload = mm.avi_encode_mjpeg(frames, 24, 16, fps=24)
+    out, w, h, fps = mm.avi_decode_mjpeg(payload)
+    assert (w, h, fps, len(out)) == (24, 16, 24, 3)
+    for f, fr in enumerate(out):
+        assert fr.shape == (16, 24, 3)
+        assert np.array_equal(fr, mm.jpeg_decode(frames[f]))
+
+
+def test_avi_malformed_raise():
+    import struct
+
+    frame = mm.jpeg_encode_const_blocks(np.zeros((1, 3), dtype=np.uint8), 1, 1)
+    good = mm.avi_encode_mjpeg([frame], 8, 8)
+    # header claims 9 frames, movi holds 1
+    tampered = bytearray(good)
+    struct.pack_into("<I", tampered, 12 + 8 + 4 + 8 + 16, 9)
+    # frame dims disagree with avih width/height
+    wrong_dims = mm.avi_encode_mjpeg([frame], 16, 16)
+    for bad in (b"", b"RIFF" + good[4:8] + b"WAVE", good[:40], good[:12],
+                bytes(tampered), wrong_dims):
+        with pytest.raises(mm.DecoderNotAvailable):
+            mm.avi_decode_mjpeg(bad)
+
+
+def test_avi_asset_table_stats_in_spark(spark):
+    assets = mm.make_avi_asset_table(spark, n=10)
+    out = {r["asset_id"]: r for r in mm.video_stats(assets).collect()}
+    assert len(out) == 10
+    for a in range(10):
+        bw, bh = 1 + a % 3, 1 + (a * 5) % 3
+        nf = 1 + (a * 3) % 4
+        r = out[a]
+        assert (r["width"], r["height"], r["n_frames"]) == (bw * 8, bh * 8, nf)
+        assert r["n_pixels"] == bw * 8 * bh * 8 * nf
+        # closed-form mean: replay the DC-rounding roundtrip per block/frame
+        total = 0.0
+        for f in range(nf):
+            for b in range(bw * bh):
+                rgb = np.array(
+                    [(a * 11 + f * 41 + b * 29) % 256,
+                     (a * 13 + f * 43 + b * 31) % 256,
+                     (a * 17 + f * 47 + b * 37) % 256], dtype=np.float64)
+                y = 0.299 * rgb[0] + 0.587 * rgb[1] + 0.114 * rgb[2]
+                cb = 128 - 0.168736 * rgb[0] - 0.331264 * rgb[1] + 0.5 * rgb[2]
+                cr = 128 + 0.5 * rgb[0] - 0.418688 * rgb[1] - 0.081312 * rgb[2]
+                y, cb, cr = (128.0 + np.floor(8.0 * (v - 128.0) + 0.5) / 8.0
+                             for v in (y, cb, cr))
+                rr = min(255, max(0, np.floor(y + 1.402 * (cr - 128) + 0.5)))
+                gg = min(255, max(0, np.floor(
+                    y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)))
+                bb = min(255, max(0, np.floor(y + 1.772 * (cb - 128) + 0.5)))
+                total += 64 * (rr + gg + bb)
+        assert abs(r["mean_luma"] - total / (bw * 8 * bh * 8 * 3 * nf)) < 1e-9
