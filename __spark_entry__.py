@@ -2209,6 +2209,56 @@ FROM rgb GROUP BY asset_id, bw, bh, nf ORDER BY asset_id
 """
 
 
+def q91_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride frame sampling over REAL video payloads: walk each MJPEG
+    AVI's movi list and decode only every 2nd frame
+    (operators/multimodal.video_frame_stats — container walk is cheap,
+    decode cost proportional to frames KEPT).  One row per sampled frame
+    with its closed-form mean; the oracle replays container + codec +
+    stride.  Reference parity: frame-stride sampling is the reference's
+    core video access pattern (app/esper Frame model + Scanner stride
+    sampling); here it is one mapInPandas over a binary column."""
+    from esper_tv_spark.operators import multimodal as mm
+
+    assets = mm.make_avi_asset_table(spark, n=150)
+    return mm.video_frame_stats(assets, every_n=2)
+
+
+Q91_SQL = """
+WITH a AS (
+  SELECT range AS asset_id, 1 + range % 3 AS bw, 1 + (range * 5) % 3 AS bh,
+         1 + (range * 3) % 4 AS nf
+  FROM range(150)
+),
+blk AS (
+  SELECT a.asset_id, a.bw, a.bh, f.range AS frame_no,
+         CAST((a.asset_id * 11 + f.range * 41 + b.range * 29) % 256 AS DOUBLE) AS r,
+         CAST((a.asset_id * 13 + f.range * 43 + b.range * 31) % 256 AS DOUBLE) AS g,
+         CAST((a.asset_id * 17 + f.range * 47 + b.range * 37) % 256 AS DOUBLE) AS bl
+  FROM a, range(4) f, range(9) b
+  WHERE f.range < a.nf AND f.range % 2 = 0 AND b.range < a.bw * a.bh
+),
+ycc AS (
+  SELECT asset_id, bw, bh, frame_no,
+         128.0 + floor(8.0 * ((0.299 * r + 0.587 * g + 0.114 * bl) - 128.0) + 0.5) / 8.0 AS y2,
+         128.0 + floor(8.0 * ((128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl) - 128.0) + 0.5) / 8.0 AS cb2,
+         128.0 + floor(8.0 * ((128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl) - 128.0) + 0.5) / 8.0 AS cr2
+  FROM blk
+),
+rgb AS (
+  SELECT asset_id, bw, bh, frame_no,
+         greatest(0, least(255, CAST(floor(y2 + 1.402 * (cr2 - 128.0) + 0.5) AS BIGINT))) AS rr,
+         greatest(0, least(255, CAST(floor(y2 - 0.344136 * (cb2 - 128.0) - 0.714136 * (cr2 - 128.0) + 0.5) AS BIGINT))) AS gg,
+         greatest(0, least(255, CAST(floor(y2 + 1.772 * (cb2 - 128.0) + 0.5) AS BIGINT))) AS bb
+  FROM ycc
+)
+SELECT asset_id, CAST(frame_no AS INT) AS frame_no,
+       CAST(bw * 8 AS INT) AS width, CAST(bh * 8 AS INT) AS height,
+       CAST(sum(64 * (rr + gg + bb)) AS DOUBLE) / (bw * 8 * bh * 8 * 3) AS mean_luma
+FROM rgb GROUP BY asset_id, frame_no, bw, bh ORDER BY asset_id, frame_no
+"""
+
+
 Q89_SQL = """
 WITH a AS (
   SELECT range AS asset_id,
@@ -3547,6 +3597,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q88_pq_adc_topk": q88_pq_adc_topk,
     "q89_wav_decode_stats": q89_wav_decode_stats,
     "q90_avi_decode_stats": q90_avi_decode_stats,
+    "q91_video_frame_sample": q91_video_frame_sample,
     "q31_knn": q31_knn,
     "q78_logreg_score": q78_logreg_score,
     "q58_clean_corpus": q58_clean_corpus,
@@ -3709,6 +3760,7 @@ _ORACLES: dict[str, str] = {
     "q86_jpeg_decode_stats": Q86_SQL,
     "q89_wav_decode_stats": Q89_SQL,
     "q90_avi_decode_stats": Q90_SQL,
+    "q91_video_frame_sample": Q91_SQL,
     "q85_semantic_dedup": Q85_SQL,
 }
 

@@ -960,6 +960,50 @@ def make_avi_asset_table(spark, n: int = 150) -> DataFrame:
     )
 
 
+FRAME_STATS_SCHEMA = "asset_id long, frame_no int, width int, height int, mean_luma double"
+
+
+def avi_iter_frames(payload: bytes):
+    """Yield (frame_no, jpeg_bytes) for each video chunk WITHOUT decoding —
+    the container walk is cheap; callers decode only the frames they keep.
+    Validates the container the same way as avi_decode_mjpeg."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise DecoderNotAvailable("not a RIFF/AVI payload")
+    n = 0
+    for cid, ltype, at, clen in _riff_walk(payload, 12, len(payload)):
+        if cid == b"LIST" and ltype == b"movi":
+            for c2, _l2, at2, len2 in _riff_walk(payload, at, at + clen):
+                if c2 in (b"00dc", b"00db"):
+                    yield n, payload[at2 : at2 + len2]
+                    n += 1
+
+
+def video_frame_stats(assets: DataFrame, every_n: int = 1) -> DataFrame:
+    """Stride-sampled per-frame decode: walk each AVI's movi list and
+    decode ONLY frames with frame_no % every_n == 0 — the reference's
+    frame-sampling pattern (decode cost proportional to frames KEPT, not
+    frames stored).  Emits one row per sampled frame; Arrow-batched."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = {k: [] for k in ("asset_id", "frame_no", "width", "height", "mean_luma")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for fno, jpg in avi_iter_frames(bytes(payload)):
+                    if fno % every_n:
+                        continue
+                    img = jpeg_decode(jpg)
+                    out["asset_id"].append(aid)
+                    out["frame_no"].append(fno)
+                    out["width"].append(img.shape[1])
+                    out["height"].append(img.shape[0])
+                    out["mean_luma"].append(float(img.astype(np.float64).mean()))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=FRAME_STATS_SCHEMA)
+
+
 def video_stats(assets: DataFrame) -> DataFrame:
     """Decode every AVI payload (container walk + per-frame JPEG decode)
     and emit per-video stats — Arrow-batched like decode_stats; mean_luma

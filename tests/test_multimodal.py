@@ -453,3 +453,18 @@ def test_avi_asset_table_stats_in_spark(spark):
                 bb = min(255, max(0, np.floor(y + 1.772 * (cb - 128) + 0.5)))
                 total += 64 * (rr + gg + bb)
         assert abs(r["mean_luma"] - total / (bw * 8 * bh * 8 * 3 * nf)) < 1e-9
+
+
+def test_video_frame_stride_sampling(spark):
+    assets = mm.make_avi_asset_table(spark, n=9)
+    rows = mm.video_frame_stats(assets, every_n=2).collect()
+    # only even frame_nos survive; full decode agrees on the kept frames
+    full = {(r["asset_id"], 0): r["mean_luma"]
+            for r in mm.video_frame_stats(assets, every_n=1).collect()
+            if r["frame_no"] == 0}
+    for r in rows:
+        assert r["frame_no"] % 2 == 0
+        if r["frame_no"] == 0:
+            assert r["mean_luma"] == full[(r["asset_id"], 0)]
+    want = sum(len(range(0, 1 + (a * 3) % 4, 2)) for a in range(9))
+    assert len(rows) == want
