@@ -2702,6 +2702,121 @@ FROM s ORDER BY adist ASC, vec_id ASC LIMIT 10
 """
 
 
+def _ivfpq_index_dir(
+    spark: SparkSession, sf_dir: str, n_cells: int = 16, m: int = 8, k: int = 16
+) -> str:
+    """Build (once per dataset fingerprint) and return the persisted
+    IVF-PQ index for `sf_dir`'s embeddings — same stat-based fingerprint
+    + stale-sibling eviction stance as `_ivf_index_dir`/`_pq_store_dir`."""
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _dir_fingerprint(src)
+    idx = os.path.join(
+        tempfile.gettempdir(), f"esper_tv_ivfpq_idx_{sf_tag}_{tag}_c{n_cells}m{m}k{k}"
+    )
+    if not os.path.exists(os.path.join(idx, "codebooks", "_SUCCESS")):
+        _evict_stale_siblings(f"esper_tv_ivfpq_idx_{sf_tag}_", keep=idx)
+        # dim pinned like Q88_SQL's 8-wide subspace slices (the q81/q88
+        # stance): both engines quantize the FIRST 64 dims whatever the
+        # corpus width, so the oracle replays cross-scale unchanged
+        similarity.ivfpq_build_index(
+            _t(spark, sf_dir, "embeddings"), idx, n_cells=n_cells, m=m, k=k, dim=64
+        )
+    return idx
+
+
+def q92_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined IVF-PQ ANN over a PERSISTED index (similarity.
+    ivfpq_build_index / ivfpq_probe_index): posting lists partitioned by
+    the deterministic Lloyd cell carry PQ CODE RANKS instead of vectors —
+    the IVFADC system layout of Jegou et al. 2011 (raw-vector PQ so the
+    oracle replays it), and the canonical billion-vector serving shape:
+    a probe ranks 16 stored coarse centroids, builds the ADC LUT from the
+    stored codebooks (two tiny driver jobs), and scans ONLY the 3 winning
+    cells' partitions at ~8 ints per vector with literal-LUT BIGINT
+    arithmetic — scan -> project -> TakeOrdered, zero joins (plan + probe
+    I/O asserted in tests/test_plans.py).  The oracle replays coarse
+    assignment + probe selection + PQ encode + LUT + scaled-int ADC sum
+    end-to-end from the base table, so a wrong cell, code, or LUT cell
+    fails the gate.  Fuses the q87 (IVF) and q88 (PQ) build-once stores
+    into the index every production vector DB actually serves from."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    idx = _ivfpq_index_dir(spark, sf_dir)
+    return similarity.ivfpq_probe_index(spark, idx, qv, 10, n_probe=3)
+
+
+Q92_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+c AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS cv FROM e
+      ORDER BY vec_id LIMIT 16),
+cd AS (
+  SELECT e.vec_id, c.cell,
+         round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM e, c
+),
+assign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+  FROM cd
+),
+probe AS (
+  SELECT c.cell FROM c, q
+  ORDER BY round(list_dot_product(c.cv, q.qv)
+                 / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+           c.cell ASC
+  LIMIT 3
+),
+subs AS (
+  SELECT e.vec_id, j.range AS subspace,
+         list_slice(e.v, j.range * 8 + 1, j.range * 8 + 8) AS sv
+  FROM e, range(8) j
+),
+cents AS (
+  SELECT e.vec_id AS code, j.range AS subspace,
+         list_transform(list_slice(e.v, j.range * 8 + 1, j.range * 8 + 8),
+                        x -> round(x, 6)) AS sc
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16) e, range(8) j
+),
+d AS (
+  SELECT s.vec_id, s.subspace, c.code,
+         round(list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.sc)
+               + list_dot_product(c.sc, c.sc), 6) AS d2
+  FROM subs s JOIN cents c ON s.subspace = c.subspace
+),
+a AS (
+  SELECT vec_id, subspace, code,
+         row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) AS rn
+  FROM d
+),
+qs AS (
+  SELECT j.range AS subspace, list_slice(q.qv, j.range * 8 + 1, j.range * 8 + 8) AS sv
+  FROM q, range(8) j
+),
+lut AS (
+  SELECT c.subspace, c.code,
+         CAST(round(round(list_dot_product(qs.sv, qs.sv)
+                          - 2.0 * list_dot_product(qs.sv, c.sc)
+                          + list_dot_product(c.sc, c.sc), 6) * 1000000.0, 0) AS BIGINT) AS sd2
+  FROM cents c JOIN qs ON qs.subspace = c.subspace
+),
+s AS (
+  SELECT a.vec_id, CAST(sum(l.sd2) AS BIGINT) AS ssum
+  FROM a
+  JOIN lut l ON l.subspace = a.subspace AND l.code = a.code
+  JOIN assign ON assign.vec_id = a.vec_id AND assign.rn = 1
+  WHERE a.rn = 1 AND assign.cell IN (SELECT cell FROM probe)
+  GROUP BY a.vec_id
+)
+SELECT vec_id, round(ssum / 1000000.0, 6) AS adist
+FROM s ORDER BY adist ASC, vec_id ASC LIMIT 10
+"""
+
+
 def q79_label_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label write-back composite (reference identity.py:165-199: calibrated
     probabilities bulk-created into a derived DB table, later re-read and
@@ -3595,6 +3710,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_ivf_ann": q80_ivf_ann,
     "q87_ivf_cell_census": q87_ivf_cell_census,
     "q88_pq_adc_topk": q88_pq_adc_topk,
+    "q92_ivfpq_ann": q92_ivfpq_ann,
     "q89_wav_decode_stats": q89_wav_decode_stats,
     "q90_avi_decode_stats": q90_avi_decode_stats,
     "q91_video_frame_sample": q91_video_frame_sample,
@@ -3754,6 +3870,7 @@ _ORACLES: dict[str, str] = {
     "q81_pq_codes": Q81_SQL,
     "q87_ivf_cell_census": Q87_SQL,
     "q88_pq_adc_topk": Q88_SQL,
+    "q92_ivfpq_ann": Q92_SQL,
     "q82_asof_forward": Q82_SQL,
     "q83_kmv_distinct": Q83_SQL,
     "q84_png_decode_stats": Q84_SQL,

@@ -658,6 +658,29 @@ def pq_build_store(
             "pq_assign_deterministic — no schema metadata carries array "
             "length; probe the parquet footer instead)"
         )
+    packed, cents = _pq_packed_codes(
+        df, m=m, k=k, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits, dim=dim,
+    )
+    packed.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    cents.select("subspace", "rk", "code", "sc").write.mode("overwrite").parquet(
+        os.path.join(path, "codebooks")
+    )
+
+
+def _pq_packed_codes(
+    df: DataFrame,
+    m: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+    dim: int,
+) -> tuple[DataFrame, DataFrame]:
+    """PQ encode shared by pq_build_store and ivfpq_build_index: returns
+    (packed, cents) where `packed` is (id, codes array<int>) — the m
+    per-subspace codebook RANKS in subspace order — and `cents` is the
+    m*k rank-based rounded codebook (subspace, rk, code, sc)."""
     sub = dim // m
     codes = pq_assign_deterministic(
         df, m=m, k=k, id_col=id_col, vec_col=vec_col,
@@ -711,10 +734,7 @@ def pq_build_store(
             ).alias("codes")
         )
     )
-    packed.write.mode("overwrite").parquet(os.path.join(path, "codes"))
-    cents.select("subspace", "rk", "code", "sc").write.mode("overwrite").parquet(
-        os.path.join(path, "codebooks")
-    )
+    return packed, cents
 
 
 def pq_probe_store(
@@ -742,10 +762,30 @@ def pq_probe_store(
 
     scale = 10 ** round_digits
     cb = spark.read.parquet(os.path.join(path, "codebooks"))
-    # geometry comes from the STORE, not the query vector: the store may
-    # quantize a fixed prefix of a wider corpus (the q81/q88 cross-scale
-    # stance), and a len(query_vec)-derived width would silently slice
-    # wrong. One driver action over the m*k-row codebook table.
+    lut_col = _adc_lut_literal(cb, query_vec, round_digits)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    ssum = F.aggregate(
+        F.zip_with(lut_col, F.col("codes"), lambda row, c: F.element_at(row, c + 1)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    adist = F.round(ssum / F.lit(float(scale)), round_digits)
+    return (
+        codes.select(F.col("id").alias(id_col), adist.alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+        .limit(k_top)
+    )
+
+
+def _adc_lut_literal(cb: DataFrame, query_vec: list[float], round_digits: int):
+    """Build the m x k ADC lookup table from a persisted codebooks table
+    (subspace, rk, sc) and embed it as a LITERAL nested array of scaled
+    BIGINTs — the shared probe step of pq_probe_store and
+    ivfpq_probe_index.  Geometry (m, sub) comes from the STORE, not the
+    query vector: the store may quantize a fixed prefix of a wider corpus
+    (the q81/q88 cross-scale stance), and a len(query_vec)-derived width
+    would silently slice wrong.  One driver action over m*k rows."""
+    scale = 10 ** round_digits
     mrow = cb.agg(F.max("subspace"), F.max(F.size("sc"))).collect()[0]
     m, sub = int(mrow[0]) + 1, int(mrow[1])
     qlits = [lit_vector([float(x) for x in query_vec[j * sub : (j + 1) * sub]]) for j in range(m)]
@@ -768,13 +808,121 @@ def pq_probe_store(
         (int(r["subspace"]), int(r["rk"])): int(r["sd2"]) for r in lut_rows
     }
     ks = max(rk for (_j, rk) in lut) + 1
-    lut_col = F.array(
+    return F.array(
         *[
             F.array(*[F.lit(lut[(j, r)]).cast("long") for r in range(ks)])
             for j in range(m)
         ]
     )
-    codes = spark.read.parquet(os.path.join(path, "codes"))
+
+
+def ivfpq_build_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    dim: int | None = None,
+) -> None:
+    """Persist the combined IVF-PQ index (Jegou, Douze, Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search" — the IVFADC
+    system layout, here with raw-vector PQ rather than residual PQ so the
+    codes stay engine-replayable): posting lists hold PQ CODES, not
+    vectors, PARTITIONED BY the IVF cell.  This is the canonical
+    billion-vector serving shape — a probe reads n_probe/n_cells of the
+    corpus (partition pruning) and scores it at ~dim*8/m bytes per vector
+    (code ranks vs raw doubles) with pure BIGINT LUT arithmetic; neither
+    the vector table nor any join appears on the probe path.
+
+    Writes three parquet tables under `path`:
+
+    - ``cells/``      (id, codes array<int>) PARTITIONED BY cell — the
+      deterministic Lloyd cell (ivf_build_index's assignment) carrying
+      pq_build_store's packed codebook ranks;
+    - ``centroids/``  (cell, cv) — the n_cells rank-based rounded coarse
+      centroids the probe ranks;
+    - ``codebooks/``  (subspace, rk, code, sc) — the m*k PQ sub-centroids
+      the probe builds its ADC LUT from.
+
+    Build cost: one Lloyd assignment + one PQ encode + one co-partitioned
+    join, paid once per corpus (the build/probe split of q87/q88, fused)."""
+    import os
+
+    if dim is None:
+        raise ValueError(
+            "ivfpq_build_index: dim is required (same fail-closed contract "
+            "as pq_build_store — probe the parquet footer instead)"
+        )
+    assigned = lloyd_assign(
+        df, k=n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+    ).withColumnRenamed("cluster", "cell")
+    packed, cents = _pq_packed_codes(
+        df, m=m, k=k, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits, dim=dim,
+    )
+    (
+        assigned.select(F.col(id_col).alias("id"), "cell")
+        .join(packed, "id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "cells"))
+    )
+    (
+        df.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell"),
+            F.transform(
+                F.col(vec_col).cast("array<double>"), lambda x: F.round(x, round_digits)
+            ).alias("cv"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "centroids"))
+    )
+    cents.select("subspace", "rk", "code", "sc").write.mode("overwrite").parquet(
+        os.path.join(path, "codebooks")
+    )
+
+
+def ivfpq_probe_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k_top: int,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Probe an `ivfpq_build_index` index: rank the persisted coarse
+    centroids by rounded query-cosine (ties to the smaller cell — one
+    driver action over n_cells rows), build the ADC LUT from the persisted
+    codebooks (one driver action over m*k rows), then scan ONLY the
+    n_probe winning cells' partitions scoring each code row with the
+    literal-LUT BIGINT sum — scan -> project -> TakeOrdered, zero joins,
+    I/O = n_probe/n_cells of the CODES (not vectors).  Output:
+    (id_col, adist), ascending approximate distance, ties to smaller id."""
+    import os
+
+    scale = 10 ** round_digits
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    qlit = lit_vector(query_vec)
+    probe_rows = (
+        cents.select(
+            "cell", F.round(cosine(F.col("cv"), qlit), round_digits).alias("__sim")
+        )
+        .orderBy(F.col("__sim").desc(), F.col("cell").asc())
+        .limit(n_probe)
+        .collect()
+    )
+    probe = [int(r["cell"]) for r in probe_rows]
+    cb = spark.read.parquet(os.path.join(path, "codebooks"))
+    lut_col = _adc_lut_literal(cb, query_vec, round_digits)
+    codes = spark.read.parquet(os.path.join(path, "cells")).where(
+        F.col("cell").isin(probe)
+    )
     ssum = F.aggregate(
         F.zip_with(lut_col, F.col("codes"), lambda row, c: F.element_at(row, c + 1)),
         F.lit(0).cast("long"),

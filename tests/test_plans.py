@@ -311,3 +311,62 @@ def test_broadcast_budget_follows_session_heap(spark):
     # a ~2x-heap relation pair must NOT pass the two-sided cutoff rule
     est = heap  # one side alone fills the heap
     assert not (2 * est <= budget)
+
+
+def test_q92_ivfpq_probe_is_pruned_joinless_scan(spark):
+    """The combined IVF-PQ probe: cells scan partition-pruned on `cell`,
+    LUT a literal (no join anywhere), ≤1 shuffle (the TakeOrdered)."""
+    df = m.queries()["q92_ivfpq_ann"](spark, SF)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert count_shuffles(df) <= 1
+
+
+def test_ivfpq_probe_matches_composed_ivf_plus_pq(spark, tmp_path):
+    """IVF-PQ probe == (PQ store ADC scores) restricted to ids whose
+    deterministic Lloyd cell is among the probed cells — the fused index
+    must agree bit-for-bit with its two components composed by hand."""
+    from pyspark.sql import functions as F
+
+    from esper_tv_spark.operators.similarity import (
+        cosine,
+        ivfpq_build_index,
+        ivfpq_probe_index,
+        lit_vector,
+        lloyd_assign,
+        pq_build_store,
+        pq_probe_store,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_build_index(emb, idx, n_cells=16, m=8, k=16, dim=64)
+    got = [tuple(r) for r in ivfpq_probe_index(spark, idx, q, 10, n_probe=3).collect()]
+
+    # composed replay: probe cells from the inline assignment, ADC from a
+    # plain PQ store over the same corpus
+    cents16 = (
+        emb.orderBy("vec_id").limit(16)
+        .select(F.col("vec_id").alias("cell"),
+                F.transform(F.col("embedding").cast("array<double>"),
+                            lambda x: F.round(x, 6)).alias("cv"))
+    )
+    probe = [
+        int(r["cell"])
+        for r in cents16.select(
+            "cell", F.round(cosine(F.col("cv"), lit_vector(q)), 6).alias("s")
+        ).orderBy(F.col("s").desc(), F.col("cell").asc()).limit(3).collect()
+    ]
+    keep = {
+        int(r["vec_id"])
+        for r in lloyd_assign(emb, k=16).where(F.col("cluster").isin(probe)).collect()
+    }
+    store = str(tmp_path / "pq")
+    pq_build_store(emb, store, m=8, k=16, dim=64)
+    all_scores = pq_probe_store(spark, store, q, 10_000_000).collect()
+    want = [
+        (r["vec_id"], r["adist"]) for r in all_scores if int(r["vec_id"]) in keep
+    ][:10]
+    assert got == want
