@@ -817,6 +817,50 @@ WHERE l.doc_id < r.doc_id
 """
 
 
+def q93_minhash_cw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carter-Wegman MinHash + LSH candidate pairs (dedup.
+    minhash_from_sets_cw): ONE md5 per shingle split into two 64-bit
+    halves, hash function i = (h1 + i*h2) mod 2^64 (Wegman & Carter 1981)
+    — 8x fewer digests in the map stage than q28's md5-per-function
+    signature, the variant a 100 TB run would use.  Same banding (4x2)
+    and bucket-join pair generation; the oracle replays the DECIMAL/
+    HUGEINT combine exactly, so a single drifted hash value fails the
+    gate."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(docs, n_hashes=8, shingle_n=3, n_bands=4, cw=True)
+
+
+_CW_H1 = "CAST(('0x' || substr(md5(ngram), 1, 16))::UBIGINT AS HUGEINT)"
+_CW_H2 = "CAST(('0x' || substr(md5(ngram), 17, 16))::UBIGINT AS HUGEINT)"
+_CW_AGGS = ",\n         ".join(
+    f"CAST(min(({_CW_H1} + {i} * {_CW_H2}) % CAST('18446744073709551616' AS HUGEINT))"
+    f" AS VARCHAR) AS mh_{i}"
+    for i in range(8)
+)
+_CW_BAND_SELECTS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band, md5(mh_{2 * j} || '|' || mh_{2 * j + 1}) AS bucket FROM sig"
+    for j in range(4)
+)
+Q93_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, greatest(len(t) - 3, -1) + 1),
+                               i -> array_to_string(t[i+1:i+3], ' '))) AS ngram
+  FROM toks WHERE len(t) >= 3
+), sig AS (
+  SELECT doc_id, {_CW_AGGS}
+  FROM sh GROUP BY doc_id
+), buckets AS (
+  {_CW_BAND_SELECTS}
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket
+WHERE l.doc_id < r.doc_id
+"""
+
+
 def q29_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document over the token multiset — relational
     (explode bit positions), no UDF."""
@@ -3696,6 +3740,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_near_dup_embeddings": q51_near_dup_embeddings,
     "q37_jaccard_verify": q37_jaccard_verify,
     "q28_minhash_lsh_pairs": q28_minhash_lsh_pairs,
+    "q93_minhash_cw_pairs": q93_minhash_cw_pairs,
     "q29_simhash": q29_simhash,
     "q32_label_centroids": q32_label_centroids,
     "q33_embedding_norms": q33_embedding_norms,
@@ -3815,6 +3860,7 @@ _ORACLES: dict[str, str] = {
     "q26_language_id": Q26_SQL,
     "q27_doc_fingerprints": Q27_SQL,
     "q28_minhash_lsh_pairs": Q28_SQL,
+    "q93_minhash_cw_pairs": Q93_SQL,
     "q29_simhash": Q29_SQL,
     "q30_source_token_stats": Q30_SQL,
     "q31_knn": Q31_SQL,

@@ -472,3 +472,34 @@ def test_semantic_dedup_fast_pairs_matches_exact(spark):
             ).collect()
         )
         assert exact == fast and any(r[2] for r in exact), br
+
+
+def test_minhash_cw_matches_python_reference(spark):
+    """Carter-Wegman signature: Spark's DECIMAL combine == a plain Python
+    (h1 + i*h2) mod 2^64 replay, and the LSH pipeline accepts cw sigs."""
+    import hashlib
+
+    from esper_tv_spark.operators import dedup
+
+    texts = [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "pack my box with five dozen liquor jugs ok")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    sig = dedup.minhash_signature(docs, n_hashes=8, shingle_n=3, cw=True).collect()
+    got = {r["doc_id"]: [int(r[f"mh_{i}"]) for i in range(8)] for r in sig}
+    for d, t in texts:
+        toks = [x for x in t.split(" ") if x]
+        sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        for i in range(8):
+            want = min(
+                (int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+                 + i * int(hashlib.md5(s.encode()).hexdigest()[16:], 16)) % 2**64
+                for s in sh)
+            assert got[d][i] == want
+    # identical docs still collide through the cw pipeline
+    dup = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),
+         (11, "alpha beta gamma delta epsilon zeta"),
+         (12, "totally different words here entirely now")],
+        "doc_id long, text string")
+    pairs = dedup.lsh_candidate_pairs(dup, n_hashes=8, shingle_n=3, n_bands=4, cw=True)
+    assert [(r["id_a"], r["id_b"]) for r in pairs.collect()] == [(10, 11)]
