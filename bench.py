@@ -58,10 +58,14 @@ HEADLINE = [
     # round-5 addition: SemDeDup (cluster-blocked semantic dedup)
     "q85_semantic_dedup",
     # round-6 additions: the persisted-store probe paths (IVF census +
-    # joinless PQ ADC) and the audio decode stage
+    # joinless PQ ADC), the audio + video decode stages, the fused IVF-PQ
+    # probe, and the Carter-Wegman minhash variant (vs q28's classic)
     "q87_ivf_cell_census",
     "q88_pq_adc_topk",
     "q89_wav_decode_stats",
+    "q90_avi_decode_stats",
+    "q92_ivfpq_ann",
+    "q93_minhash_cw_pairs",
 ]
 
 # run once each at the 10x rehearsal scale (see tools/make_scale.py)
