@@ -777,6 +777,65 @@ def pq_probe_store(
     )
 
 
+def pq_encode_with_codebooks(
+    df: DataFrame,
+    cb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Encode vectors against a FROZEN persisted codebook table
+    (subspace, rk, code, sc) — the streaming-insert twin of
+    _pq_packed_codes: geometry (m, sub) comes from the codebooks (one
+    driver action over m*k rows), the argmin is the same packed
+    map-side min_by as pq_assign_deterministic (rounded d2, ties to the
+    smaller centroid id via the dense rank), so encoding a tail of the
+    corpus against the stored codebooks is bit-identical to rebuilding
+    over the union (the stored codebook is rank-based from the k
+    smallest ids, which a base build already contains).
+
+    Output: (id, codes array<int>) — packed codebook ranks in subspace
+    order, the cells/ row shape of ivfpq_build_index."""
+    mrow = cb.agg(F.max("subspace"), F.max(F.size("sc"))).collect()[0]
+    m, sub = int(mrow[0]) + 1, int(mrow[1])
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    subs = vecs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        F.slice(F.col("__v"), j * sub + 1, sub).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("__s"),
+    ).select(id_col, F.col("__s.subspace").alias("subspace"), F.col("__s.sv").alias("sv"))
+    subs = subs.withColumn("__ss", dot(F.col("sv"), F.col("sv")))
+    cents = cb.select(
+        "subspace", F.col("rk").alias("__rk"), "sc"
+    ).withColumn("__cc", dot(F.col("sc"), F.col("sc")))
+    d2 = F.round(
+        F.col("__ss") - F.lit(2.0) * dot(F.col("sv"), F.col("sc")) + F.col("__cc"),
+        round_digits,
+    )
+    packed = _packed_argmin_key(d2, round_digits)
+    scored = subs.join(F.broadcast(cents), "subspace").select(
+        id_col, "subspace", "__rk", (packed + F.col("__rk")).alias("__pk")
+    )
+    ranks = scored.groupBy(id_col, "subspace").agg(
+        F.min_by(F.col("__rk"), F.col("__pk")).alias("rk")
+    )
+    return ranks.groupBy(F.col(id_col).alias("id")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "rk"))),
+            lambda s: s["rk"].cast("int"),
+        ).alias("codes")
+    )
+
+
 def _adc_lut_literal(cb: DataFrame, query_vec: list[float], round_digits: int):
     """Build the m x k ADC lookup table from a persisted codebooks table
     (subspace, rk, sc) and embed it as a LITERAL nested array of scaled

@@ -103,6 +103,55 @@ def ivf_stream_insert(
     )
 
 
+def ivfpq_stream_insert(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+):
+    """Incremental maintenance for the FUSED IVF-PQ index
+    (similarity.ivfpq_build_index): per micro-batch, assign the coarse
+    cell against the stored frozen centroids AND encode the PQ code ranks
+    against the stored frozen codebooks, then append (id, codes) posting
+    rows PARTITIONED BY cell.  Both the coarse centroids and the
+    codebooks are rank-based from the k smallest-id vectors, so as long
+    as the base build contains that init set, stream-inserting a tail is
+    bit-identical to rebuilding over the union (the stream==batch test).
+    At 100 TB the insert path touches only the micro-batch: two tiny
+    broadcast joins (n_cells centroids, m*k codebooks), one partitioned
+    append — never a read of the existing posting lists."""
+    from esper_tv_spark.operators.similarity import pq_encode_with_codebooks
+
+    def insert(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        cents = _stored_centroids(spark, index_path)
+        cb = spark.read.parquet(os.path.join(index_path, "codebooks"))
+        assigned = lloyd_assign(
+            batch_df, centroids=cents, id_col=id_col, vec_col=vec_col,
+            round_digits=round_digits,
+        ).withColumnRenamed("cluster", "cell")
+        codes = pq_encode_with_codebooks(
+            batch_df, cb, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+        )
+        (
+            assigned.select(F.col(id_col).alias("id"), "cell")
+            .join(codes, "id")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(os.path.join(index_path, "cells"))
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(insert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def ivf_recenter(
     spark: SparkSession, index_path: str, round_digits: int = 6
 ) -> None:
