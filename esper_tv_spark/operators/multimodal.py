@@ -660,8 +660,15 @@ def embed_assets(assets: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
 
 def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
     """Video -> sampled frame rows (asset_id, frame_no). The explode stays
-    JVM-side (sequence); only actual pixel decode would hit Python."""
-    n_frames = F.coalesce(F.col("meta.width"), F.lit(0)) * F.lit(8)  # stub frame count
+    JVM-side (sequence); only actual pixel decode would hit Python.
+    Uses the real `meta.n_frames` when the asset table carries one (AVI
+    assets do); image-style metadata falls back to the width-derived
+    stub count."""
+    fields = videos.schema["meta"].dataType.fieldNames()
+    if "n_frames" in fields:
+        n_frames = F.coalesce(F.col("meta.n_frames"), F.lit(0))
+    else:
+        n_frames = F.coalesce(F.col("meta.width"), F.lit(0)) * F.lit(8)  # stub frame count
     return videos.select(
         "asset_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_no"),

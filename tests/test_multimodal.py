@@ -468,3 +468,12 @@ def test_video_frame_stride_sampling(spark):
             assert r["mean_luma"] == full[(r["asset_id"], 0)]
     want = sum(len(range(0, 1 + (a * 3) % 4, 2)) for a in range(9))
     assert len(rows) == want
+
+
+def test_frame_sample_uses_real_n_frames_for_avi(spark):
+    assets = mm.make_avi_asset_table(spark, n=8)
+    rows = mm.frame_sample(assets, every_n=2).collect()
+    want = sum(len(range(0, 1 + (a * 3) % 4, 2)) for a in range(8))
+    assert len(rows) == want
+    for r in rows:
+        assert r["frame_no"] % 2 == 0
