@@ -686,40 +686,7 @@ def _pq_packed_codes(
         df, m=m, k=k, id_col=id_col, vec_col=vec_col,
         round_digits=round_digits, dim=dim,
     )
-    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
-    cents = (
-        vecs.orderBy(F.col(id_col).asc())
-        .limit(k)
-        .select(
-            F.col(id_col).alias("code"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("subspace"),
-                            F.transform(
-                                F.slice(F.col("__v"), j * sub + 1, sub),
-                                lambda x: F.round(x, round_digits),
-                            ).alias("sc"),
-                        )
-                        for j in range(m)
-                    ]
-                )
-            ).alias("__c"),
-        )
-        .select(
-            F.col("__c.subspace").alias("subspace"),
-            "code",
-            F.col("__c.sc").alias("sc"),
-        )
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("subspace").orderBy(F.col("code").asc())
-            )
-            - F.lit(1),
-        )
-    )
+    cents = _rank_codebooks(df, m, sub, k, id_col, vec_col, round_digits)
     # code (= centroid vec_id) -> dense rank, broadcast m*k rows; pack the
     # m ranks per vector in subspace order (array_sort on the struct is
     # deterministic: subspace is the leading field)
@@ -774,6 +741,55 @@ def pq_probe_store(
         codes.select(F.col("id").alias(id_col), adist.alias("adist"))
         .orderBy(F.col("adist").asc(), F.col(id_col).asc())
         .limit(k_top)
+    )
+
+
+def _rank_codebooks(
+    df: DataFrame,
+    m: int,
+    sub: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """The m*k rank-based rounded sub-centroid codebook (subspace, rk,
+    code, sc): subspace slices of `df`'s k smallest-id vectors — shared
+    by the PQ store, the IVF-PQ raw build, and the residual build (which
+    feeds it residual vectors with the coarse-centroid ids excluded)."""
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cbv"))
+    return (
+        vecs.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col).alias("code"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("subspace"),
+                            F.transform(
+                                F.slice(F.col("__cbv"), j * sub + 1, sub),
+                                lambda x: F.round(x, round_digits),
+                            ).alias("sc"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("__c"),
+        )
+        .select(
+            F.col("__c.subspace").alias("subspace"),
+            "code",
+            F.col("__c.sc").alias("sc"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("subspace").orderBy(F.col("code").asc())
+            )
+            - F.lit(1),
+        )
     )
 
 
@@ -885,6 +901,8 @@ def ivfpq_build_index(
     vec_col: str = "embedding",
     round_digits: int = 6,
     dim: int | None = None,
+    by_residual: bool = False,
+    coarse_centroids: DataFrame | None = None,
 ) -> None:
     """Persist the combined IVF-PQ index (Jegou, Douze, Schmid 2011,
     "Product Quantization for Nearest Neighbor Search" — the IVFADC
@@ -907,7 +925,32 @@ def ivfpq_build_index(
       the probe builds its ADC LUT from.
 
     Build cost: one Lloyd assignment + one PQ encode + one co-partitioned
-    join, paid once per corpus (the build/probe split of q87/q88, fused)."""
+    join, paid once per corpus (the build/probe split of q87/q88, fused).
+
+    `by_residual=True` is the FAISS-default IVFADC refinement: the PQ
+    quantizes the RESIDUAL r = v - centroid[cell] instead of the raw
+    vector, so the codebook budget spends its resolution on the part of
+    the vector the coarse quantizer didn't already explain.  Measured on
+    the sf0.001 fixture with trained (KMeans) coarse centroids: mean
+    reconstruction distortion 0.752 -> 0.672 (-11%, the distortion gate
+    in tests/test_similarity.py); top-10 recall itself is a wash there —
+    the fixture's embeddings are isotropic Gaussians with no cluster
+    structure for the coarse quantizer to strip.  On clustered real
+    corpora the distortion gap is what turns into recall.  The probe
+    builds one ADC LUT PER PROBED CELL (the query residual differs per
+    cell) — still literal arithmetic, n_probe * m * k longs keyed by a
+    map literal on `cell`.  Everything stays deterministic (residuals of
+    rounded centroids, rank-based residual codebooks), just not
+    SQL-oracle'd — the raw variant remains the contract path (q92).
+
+    `coarse_centroids` (cell, cv) swaps the rank-based coarse quantizer
+    for a TRAINED one (e.g. ivf_fit's KMeans centers).  Residual PQ only
+    pays off with trained centroids — against arbitrary rank-based ones
+    the residuals are no smaller than the vectors and the refinement is
+    a wash (measured in tests/test_similarity.py); with KMeans cells the
+    residual norms shrink and the same codebook budget buys visibly
+    higher recall."""
+    import json
     import os
 
     if dim is None:
@@ -915,13 +958,66 @@ def ivfpq_build_index(
             "ivfpq_build_index: dim is required (same fail-closed contract "
             "as pq_build_store — probe the parquet footer instead)"
         )
-    assigned = lloyd_assign(
-        df, k=n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
-    ).withColumnRenamed("cluster", "cell")
-    packed, cents = _pq_packed_codes(
-        df, m=m, k=k, id_col=id_col, vec_col=vec_col,
-        round_digits=round_digits, dim=dim,
-    )
+    if coarse_centroids is not None:
+        cents_coarse = coarse_centroids.select(
+            F.col("cell").cast("long").alias("cell"),
+            F.transform(
+                F.col("cv").cast("array<double>"), lambda x: F.round(x, round_digits)
+            ).alias("cv"),
+        )
+        assigned = lloyd_assign(
+            df,
+            centroids=cents_coarse.select(
+                F.col("cell").alias("cluster"), F.col("cv").alias("cvec")
+            ),
+            id_col=id_col,
+            vec_col=vec_col,
+            round_digits=round_digits,
+        ).withColumnRenamed("cluster", "cell")
+    else:
+        assigned = lloyd_assign(
+            df, k=n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+        ).withColumnRenamed("cluster", "cell")
+        cents_coarse = (
+            df.orderBy(F.col(id_col).asc())
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("cell"),
+                F.transform(
+                    F.col(vec_col).cast("array<double>"), lambda x: F.round(x, round_digits)
+                ).alias("cv"),
+            )
+        )
+    if by_residual:
+        enc_in = (
+            df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+            .join(assigned.select(id_col, "cell"), id_col)
+            .join(F.broadcast(cents_coarse), "cell")
+            .select(
+                id_col,
+                F.zip_with(F.col("__v"), F.col("cv"), lambda x, y: x - y).alias("__rv"),
+            )
+        )
+        # codebook source EXCLUDES the coarse-centroid ids: the n_cells
+        # smallest ids ARE the centroids, so their residuals are ~0 and a
+        # rank-based codebook built from them would be degenerate — the
+        # k smallest NON-centroid ids' residuals carry real structure
+        non_cent = enc_in.join(
+            F.broadcast(cents_coarse.select(F.col("cell").alias(id_col))),
+            id_col,
+            "left_anti",
+        )
+        cents = _rank_codebooks(
+            non_cent, m, dim // m, k, id_col, "__rv", round_digits
+        )
+        packed = pq_encode_with_codebooks(
+            enc_in, cents, id_col=id_col, vec_col="__rv", round_digits=round_digits
+        )
+    else:
+        packed, cents = _pq_packed_codes(
+            df, m=m, k=k, id_col=id_col, vec_col=vec_col,
+            round_digits=round_digits, dim=dim,
+        )
     (
         assigned.select(F.col(id_col).alias("id"), "cell")
         .join(packed, "id")
@@ -929,21 +1025,12 @@ def ivfpq_build_index(
         .partitionBy("cell")
         .parquet(os.path.join(path, "cells"))
     )
-    (
-        df.orderBy(F.col(id_col).asc())
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("cell"),
-            F.transform(
-                F.col(vec_col).cast("array<double>"), lambda x: F.round(x, round_digits)
-            ).alias("cv"),
-        )
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "centroids"))
-    )
+    cents_coarse.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     cents.select("subspace", "rk", "code", "sc").write.mode("overwrite").parquet(
         os.path.join(path, "codebooks")
     )
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"by_residual": by_residual, "m": m, "k": k, "dim": dim}, f)
 
 
 def ivfpq_probe_index(
@@ -962,15 +1049,29 @@ def ivfpq_probe_index(
     n_probe winning cells' partitions scoring each code row with the
     literal-LUT BIGINT sum — scan -> project -> TakeOrdered, zero joins,
     I/O = n_probe/n_cells of the CODES (not vectors).  Output:
-    (id_col, adist), ascending approximate distance, ties to smaller id."""
+    (id_col, adist), ascending approximate distance, ties to smaller id.
+
+    A `by_residual` index (see ivfpq_build_index) is detected from the
+    stored meta.json: the probe then builds one LUT PER PROBED CELL from
+    the query residual q - centroid[cell] and selects the row's LUT via
+    a map literal keyed on `cell` — still zero joins, n_probe * m * k
+    literal longs."""
+    import json
     import os
 
     scale = 10 ** round_digits
+    by_residual = False
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            by_residual = bool(json.load(f).get("by_residual", False))
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     qlit = lit_vector(query_vec)
     probe_rows = (
         cents.select(
-            "cell", F.round(cosine(F.col("cv"), qlit), round_digits).alias("__sim")
+            "cell",
+            "cv",
+            F.round(cosine(F.col("cv"), qlit), round_digits).alias("__sim"),
         )
         .orderBy(F.col("__sim").desc(), F.col("cell").asc())
         .limit(n_probe)
@@ -978,7 +1079,21 @@ def ivfpq_probe_index(
     )
     probe = [int(r["cell"]) for r in probe_rows]
     cb = spark.read.parquet(os.path.join(path, "codebooks"))
-    lut_col = _adc_lut_literal(cb, query_vec, round_digits)
+    if by_residual:
+        luts = [
+            _adc_lut_literal(
+                cb,
+                [float(q) - float(c) for q, c in zip(query_vec, r["cv"])],
+                round_digits,
+            )
+            for r in probe_rows
+        ]
+        cell_lut = F.map_from_arrays(
+            F.array(*[F.lit(c).cast("long") for c in probe]), F.array(*luts)
+        )
+        lut_col = F.element_at(cell_lut, F.col("cell").cast("long"))
+    else:
+        lut_col = _adc_lut_literal(cb, query_vec, round_digits)
     codes = spark.read.parquet(os.path.join(path, "cells")).where(
         F.col("cell").isin(probe)
     )

@@ -127,16 +127,46 @@ def ivfpq_stream_insert(
     def insert(batch_df: DataFrame, _batch_id: int) -> None:
         if not batch_df.take(1):
             return
+        import json
+
         spark = batch_df.sparkSession
+        by_residual = False
+        meta_path = os.path.join(index_path, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                by_residual = bool(json.load(f).get("by_residual", False))
         cents = _stored_centroids(spark, index_path)
         cb = spark.read.parquet(os.path.join(index_path, "codebooks"))
         assigned = lloyd_assign(
             batch_df, centroids=cents, id_col=id_col, vec_col=vec_col,
             round_digits=round_digits,
         ).withColumnRenamed("cluster", "cell")
-        codes = pq_encode_with_codebooks(
-            batch_df, cb, id_col=id_col, vec_col=vec_col, round_digits=round_digits
-        )
+        if by_residual:
+            enc_in = (
+                batch_df.select(
+                    F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+                )
+                .join(assigned.select(id_col, "cell"), id_col)
+                .join(
+                    F.broadcast(
+                        cents.select(
+                            F.col("cluster").alias("cell"), F.col("cvec").alias("cv")
+                        )
+                    ),
+                    "cell",
+                )
+                .select(
+                    id_col,
+                    F.zip_with(F.col("__v"), F.col("cv"), lambda x, y: x - y).alias("__rv"),
+                )
+            )
+            codes = pq_encode_with_codebooks(
+                enc_in, cb, id_col=id_col, vec_col="__rv", round_digits=round_digits
+            )
+        else:
+            codes = pq_encode_with_codebooks(
+                batch_df, cb, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+            )
         (
             assigned.select(F.col(id_col).alias("id"), "cell")
             .join(codes, "id")
