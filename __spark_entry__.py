@@ -2760,7 +2760,10 @@ def _ivfpq_index_dir(
     idx = os.path.join(
         tempfile.gettempdir(), f"esper_tv_ivfpq_idx_{sf_tag}_{tag}_c{n_cells}m{m}k{k}"
     )
-    if not os.path.exists(os.path.join(idx, "codebooks", "_SUCCESS")):
+    if not (
+        os.path.exists(os.path.join(idx, "codebooks", "_SUCCESS"))
+        and os.path.exists(os.path.join(idx, "meta.json"))
+    ):
         _evict_stale_siblings(f"esper_tv_ivfpq_idx_{sf_tag}_", keep=idx)
         # dim pinned like Q88_SQL's 8-wide subspace slices (the q81/q88
         # stance): both engines quantize the FIRST 64 dims whatever the

@@ -641,9 +641,27 @@ def near_dup_pairs_from_index(
     from esper_tv_spark.plans.partitions import broadcast_budget_bytes
 
     est_bytes = _estimated_vector_bytes(df, os.path.join(path, "norms"))
-    if (
-        est_bytes is not None
-        and est_bytes <= 6 * 1024 * 1024 * 1024
+    if est_bytes is None:
+        # distinguish WHY the estimate failed: a table with no backing
+        # files is driver-created (createDataFrame) and therefore small —
+        # broadcast, as this path always did before the cutoff existed.  A
+        # file-backed table whose footers we cannot read (remote FS, odd
+        # layout) gets the conservative shuffle join — but say so, because
+        # the plan cliff is ~3 orders of magnitude on the pair stream.
+        if not df.inputFiles():
+            an, bn = F.broadcast(an), F.broadcast(bn)
+        else:
+            import warnings
+
+            warnings.warn(
+                "near_dup_pairs_from_index: could not estimate the vector "
+                "table size from parquet footers; falling back to a shuffle "
+                "join for the pair attach. If the table fits executor "
+                "memory, broadcast it by making the footers readable.",
+                stacklevel=2,
+            )
+    elif (
+        est_bytes <= 6 * 1024 * 1024 * 1024
         and 2 * est_bytes <= broadcast_budget_bytes(spark)
     ):
         an, bn = F.broadcast(an), F.broadcast(bn)
@@ -1034,8 +1052,12 @@ def _semantic_dedup_pairs_blas(
             }
         )
 
+    # the id column keeps ITS OWN type through the kernel (the expression
+    # path never casts it either): a hardcoded `long` would crash or
+    # miscast string/int ids the moment fast_pairs routes them here
+    id_type = sided.schema[id_col].dataType.simpleString()
     cells = tagged.groupBy("cluster", "__bx", "__by").applyInPandas(
-        score_cell, schema="__id long, cluster long, __dup boolean"
+        score_cell, schema=f"__id {id_type}, cluster long, __dup boolean"
     )
     return cells.groupBy(F.col("__id").alias(id_col), "cluster").agg(
         F.max("__dup").alias("is_dup")

@@ -750,6 +750,14 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
                 raise DecoderNotAvailable(
                     "unsupported WAV encoding (format=%d bits=%d)" % (audio_format, bits)
                 )
+            if channels < 1 or rate < 1:
+                # a zero would crash the frame-divisibility check /
+                # duration math far from here — same contract: malformed
+                # payloads raise DecoderNotAvailable, never a bare
+                # ZeroDivisionError that kills the whole decode stage
+                raise DecoderNotAvailable(
+                    "degenerate fmt chunk (channels=%d rate=%d)" % (channels, rate)
+                )
         elif cid == b"data":
             data = payload[body_at : body_at + clen]
         pos = body_at + clen + (clen & 1)  # chunks are word-aligned

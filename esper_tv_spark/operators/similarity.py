@@ -418,6 +418,46 @@ def ivf_topk_deterministic(
     return cosine_topk(cand, query_vec, k, id_col, vec_col, round_digits)
 
 
+def _rank_coarse_centroids(
+    df: DataFrame, n_cells: int, id_col: str, vec_col: str, round_digits: int
+) -> DataFrame:
+    """The deterministic rank-based coarse centroid table (cell, cv): the
+    n_cells smallest-id vectors, elementwise rounded — shared by
+    ivf_build_index and ivfpq_build_index (lloyd_assign's init set)."""
+    return (
+        df.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell"),
+            F.transform(
+                F.col(vec_col).cast("array<double>"), lambda x: F.round(x, round_digits)
+            ).alias("cv"),
+        )
+    )
+
+
+def residual_vectors(
+    df: DataFrame,
+    assigned: DataFrame,
+    cents_coarse: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, __rv = v - centroid[cell]) for every row — the IVFADC residual
+    derivation, shared by ivfpq_build_index and the streaming insert so
+    the two paths cannot drift (stream==batch bit-identity depends on
+    it).  `assigned` is (id_col, cell); `cents_coarse` is (cell, cv)."""
+    return (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+        .join(assigned.select(id_col, "cell"), id_col)
+        .join(F.broadcast(cents_coarse), "cell")
+        .select(
+            id_col,
+            F.zip_with(F.col("__v"), F.col("cv"), lambda x, y: x - y).alias("__rv"),
+        )
+    )
+
+
 def ivf_build_index(
     df: DataFrame,
     path: str,
@@ -464,14 +504,7 @@ def ivf_build_index(
         .parquet(os.path.join(path, "cells"))
     )
     (
-        df.orderBy(F.col(id_col).asc())
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("cell"),
-            F.transform(
-                F.col(vec_col).cast("array<double>"), lambda x: F.round(x, round_digits)
-            ).alias("cv"),
-        )
+        _rank_coarse_centroids(df, n_cells, id_col, vec_col, round_digits)
         .write.mode("overwrite")
         .parquet(os.path.join(path, "centroids"))
     )
@@ -852,43 +885,60 @@ def pq_encode_with_codebooks(
     )
 
 
-def _adc_lut_literal(cb: DataFrame, query_vec: list[float], round_digits: int):
-    """Build the m x k ADC lookup table from a persisted codebooks table
-    (subspace, rk, sc) and embed it as a LITERAL nested array of scaled
-    BIGINTs — the shared probe step of pq_probe_store and
-    ivfpq_probe_index.  Geometry (m, sub) comes from the STORE, not the
-    query vector: the store may quantize a fixed prefix of a wider corpus
-    (the q81/q88 cross-scale stance), and a len(query_vec)-derived width
-    would silently slice wrong.  One driver action over m*k rows."""
+def _adc_lut_literals(
+    cb: DataFrame, query_vecs: list[list[float]], round_digits: int
+) -> list:
+    """Build the m x k ADC lookup tables for SEVERAL query vectors from a
+    persisted codebooks table (subspace, rk, sc) in ONE driver action —
+    one projection carrying one scaled-d2 column per query, one collect
+    over m*k rows (the residual probe needs n_probe LUTs: per-query
+    collects would re-scan the same tiny table n_probe times).  Geometry
+    (m, sub) comes from the STORE, not the query vector: the store may
+    quantize a fixed prefix of a wider corpus (the q81/q88 cross-scale
+    stance), and a len-derived width would silently slice wrong.  The d2
+    arithmetic stays in SPARK expressions (same F.round semantics the
+    oracles replay).  Returns one literal nested-array Column per query."""
     scale = 10 ** round_digits
     mrow = cb.agg(F.max("subspace"), F.max(F.size("sc"))).collect()[0]
     m, sub = int(mrow[0]) + 1, int(mrow[1])
-    qlits = [lit_vector([float(x) for x in query_vec[j * sub : (j + 1) * sub]]) for j in range(m)]
-    qsel = F.array(*qlits)
-    d2 = F.round(
-        dot(F.element_at(qsel, F.col("subspace") + 1), F.element_at(qsel, F.col("subspace") + 1))
-        - F.lit(2.0) * dot(F.element_at(qsel, F.col("subspace") + 1), F.col("sc"))
-        + dot(F.col("sc"), F.col("sc")),
-        round_digits,
-    )
-    lut_rows = (
-        cb.select(
-            "subspace",
-            "rk",
-            F.round(d2 * F.lit(float(scale)), 0).cast("long").alias("sd2"),
-        )
-        .collect()
-    )
-    lut: dict[tuple[int, int], int] = {
-        (int(r["subspace"]), int(r["rk"])): int(r["sd2"]) for r in lut_rows
-    }
-    ks = max(rk for (_j, rk) in lut) + 1
-    return F.array(
-        *[
-            F.array(*[F.lit(lut[(j, r)]).cast("long") for r in range(ks)])
+    cols = []
+    for qi, query_vec in enumerate(query_vecs):
+        qlits = [
+            lit_vector([float(x) for x in query_vec[j * sub : (j + 1) * sub]])
             for j in range(m)
         ]
-    )
+        qsel = F.array(*qlits)
+        qsub = F.element_at(qsel, F.col("subspace") + 1)
+        d2 = F.round(
+            dot(qsub, qsub)
+            - F.lit(2.0) * dot(qsub, F.col("sc"))
+            + dot(F.col("sc"), F.col("sc")),
+            round_digits,
+        )
+        cols.append(
+            F.round(d2 * F.lit(float(scale)), 0).cast("long").alias(f"sd2_{qi}")
+        )
+    lut_rows = cb.select("subspace", "rk", *cols).collect()
+    out = []
+    for qi in range(len(query_vecs)):
+        lut: dict[tuple[int, int], int] = {
+            (int(r["subspace"]), int(r["rk"])): int(r[f"sd2_{qi}"]) for r in lut_rows
+        }
+        ks = max(rk for (_j, rk) in lut) + 1
+        out.append(
+            F.array(
+                *[
+                    F.array(*[F.lit(lut[(j, r)]).cast("long") for r in range(ks)])
+                    for j in range(m)
+                ]
+            )
+        )
+    return out
+
+
+def _adc_lut_literal(cb: DataFrame, query_vec: list[float], round_digits: int):
+    """Single-query ADC LUT — see _adc_lut_literals."""
+    return _adc_lut_literals(cb, [query_vec], round_digits)[0]
 
 
 def ivfpq_build_index(
@@ -958,6 +1008,14 @@ def ivfpq_build_index(
             "ivfpq_build_index: dim is required (same fail-closed contract "
             "as pq_build_store — probe the parquet footer instead)"
         )
+    # meta FIRST: the index-complete sentinel is the LAST table's _SUCCESS,
+    # so meta.json present + sentinel present => a complete, self-described
+    # index; a crash mid-build leaves no sentinel and forces a rebuild.
+    # (Were meta written last, a crash after the sentinel would leave an
+    # index the probe could silently mis-score with raw-vector LUTs.)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"by_residual": by_residual, "m": m, "k": k, "dim": dim}, f)
     if coarse_centroids is not None:
         cents_coarse = coarse_centroids.select(
             F.col("cell").cast("long").alias("cell"),
@@ -978,37 +1036,24 @@ def ivfpq_build_index(
         assigned = lloyd_assign(
             df, k=n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
         ).withColumnRenamed("cluster", "cell")
-        cents_coarse = (
-            df.orderBy(F.col(id_col).asc())
-            .limit(n_cells)
-            .select(
-                F.col(id_col).alias("cell"),
-                F.transform(
-                    F.col(vec_col).cast("array<double>"), lambda x: F.round(x, round_digits)
-                ).alias("cv"),
-            )
-        )
+        cents_coarse = _rank_coarse_centroids(df, n_cells, id_col, vec_col, round_digits)
     if by_residual:
-        enc_in = (
-            df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
-            .join(assigned.select(id_col, "cell"), id_col)
-            .join(F.broadcast(cents_coarse), "cell")
-            .select(
+        enc_in = residual_vectors(df, assigned, cents_coarse, id_col, vec_col)
+        # On the RANK-BASED path the n_cells smallest ids ARE the coarse
+        # centroids (cell label == vector id), so their residuals are ~0
+        # and a codebook seeded from them would be degenerate — exclude
+        # them and seed from the k smallest NON-centroid ids.  With
+        # TRAINED coarse_centroids the cell labels are not vector ids and
+        # no vector has a near-zero residual, so no exclusion applies.
+        cb_src = enc_in
+        if coarse_centroids is None:
+            cb_src = enc_in.join(
+                F.broadcast(cents_coarse.select(F.col("cell").alias(id_col))),
                 id_col,
-                F.zip_with(F.col("__v"), F.col("cv"), lambda x, y: x - y).alias("__rv"),
+                "left_anti",
             )
-        )
-        # codebook source EXCLUDES the coarse-centroid ids: the n_cells
-        # smallest ids ARE the centroids, so their residuals are ~0 and a
-        # rank-based codebook built from them would be degenerate — the
-        # k smallest NON-centroid ids' residuals carry real structure
-        non_cent = enc_in.join(
-            F.broadcast(cents_coarse.select(F.col("cell").alias(id_col))),
-            id_col,
-            "left_anti",
-        )
         cents = _rank_codebooks(
-            non_cent, m, dim // m, k, id_col, "__rv", round_digits
+            cb_src, m, dim // m, k, id_col, "__rv", round_digits
         )
         packed = pq_encode_with_codebooks(
             enc_in, cents, id_col=id_col, vec_col="__rv", round_digits=round_digits
@@ -1029,8 +1074,27 @@ def ivfpq_build_index(
     cents.select("subspace", "rk", "code", "sc").write.mode("overwrite").parquet(
         os.path.join(path, "codebooks")
     )
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"by_residual": by_residual, "m": m, "k": k, "dim": dim}, f)
+
+
+def _ivfpq_meta(path: str) -> dict:
+    """Read an IVF-PQ index's meta.json — FAIL CLOSED: a missing sidecar
+    means the index predates the meta contract or was copied without it,
+    and silently assuming raw-vector encoding would mis-score a residual
+    index with no error (probes) or permanently corrupt posting lists
+    (stream inserts)."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"ivfpq index at {path} has no meta.json — refusing to guess "
+            "the encoding (raw vs residual); rebuild with ivfpq_build_index"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["by_residual"] = bool(meta.get("by_residual", False))
+    return meta
 
 
 def ivfpq_probe_index(
@@ -1056,15 +1120,10 @@ def ivfpq_probe_index(
     the query residual q - centroid[cell] and selects the row's LUT via
     a map literal keyed on `cell` — still zero joins, n_probe * m * k
     literal longs."""
-    import json
     import os
 
     scale = 10 ** round_digits
-    by_residual = False
-    meta_path = os.path.join(path, "meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            by_residual = bool(json.load(f).get("by_residual", False))
+    by_residual = _ivfpq_meta(path)["by_residual"]
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     qlit = lit_vector(query_vec)
     probe_rows = (
@@ -1080,14 +1139,14 @@ def ivfpq_probe_index(
     probe = [int(r["cell"]) for r in probe_rows]
     cb = spark.read.parquet(os.path.join(path, "codebooks"))
     if by_residual:
-        luts = [
-            _adc_lut_literal(
-                cb,
-                [float(q) - float(c) for q, c in zip(query_vec, r["cv"])],
-                round_digits,
-            )
-            for r in probe_rows
-        ]
+        luts = _adc_lut_literals(
+            cb,
+            [
+                [float(q) - float(c) for q, c in zip(query_vec, r["cv"])]
+                for r in probe_rows
+            ],
+            round_digits,
+        )
         cell_lut = F.map_from_arrays(
             F.array(*[F.lit(c).cast("long") for c in probe]), F.array(*luts)
         )

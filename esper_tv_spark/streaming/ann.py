@@ -127,14 +127,10 @@ def ivfpq_stream_insert(
     def insert(batch_df: DataFrame, _batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        import json
+        from esper_tv_spark.operators.similarity import _ivfpq_meta
 
         spark = batch_df.sparkSession
-        by_residual = False
-        meta_path = os.path.join(index_path, "meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                by_residual = bool(json.load(f).get("by_residual", False))
+        by_residual = _ivfpq_meta(index_path)["by_residual"]
         cents = _stored_centroids(spark, index_path)
         cb = spark.read.parquet(os.path.join(index_path, "codebooks"))
         assigned = lloyd_assign(
@@ -142,23 +138,14 @@ def ivfpq_stream_insert(
             round_digits=round_digits,
         ).withColumnRenamed("cluster", "cell")
         if by_residual:
-            enc_in = (
-                batch_df.select(
-                    F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-                )
-                .join(assigned.select(id_col, "cell"), id_col)
-                .join(
-                    F.broadcast(
-                        cents.select(
-                            F.col("cluster").alias("cell"), F.col("cvec").alias("cv")
-                        )
-                    ),
-                    "cell",
-                )
-                .select(
-                    id_col,
-                    F.zip_with(F.col("__v"), F.col("cv"), lambda x, y: x - y).alias("__rv"),
-                )
+            from esper_tv_spark.operators.similarity import residual_vectors
+
+            enc_in = residual_vectors(
+                batch_df,
+                assigned,
+                cents.select(F.col("cluster").alias("cell"), F.col("cvec").alias("cv")),
+                id_col,
+                vec_col,
             )
             codes = pq_encode_with_codebooks(
                 enc_in, cb, id_col=id_col, vec_col="__rv", round_digits=round_digits
@@ -195,9 +182,20 @@ def ivf_recenter(
     Determinism: each element is rounded at `round_digits` and scaled to
     BIGINT before the sum, so partial aggregation order cannot change the
     mean; the final divide + round returns to double once."""
+    import shutil
+
     scale = float(10 ** round_digits)
     cells_dir = os.path.join(index_path, "cells")
     cents_dir = os.path.join(index_path, "centroids")
+    # pre-clean leftovers from a crashed prior run: a stale __rc or __old
+    # would make the rename swap below fail permanently (OSError: File
+    # exists) until someone hand-deletes it.  __rc contents are by
+    # definition incomplete (the run that wrote them died before its
+    # swap), and __old is a fully-swapped-out generation — both safe to
+    # drop.
+    for d in (cells_dir, cents_dir):
+        for suffix in ("__rc", "__old"):
+            shutil.rmtree(d + suffix, ignore_errors=True)
     posting = spark.read.parquet(cells_dir)
 
     elem = posting.select(
@@ -240,8 +238,6 @@ def ivf_recenter(
         .partitionBy("cell")
         .parquet(cells_tmp)
     )
-
-    import shutil
 
     for live, tmp in ((cells_dir, cells_tmp), (cents_dir, cents_tmp)):
         old = live + "__old"

@@ -235,21 +235,42 @@ def streaming_semantic_dedup(
         else:
             s_ids, mat, nrm = [], [], []
         rows: list[tuple] = []
-        for pdf in pdf_iter:
-            order = pdf[id_col].astype("int64").argsort(kind="mergesort")
+        # buffer ALL Arrow chunks, then sort ONCE: a >maxRecordsPerBatch
+        # group arrives as several chunks, and a per-chunk sort would let a
+        # larger id in an earlier chunk be probed before its smaller-id
+        # mate in a later chunk — inverting the batch smaller-id-wins rule
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            allp = pd.concat(chunks, ignore_index=True)
+            order = allp[id_col].astype("int64").argsort(kind="mergesort")
+            # frozen prior-state matrix stacked ONCE per group (not per
+            # row); within-batch accepted rows accumulate separately and
+            # stay tiny relative to state
+            frozen = np.stack(mat) if mat else None
+            frozen_nrm = np.asarray(nrm, dtype=np.float64) if nrm else None
+            new_mat: list[np.ndarray] = []
+            new_nrm: list[float] = []
             for i in order:
-                new_id = int(pdf[id_col].iloc[i])
-                v = np.asarray(pdf["__v"].iloc[i], dtype=np.float64)
+                new_id = int(allp[id_col].iloc[i])
+                v = np.asarray(allp["__v"].iloc[i], dtype=np.float64)
                 vn = float(np.sqrt(v @ v))
                 dup = False
-                if mat:
-                    sims = np.round((np.stack(mat) @ v) / (np.asarray(nrm) * vn), round_digits)
+                if frozen is not None:
+                    sims = np.round((frozen @ v) / (frozen_nrm * vn), round_digits)
+                    dup = bool((sims >= threshold).any())
+                if not dup and new_mat:
+                    sims = np.round(
+                        (np.stack(new_mat) @ v) / (np.asarray(new_nrm) * vn),
+                        round_digits,
+                    )
                     dup = bool((sims >= threshold).any())
                 rows.append((new_id, int(cluster), dup))
                 if max_cluster_size is None or len(s_ids) < max_cluster_size:
                     s_ids.append(new_id)
-                    mat.append(v)
-                    nrm.append(vn)
+                    new_mat.append(v)
+                    new_nrm.append(vn)
+            mat.extend(new_mat)
+            nrm.extend(new_nrm)
         state.update((s_ids, [x.tolist() for x in mat], nrm))
         if rows:
             yield pd.DataFrame(rows, columns=[id_col, "cluster", "is_dup"])

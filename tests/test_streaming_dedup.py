@@ -146,3 +146,56 @@ def test_streaming_semantic_dedup_equals_batch(spark, tmp_path):
     q.awaitTermination(180)
     got = sorted(tuple(r) for r in spark.table("semdd").collect())
     assert got == want and any(r[2] for r in got)
+
+
+def test_streaming_semantic_dedup_multichunk_group(spark, tmp_path):
+    """A group larger than the Arrow batch size arrives as several pandas
+    chunks; the probe must sort ONCE across the whole micro-batch group or
+    a larger-id near-dup in an early chunk is probed before its smaller-id
+    mate in a later chunk (inverting the batch smaller-id-wins rule)."""
+    import numpy as np
+
+    from esper_tv_spark.operators.dedup import semantic_dedup
+    from esper_tv_spark.streaming.dedup import streaming_semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = [float(x) for x in rng.normal(size=8)]
+    # ONE cluster, 30 rows: ids 0..27 random, 28/29 near-dups of 0 — with a
+    # tiny Arrow batch the group splits into many chunks and arrival order
+    # within the batch is not id order
+    rows = [(0, base)]
+    rows += [(i, [float(x) for x in rng.normal(size=8)]) for i in range(1, 28)]
+    rows.append((28, [v * 1.01 + 1e-4 for v in base]))
+    rows.append((29, [v * 0.99 - 1e-4 for v in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent_rows = [(0, base)]
+    cdf = spark.createDataFrame(cent_rows, "cluster long, cvec array<double>")
+
+    want = sorted(
+        tuple(r)
+        for r in semantic_dedup(df, threshold=0.95, centroids=cdf, fast_assign=True).collect()
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        src = str(tmp_path / "vec_src")
+        # write id-DESCENDING so chunk order disagrees with id order
+        df.orderBy("vec_id", ascending=False).coalesce(1).write.parquet(src)
+        stream = file_stream(spark, src, df.schema, max_files_per_trigger=1)
+        out = streaming_semantic_dedup(stream, cent_rows, threshold=0.95)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("semdd_mc")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = sorted(tuple(r) for r in spark.table("semdd_mc").collect())
+    assert got == want and sum(r[2] for r in got) == 2
