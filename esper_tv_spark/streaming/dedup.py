@@ -248,8 +248,14 @@ def streaming_semantic_dedup(
             # stay tiny relative to state
             frozen = np.stack(mat) if mat else None
             frozen_nrm = np.asarray(nrm, dtype=np.float64) if nrm else None
-            new_mat: list[np.ndarray] = []
-            new_nrm: list[float] = []
+            # within-batch arrivals land in a PREALLOCATED buffer and each
+            # row probes the filled prefix VIEW — no per-row np.stack copy
+            # of either the state or the batch (the copies, not the dots,
+            # dominated the naive loop)
+            dim0 = len(allp["__v"].iloc[order[0]]) if len(order) else 0
+            buf = np.empty((len(order), dim0), dtype=np.float64)
+            nbuf = np.empty(len(order), dtype=np.float64)
+            cnt = 0
             for i in order:
                 new_id = int(allp[id_col].iloc[i])
                 v = np.asarray(allp["__v"].iloc[i], dtype=np.float64)
@@ -258,19 +264,17 @@ def streaming_semantic_dedup(
                 if frozen is not None:
                     sims = np.round((frozen @ v) / (frozen_nrm * vn), round_digits)
                     dup = bool((sims >= threshold).any())
-                if not dup and new_mat:
-                    sims = np.round(
-                        (np.stack(new_mat) @ v) / (np.asarray(new_nrm) * vn),
-                        round_digits,
-                    )
+                if not dup and cnt:
+                    sims = np.round((buf[:cnt] @ v) / (nbuf[:cnt] * vn), round_digits)
                     dup = bool((sims >= threshold).any())
                 rows.append((new_id, int(cluster), dup))
                 if max_cluster_size is None or len(s_ids) < max_cluster_size:
                     s_ids.append(new_id)
-                    new_mat.append(v)
-                    new_nrm.append(vn)
-            mat.extend(new_mat)
-            nrm.extend(new_nrm)
+                    buf[cnt] = v
+                    nbuf[cnt] = vn
+                    cnt += 1
+            mat.extend(buf[i] for i in range(cnt))
+            nrm.extend(nbuf[:cnt].tolist())
         state.update((s_ids, [x.tolist() for x in mat], nrm))
         if rows:
             yield pd.DataFrame(rows, columns=[id_col, "cluster", "is_dup"])

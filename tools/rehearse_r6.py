@@ -151,16 +151,18 @@ def main() -> None:
     )
     spark.stop()
 
-    # ---- 6. full hash gate @ sf1 (87 queries, own process) --------------
+    # ---- 6. full hash gate @ sf1 (93 queries, own process) --------------
     # The bare-session gate defaults to a ~1g driver JVM; at sf1 that heap
     # OOMs mid-gate (first observed run: JVM died after 11 queries, the
     # remaining 76 failed ConnectionRefused).  SPARK_CHECK_DRIVER_MEMORY
     # is check.py's documented scale-rehearsal deviation — set it here.
+    # 24g, not 12g: the round-6 run OOM'd a 12g heap at q60's result
+    # collect (sf1 winnow pair set + canonicalization).
     # Stream stdout to a file so a mid-gate death can't lose the per-query
     # record (the first run's tail-only capture did).
     t0 = time.time()
     gate_log = os.path.join(REPO, ".scale", "gate_sf1_r6.log")
-    env = dict(os.environ, SPARK_CHECK_DRIVER_MEMORY="12g")
+    env = dict(os.environ, SPARK_CHECK_DRIVER_MEMORY="24g")
     with open(gate_log, "w") as lf:
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "check.py"), SF1],
