@@ -1995,9 +1995,18 @@ FROM documents GROUP BY source
 def q60_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (MOSS idiom) -> near-duplicate
     candidate pairs sharing >= 3 fingerprints. Char 8-gram md5 hashes,
-    tumbling windows of 16 positions, min-hash per window."""
+    tumbling windows of 16 positions, min-hash per window.
+
+    max_bucket_size=100 drops over-common fingerprints BEFORE the pair
+    blowup — MOSS's own over-common-fingerprint drop, and a measured
+    scale requirement: the round-6 sf1 rehearsal found a 34,614-doc
+    fingerprint bucket (boilerplate char-grams aggregate across tenants)
+    whose 1.2B-pair explosion OOM'd a 24g executor; capped, the worst
+    task is 10^4 pairs.  The oracle applies the same HAVING cap, so the
+    hash gate replays the drop exactly; audit what a cap drops with
+    dedup.oversized_winnow_buckets."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.winnow_candidate_pairs(docs, k=8, w=16, min_shared=3)
+    return dedup.winnow_candidate_pairs(docs, k=8, w=16, min_shared=3, max_bucket_size=100)
 
 
 Q60_SQL = """
@@ -2012,7 +2021,8 @@ fps AS (
   )
 ),
 buckets AS (
-  SELECT fp, list_sort(list(doc_id)) AS ids FROM fps GROUP BY fp HAVING count(*) > 1
+  SELECT fp, list_sort(list(doc_id)) AS ids FROM fps GROUP BY fp
+  HAVING count(*) > 1 AND count(*) <= 100
 ),
 sides AS (
   SELECT fp, unnest(ids) AS id_x, generate_subscripts(ids, 1) AS ix FROM buckets

@@ -355,6 +355,28 @@ def winnow_candidate_pairs(
     )
 
 
+def oversized_winnow_buckets(
+    df: DataFrame,
+    max_bucket_size: int,
+    k: int = 8,
+    w: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The fingerprint buckets a max_bucket_size cap WOULD drop — the
+    audit companion to winnow_candidate_pairs (no silent truncation:
+    count what was skipped; an over-common fingerprint is boilerplate,
+    MOSS drops them too).  Output: (fp, n_docs)."""
+    from esper_tv_spark.operators.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(df, k, w, id_col, text_col)
+    return (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket_size)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float,
