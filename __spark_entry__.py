@@ -820,12 +820,16 @@ WHERE l.doc_id < r.doc_id
 def q93_minhash_cw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Carter-Wegman MinHash + LSH candidate pairs (dedup.
     minhash_from_sets_cw): ONE md5 per shingle split into two 64-bit
-    halves, hash function i = (h1 + i*h2) mod 2^64 (Wegman & Carter 1981)
-    — 8x fewer digests in the map stage than q28's md5-per-function
-    signature, the variant a 100 TB run would use.  Same banding (4x2)
-    and bucket-join pair generation; the oracle replays the DECIMAL/
-    HUGEINT combine exactly, so a single drifted hash value fails the
-    gate."""
+    halves, hash function i = (h1 + i*h2) mod 2^64 (Wegman & Carter
+    1981).  Same banding (4x2) and bucket-join pair generation; the
+    oracle replays the DECIMAL/HUGEINT combine exactly, so a single
+    drifted hash value fails the gate.  Honest measurement: in Spark's
+    expression engine this runs SLOWER than q28's md5-per-function
+    signature (bench: 3.36s vs 1.85s at sf0.1) — md5 is a codegen
+    intrinsic while exact mod-2^64 must be simulated in DECIMAL — so
+    q28 remains the default; this query proves the universal-hashing
+    variant an engine with native 64-bit wrap would prefer (see the
+    operator docstring for the full numbers)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.lsh_candidate_pairs(docs, n_hashes=8, shingle_n=3, n_bands=4, cw=True)
 

@@ -99,10 +99,21 @@ def minhash_from_sets_cw(
     split into two independent 64-bit halves (h1 = hex[0:16], h2 =
     hex[16:32], big-endian unsigned), and hash function i is the linear
     combination (h1 + i*h2) mod 2^64 — pairwise-independent, which is
-    what minwise estimation needs.  At n_hashes=8 this cuts the map-side
-    digest count 8x (the dominant per-shingle cost at corpus scale); the
-    combine is DECIMAL(20,0) multiply-add both engines replay exactly
-    (DuckDB: ('0x'||substr)::UBIGINT + HUGEINT arithmetic).
+    what minwise estimation needs.  The combine is DECIMAL(20,0)
+    multiply-add both engines replay exactly (DuckDB:
+    ('0x'||substr)::UBIGINT + HUGEINT arithmetic).
+
+    MEASURED HONESTLY (sf0.1, cached shingle sets): this is SLOWER in
+    Spark's expression engine than the md5-per-function signature —
+    0.76s classic vs 1.07s CW for the signature stage — because md5 on
+    a ~25-char shingle is a cheap codegen intrinsic while exact mod-2^64
+    arithmetic must be simulated (DECIMAL ops; a 16-bit-limb long
+    formulation measured 2.16s, worse still, and ANSI mode forbids
+    native long wraparound).  Classic `minhash_from_sets` therefore
+    REMAINS THE DEFAULT; this variant is kept as the oracle-proven
+    pattern for engines where 64-bit wrap arithmetic is native (a
+    C++/Rust kernel, or Spark with ANSI off — where the 8x digest saving
+    is real) and as the portable-universal-hashing reference.
 
     The md5 array is materialized in its OWN projection (`__dig`):
     CollapseProject keeps a non-cheap expression referenced by all
@@ -133,8 +144,9 @@ def minhash_signature(
     cw: bool = False,
 ) -> DataFrame:
     """MinHash signature per document — see minhash_from_sets (md5 per
-    hash function) and minhash_from_sets_cw (one md5, Carter-Wegman
-    combine — 8x fewer digests, the corpus-scale default).
+    hash function; the default — measured faster under Spark's
+    expression engine) and minhash_from_sets_cw (one md5, Carter-Wegman
+    combine; see its docstring for the honest measurement).
 
     Output: (doc_id, mh_0 .. mh_{n-1})."""
     s = sets if sets is not None else shingle_sets(df, shingle_n, id_col, text_col)
