@@ -1,0 +1,62 @@
+"""The sf100 (1000x) spot hash-gate: every contract query whose DuckDB
+oracle is feasible at 2.05M vectors / 5M docs / 600M lineitem rows, run
+through tools/check.py against .scale/sf100.
+
+This is the list the round-6 gate proved 14/14 (see NEXT_STEPS.md):
+the persisted-index family (build + probe + census), the multimodal
+codecs (fixture-independent), and the regression classes that caught
+real bugs in earlier rounds (avg accumulation order, IEEE -0.0,
+int64 hash overflow).  Excluded because their ORACLE is infeasible in
+DuckDB at this scale (the Spark paths are covered by the rehearsal
+walls in tools/rehearse_r6.py): q28/q93 (minhash over ~1e9 shingles),
+q37 (shingle-set join replay), q60 (position unnest over ~1e10 chars),
+q85 (2M x 1432 assignment cross join).
+
+Usage: SPARK_CHECK_DRIVER_MEMORY=24g python tools/sf100_gate.py
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+FEASIBLE = [
+    # round-6 persisted-index + codec family
+    "q90_avi_decode_stats",
+    "q91_video_frame_sample",
+    "q87_ivf_cell_census",
+    "q88_pq_adc_topk",
+    "q92_ivfpq_ann",
+    "q80_ivf_ann",
+    # regression classes (caught real bugs at this scale in r4)
+    "q01_pricing_summary",
+    "q16_events_hourly",
+    "q27_doc_fingerprints",
+    "q31_knn",
+    "q32_label_centroids",
+    "q33_embedding_norms",
+    "q47_ann_topk",
+    "q65_nearest_centroid",
+]
+
+
+def main() -> int:
+    env = dict(os.environ)
+    env.setdefault("SPARK_CHECK_DRIVER_MEMORY", "24g")
+    sf100 = os.path.join(REPO, ".scale", "sf100")
+    if not os.path.isdir(sf100):
+        print("no .scale/sf100 — build it first: python tools/make_scale.py 1000 .scale/sf100 --embed-dim 256")
+        return 2
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check.py"), sf100, *FEASIBLE],
+        cwd=REPO,
+        env=env,
+    )
+    return r.returncode
+
+
+if __name__ == "__main__":
+    sys.exit(main())
