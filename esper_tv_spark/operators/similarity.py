@@ -1353,6 +1353,7 @@ def lloyd_assign_blas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    n_probe: int = 1,
 ) -> DataFrame:
     """PRODUCTION-scale Lloyd assignment: the same (distance asc, cluster
     asc) argmin as `lloyd_assign`, computed as one Arrow-batched float64
@@ -1369,7 +1370,15 @@ def lloyd_assign_blas(
 
     Centroids (k rows) are collected to the driver and broadcast; the
     argmin ties break to the smaller cluster id by sorting centroids by
-    id and relying on numpy argmin's first-occurrence rule."""
+    id and relying on numpy argmin's first-occurrence rule.
+
+    `n_probe > 1` emits each vector's p NEAREST clusters as p rows
+    (id, cluster, __rank) with __rank 0 the argmin — multi-probe
+    blocking for semantic_dedup (a near-dup pair straddling a cluster
+    boundary is caught iff the two memberships overlap somewhere; see
+    semantic_dedup(cluster_probes=...)).  Ordering is (rounded d2 asc,
+    cluster id asc) via a stable argsort, so __rank 0 is bit-identical
+    to the n_probe=1 assignment."""
     import numpy as np
 
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
@@ -1406,10 +1415,25 @@ def lloyd_assign_blas(
                 (x * x).sum(axis=1)[:, None] - 2.0 * (x @ b_cmat.T) + b_ccsq[None, :],
                 round_digits,
             )
-            best = d2.argmin(axis=1)  # first occurrence = smallest cluster id
-            yield pd.DataFrame({id_col: pdf[id_col], "cluster": b_cids[best]})
+            if n_probe == 1:
+                best = d2.argmin(axis=1)  # first occurrence = smallest cluster id
+                yield pd.DataFrame({id_col: pdf[id_col], "cluster": b_cids[best]})
+            else:
+                p = min(n_probe, d2.shape[1])
+                # stable sort: equal rounded d2 keeps ascending column
+                # index = ascending cluster id (cmat is sorted by id)
+                top = np.argsort(d2, axis=1, kind="stable")[:, :p]
+                ids = np.repeat(pdf[id_col].to_numpy(), p)
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "cluster": b_cids[top].ravel(),
+                        "__rank": np.tile(np.arange(p, dtype=np.int32), len(pdf)),
+                    }
+                )
 
-    return vecs.mapInPandas(assign, schema=f"{id_col} long, cluster long")
+    schema = f"{id_col} long, cluster long" + (", __rank int" if n_probe > 1 else "")
+    return vecs.mapInPandas(assign, schema=schema)
 
 
 def logreg_score(

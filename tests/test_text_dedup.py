@@ -503,3 +503,51 @@ def test_minhash_cw_matches_python_reference(spark):
         "doc_id long, text string")
     pairs = dedup.lsh_candidate_pairs(dup, n_hashes=8, shingle_n=3, n_bands=4, cw=True)
     assert [(r["id_a"], r["id_b"]) for r in pairs.collect()] == [(10, 11)]
+
+
+def test_semantic_dedup_multiprobe_recovers_boundary_pairs(spark):
+    """cluster_probes=2: near-dup pairs whose members argmin to DIFFERENT
+    clusters (boundary straddlers) are invisible to single-probe blocking
+    but caught by multi-probe; output stays one row per vector with the
+    primary cluster, and single-probe results are unchanged semantics."""
+    import numpy as np
+
+    from esper_tv_spark.operators import dedup
+
+    rng = np.random.default_rng(13)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(120)]
+    # plants: id 200+i is a tiny perturbation of id i — some will straddle
+    # a cluster boundary under the frozen rank-based centroids
+    for i in range(30):
+        rows.append((200 + i, [v * 1.02 + 0.015 for v in rows[i][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(12)], "cluster long, cvec array<double>"
+    )
+    plant_ids = set(range(200, 230))
+
+    def run(p):
+        out = dedup.semantic_dedup(
+            df, threshold=0.95, centroids=cents, cluster_probes=p
+        ).collect()
+        assert len(out) == len(rows)
+        return {r["vec_id"] for r in out if r["is_dup"]}, {
+            r["vec_id"]: r["cluster"] for r in out
+        }
+
+    d1, c1 = run(1)
+    d2, c2 = run(2)
+    # multi-probe can only ADD catches, and must find strictly more here
+    assert d1 <= d2
+    assert len(d2 & plant_ids) > len(d1 & plant_ids), (len(d1), len(d2))
+    # primary cluster is the p=1 assignment for every vector
+    assert c1 == c2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.semantic_dedup(df, threshold=0.95, cluster_probes=2, fast_assign=False)
+    with _pytest.raises(ValueError):
+        dedup.semantic_dedup(
+            df, threshold=0.95, centroids=cents, cluster_probes=2, fast_pairs=False
+        )
