@@ -669,7 +669,9 @@ def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
         n_frames = F.coalesce(F.col("meta.n_frames"), F.lit(0))
     else:
         n_frames = F.coalesce(F.col("meta.width"), F.lit(0)) * F.lit(8)  # stub frame count
-    return videos.select(
+    # empty/NULL-frame-count assets must yield zero rows, not kill the
+    # query: sequence(0, -1, +n) raises 'Illegal sequence boundaries'.
+    return videos.filter(n_frames >= F.lit(1)).select(
         "asset_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_no"),
     )

@@ -1013,7 +1013,21 @@ def ivfpq_build_index(
     # index; a crash mid-build leaves no sentinel and forces a rebuild.
     # (Were meta written last, a crash after the sentinel would leave an
     # index the probe could silently mis-score with raw-vector LUTs.)
+    # But that invariant only holds for a FRESH path: an in-place rebuild
+    # over an existing complete index (e.g. flipping by_residual or m/k)
+    # that crashes mid-build would leave the OLD sentinel next to the NEW
+    # meta.json — a mixed-generation index the completeness check accepts
+    # and probes mis-score silently.  Invalidate the old generation before
+    # the new meta goes down: drop its sentinel (and stale meta), so any
+    # crash from here until the codebooks write leaves an index that
+    # fails the 'meta.json + codebooks/_SUCCESS' check and forces rebuild.
     os.makedirs(path, exist_ok=True)
+    for stale in (
+        os.path.join(path, "codebooks", "_SUCCESS"),
+        os.path.join(path, "meta.json"),
+    ):
+        if os.path.exists(stale):
+            os.remove(stale)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump({"by_residual": by_residual, "m": m, "k": k, "dim": dim}, f)
     if coarse_centroids is not None:

@@ -187,15 +187,29 @@ def ivf_recenter(
     scale = float(10 ** round_digits)
     cells_dir = os.path.join(index_path, "cells")
     cents_dir = os.path.join(index_path, "centroids")
-    # pre-clean leftovers from a crashed prior run: a stale __rc or __old
-    # would make the rename swap below fail permanently (OSError: File
-    # exists) until someone hand-deletes it.  __rc contents are by
-    # definition incomplete (the run that wrote them died before its
-    # swap), and __old is a fully-swapped-out generation — both safe to
-    # drop.
+    # pre-clean leftovers from a crashed prior run — but ONLY when the
+    # live dir still exists.  If live is missing, the prior run died
+    # inside its swap window (between rename(live, old) and
+    # rename(tmp, live)); in that window __rc is the COMPLETE new
+    # generation (the swap loop only starts after both __rc writes
+    # finished) and __old is the only other surviving copy — deleting
+    # either would destroy the index.  Recover instead: prefer __rc,
+    # fall back to __old.  Any cells/cents generation mismatch the
+    # recovery leaves behind is corrected by this very run, which
+    # recomputes centroids from the posting rows regardless.
     for d in (cells_dir, cents_dir):
-        for suffix in ("__rc", "__old"):
-            shutil.rmtree(d + suffix, ignore_errors=True)
+        if os.path.exists(d):
+            for suffix in ("__rc", "__old"):
+                shutil.rmtree(d + suffix, ignore_errors=True)
+        elif os.path.exists(d + "__rc"):
+            os.rename(d + "__rc", d)
+            shutil.rmtree(d + "__old", ignore_errors=True)
+        elif os.path.exists(d + "__old"):
+            os.rename(d + "__old", d)
+        else:
+            raise FileNotFoundError(
+                f"ivf_recenter: {d} missing and no __rc/__old to recover from"
+            )
     posting = spark.read.parquet(cells_dir)
 
     elem = posting.select(

@@ -477,3 +477,20 @@ def test_frame_sample_uses_real_n_frames_for_avi(spark):
     assert len(rows) == want
     for r in rows:
         assert r["frame_no"] % 2 == 0
+
+
+def test_frame_sample_empty_or_null_n_frames_yields_zero_rows(spark):
+    # n_frames = 0 or NULL must yield no frames for that asset, not kill
+    # the query with 'Illegal sequence boundaries' (sequence(0, -1, +n))
+    rows = [
+        (0, bytearray(b""), (8, 8, 24, 0, "avi-mjpeg")),     # empty video
+        (1, bytearray(b""), (8, 8, 24, None, "avi-mjpeg")),  # unknown count
+        (2, bytearray(b""), (8, 8, 24, 3, "avi-mjpeg")),     # normal
+    ]
+    assets = spark.createDataFrame(
+        rows, f"asset_id long, payload binary, meta struct<{mm.VIDEO_META_SCHEMA}>"
+    )
+    got = mm.frame_sample(assets, every_n=1).collect()
+    assert sorted((r["asset_id"], r["frame_no"]) for r in got) == [
+        (2, 0), (2, 1), (2, 2)
+    ]

@@ -194,3 +194,86 @@ def test_ivfpq_residual_stream_insert_equals_batch_rebuild(spark, tmp_path):
     got = [tuple(r) for r in ivfpq_probe_index(spark, idx, qv, 10, n_probe=3).collect()]
     want = [tuple(r) for r in ivfpq_probe_index(spark, idx_full, qv, 10, n_probe=3).collect()]
     assert got == want
+
+
+def test_recenter_recovers_from_mid_swap_crash(spark, tmp_path):
+    """A prior run that died between rename(live, old) and rename(tmp,
+    live) leaves live MISSING, __old = the previous generation, __rc =
+    the complete new generation.  The pre-clean must recover (prefer
+    __rc), never delete the only surviving copies."""
+    import shutil
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf_crash")
+    ivf_build_index(emb, idx, n_cells=8)
+    cells = os.path.join(idx, "cells")
+    n_rows = spark.read.parquet(cells).count()
+
+    # simulate the crash window on the cells dir: __rc is a complete
+    # generation (here: a byte-copy of live), live renamed away to __old
+    shutil.copytree(cells, cells + "__rc")
+    os.rename(cells, cells + "__old")
+    assert not os.path.exists(cells)
+
+    ivf_recenter(spark, idx)
+
+    assert spark.read.parquet(cells).count() == n_rows
+    for leftover in (cells + "__rc", cells + "__old"):
+        assert not os.path.exists(leftover)
+    qv = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    assert len(ivf_probe_index(spark, idx, qv, 10, n_probe=3).collect()) == 10
+
+
+def test_recenter_recovers_from_old_when_rc_absent(spark, tmp_path):
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf_crash_old")
+    ivf_build_index(emb, idx, n_cells=8)
+    cells = os.path.join(idx, "cells")
+    n_rows = spark.read.parquet(cells).count()
+    os.rename(cells, cells + "__old")
+
+    ivf_recenter(spark, idx)
+
+    assert spark.read.parquet(cells).count() == n_rows
+    assert not os.path.exists(cells + "__old")
+
+
+def test_recenter_raises_when_nothing_to_recover(spark, tmp_path):
+    import pytest
+    import shutil
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf_gone")
+    ivf_build_index(emb, idx, n_cells=8)
+    shutil.rmtree(os.path.join(idx, "cells"))
+    with pytest.raises(FileNotFoundError):
+        ivf_recenter(spark, idx)
+
+
+def test_ivfpq_rebuild_crash_cannot_leave_mixed_generation(spark, tmp_path, monkeypatch):
+    """An in-place rebuild over a COMPLETE index that crashes mid-build
+    must leave an index that FAILS the 'meta.json + codebooks/_SUCCESS'
+    completeness check — never old codebooks + new meta."""
+    import pytest
+    from esper_tv_spark.operators import similarity as sim
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivfpq_rebuild")
+    sim.ivfpq_build_index(emb, idx, n_cells=16, m=8, k=16, dim=64)
+    sentinel = os.path.join(idx, "codebooks", "_SUCCESS")
+    assert os.path.exists(sentinel) and os.path.exists(os.path.join(idx, "meta.json"))
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated mid-build crash")
+
+    monkeypatch.setattr(sim, "lloyd_assign", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        # a config flip (by_residual) — the dangerous rebuild case
+        sim.ivfpq_build_index(emb, idx, n_cells=16, m=8, k=16, dim=64, by_residual=True)
+
+    # the old generation was invalidated BEFORE the crash point: the
+    # completeness check a probe-or-rebuild caller uses must now fail
+    complete = os.path.exists(sentinel) and os.path.exists(
+        os.path.join(idx, "meta.json")
+    )
+    assert not complete
