@@ -140,6 +140,7 @@ def streaming_semantic_dedup(
     vec_col: str = "embedding",
     round_digits: int = 6,
     max_cluster_size: int | None = 65536,
+    cluster_probes: int = 1,
 ) -> DataFrame:
     """Streaming SemDeDup (Abbas et al. 2023): incremental semantic
     deduplication against FROZEN centroids — completes the streaming dedup
@@ -169,7 +170,27 @@ def streaming_semantic_dedup(
     a full cluster stops storing NEW vectors (arrivals still get verdicts
     against the stored prefix; with id-ordered ingest that prefix is
     exactly the batch rule's smaller-id candidates up to the cap). Output:
-    (id_col, cluster, is_dup)."""
+    (id_col, cluster, is_dup).
+
+    `cluster_probes=p > 1` is the RECALL knob the batch operator grew in
+    round 6 (semantic_dedup(cluster_probes=...)): single-probe blocking
+    measured only 74% planted-pair recall at sf1 because a ~0.95-cosine
+    pair can straddle a cluster boundary; probing each vector's p nearest
+    clusters recovers the boundary pairs (97.4% at p=2, 99.8% at p=3).
+    Stream-shaped it means: the assignment projection emits p rows per
+    vector (id, cluster, __rank) and each membership row probes (and
+    joins) ITS cluster's state.  Spark allows only ONE stateful operator
+    per streaming query (chained applyInPandasWithState raises
+    AnalysisException), so the cross-membership OR cannot happen in-plan;
+    with p > 1 the output is one row PER MEMBERSHIP
+    (id_col, cluster, __rank, is_dup) and the consumer collapses verdicts
+    downstream — `collapse_probe_verdicts` on the sink table, the same
+    consumer-side discipline as streaming_lsh_candidates' cross-band pair
+    dedup.  Collapsed, the result equals the batch
+    semantic_dedup(cluster_probes=p) (asserted in
+    tests/test_streaming_dedup.py).  State grows by the membership factor
+    (each vector is stored in up to p cluster states), matching the batch
+    pair-discovery table."""
     import numpy as np
 
     from pyspark.sql.types import (
@@ -186,6 +207,8 @@ def streaming_semantic_dedup(
     cmat = np.round(np.array([r[1] for r in cent_rows], dtype=np.float64), round_digits)
     ccsq = (cmat * cmat).sum(axis=1)
 
+    p = max(1, int(cluster_probes))
+
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
@@ -195,26 +218,44 @@ def streaming_semantic_dedup(
                 (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cmat.T) + ccsq[None, :],
                 round_digits,
             )
-            best = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].astype("int64"),
-                    "cluster": cids[best],
-                    "__v": [r.tolist() for r in x],
-                }
-            )
+            if p == 1:
+                best = d2.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].astype("int64"),
+                        "cluster": cids[best],
+                        "__v": [r.tolist() for r in x],
+                    }
+                )
+            else:
+                pp = min(p, d2.shape[1])
+                # stable argsort: equal rounded d2 keeps ascending cluster
+                # id — __rank 0 is bit-identical to the p=1 assignment
+                # (the same rule as lloyd_assign_blas(n_probe=...))
+                top = np.argsort(d2, axis=1, kind="stable")[:, :pp]
+                vlists = [r.tolist() for r in x]
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(pdf[id_col].astype("int64").to_numpy(), pp),
+                        "cluster": cids[top].ravel(),
+                        "__rank": np.tile(np.arange(pp, dtype=np.int32), len(pdf)),
+                        "__v": [v for v in vlists for _ in range(pp)],
+                    }
+                )
 
+    rank_field = ", __rank int" if p > 1 else ""
     assigned = stream.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        assign, schema=f"{id_col} long, cluster long, __v array<double>"
+        assign, schema=f"{id_col} long, cluster long{rank_field}, __v array<double>"
     )
 
-    out_schema = StructType(
-        [
-            StructField(id_col, LongType()),
-            StructField("cluster", LongType()),
-            StructField("is_dup", BooleanType()),
-        ]
-    )
+    out_fields = [
+        StructField(id_col, LongType()),
+        StructField("cluster", LongType()),
+    ]
+    if p > 1:
+        out_fields.append(StructField("__rank", LongType()))
+    out_fields.append(StructField("is_dup", BooleanType()))
+    out_schema = StructType(out_fields)
     state_schema = StructType(
         [
             StructField("ids", ArrayType(LongType())),
@@ -267,7 +308,12 @@ def streaming_semantic_dedup(
                 if not dup and cnt:
                     sims = np.round((buf[:cnt] @ v) / (nbuf[:cnt] * vn), round_digits)
                     dup = bool((sims >= threshold).any())
-                rows.append((new_id, int(cluster), dup))
+                if p > 1:
+                    rows.append(
+                        (new_id, int(cluster), int(allp["__rank"].iloc[i]), dup)
+                    )
+                else:
+                    rows.append((new_id, int(cluster), dup))
                 if max_cluster_size is None or len(s_ids) < max_cluster_size:
                     s_ids.append(new_id)
                     buf[cnt] = v
@@ -277,7 +323,12 @@ def streaming_semantic_dedup(
             nrm.extend(nbuf[:cnt].tolist())
         state.update((s_ids, [x.tolist() for x in mat], nrm))
         if rows:
-            yield pd.DataFrame(rows, columns=[id_col, "cluster", "is_dup"])
+            cols = (
+                [id_col, "cluster", "__rank", "is_dup"]
+                if p > 1
+                else [id_col, "cluster", "is_dup"]
+            )
+            yield pd.DataFrame(rows, columns=cols)
 
     return assigned.groupBy("cluster").applyInPandasWithState(
         probe,
@@ -285,6 +336,19 @@ def streaming_semantic_dedup(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def collapse_probe_verdicts(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Consumer-side collapse of multi-probe streaming SemDeDup output
+    (one row per membership) into the batch operator's one-row-per-vector
+    shape: verdict = caught in ANY probed cluster, reported cluster = the
+    primary (__rank 0) assignment.  Run on the SINK table (batch) or
+    inside a keyed idempotent sink — Spark's one-stateful-operator-per-
+    query rule keeps this OR out of the streaming plan itself."""
+    return df.groupBy(id_col).agg(
+        F.max(F.when(F.col("__rank") == 0, F.col("cluster"))).alias("cluster"),
+        F.max("is_dup").alias("is_dup"),
     )
 
 

@@ -199,3 +199,100 @@ def test_streaming_semantic_dedup_multichunk_group(spark, tmp_path):
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     got = sorted(tuple(r) for r in spark.table("semdd_mc").collect())
     assert got == want and sum(r[2] for r in got) == 2
+
+
+def test_streaming_semantic_dedup_multiprobe_equals_batch(spark, tmp_path):
+    """Multi-probe streaming SemDeDup (cluster_probes=2), collapsed with
+    collapse_probe_verdicts, == batch semantic_dedup(cluster_probes=2)."""
+    import numpy as np
+
+    from esper_tv_spark.operators.dedup import semantic_dedup
+    from esper_tv_spark.streaming.dedup import (
+        collapse_probe_verdicts,
+        streaming_semantic_dedup,
+    )
+
+    rng = np.random.default_rng(53)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    # planted near-dups, including one engineered to straddle clusters:
+    rows.append((200, [v * 1.01 + 1e-4 for v in rows[5][1]]))
+    c0, c1 = rows[0][1], rows[1][1]
+    mid_a = [0.55 * a + 0.45 * b for a, b in zip(c0, c1)]
+    mid_b = [0.45 * a + 0.55 * b for a, b in zip(c0, c1)]
+    rows.append((210, mid_a))
+    rows.append((211, mid_b))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent_rows = [(i, rows[i][1]) for i in range(6)]
+    cdf = spark.createDataFrame(cent_rows, "cluster long, cvec array<double>")
+
+    want = sorted(
+        tuple(r)
+        for r in semantic_dedup(
+            df, threshold=0.9, centroids=cdf, cluster_probes=2
+        ).collect()
+    )
+
+    src = str(tmp_path / "vec_src_mp")
+    df.where("vec_id < 30").coalesce(1).write.parquet(src)
+    df.where("vec_id >= 30").coalesce(1).write.parquet(src, mode="append")
+    stream = file_stream(spark, src, df.schema, max_files_per_trigger=1)
+    out = streaming_semantic_dedup(stream, cent_rows, threshold=0.9, cluster_probes=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("semdd_mp")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    sink = spark.table("semdd_mp")
+    # one row per membership: 2 per vector (6 centroids >= 2 probes)
+    assert sink.count() == 2 * len(rows)
+    got = sorted(tuple(r) for r in collapse_probe_verdicts(sink).collect())
+    assert got == want and any(r[2] for r in got)
+
+
+def test_streaming_semantic_dedup_multiprobe_recall_step(spark, tmp_path):
+    """The boundary-straddling planted pair: invisible to single-probe
+    blocking (different primary clusters), caught at cluster_probes=2 —
+    the streaming twin of the batch recall measurement."""
+    from esper_tv_spark.streaming.dedup import (
+        collapse_probe_verdicts,
+        streaming_semantic_dedup,
+    )
+
+    c0 = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    c1 = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    # cosine(v_a, v_b) = 1.995/2.005 ~ 0.995 >= 0.95, but argmin cluster
+    # of v_a is c0 and of v_b is c1
+    v_a = [1.05, 0.95, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    v_b = [0.95, 1.05, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    rows = [(10, v_a), (11, v_b)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent_rows = [(0, c0), (1, c1)]
+
+    def run(probes, name):
+        src = str(tmp_path / f"vsrc_{name}")
+        df.coalesce(1).write.parquet(src)
+        stream = file_stream(spark, src, df.schema, max_files_per_trigger=1)
+        out = streaming_semantic_dedup(
+            stream, cent_rows, threshold=0.95, cluster_probes=probes
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.table(name)
+
+    single = run(1, "semdd_p1")
+    assert {r["is_dup"] for r in single.collect()} == {False}  # pair missed
+
+    multi = collapse_probe_verdicts(run(2, "semdd_p2"))
+    got = {r["vec_id"]: (r["cluster"], r["is_dup"]) for r in multi.collect()}
+    # primary clusters still differ; the LATER id is now the duplicate
+    assert got[10] == (0, False)
+    assert got[11] == (1, True)
