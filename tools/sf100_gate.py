@@ -8,11 +8,12 @@ codecs (fixture-independent), and the regression classes that caught
 real bugs in earlier rounds (avg accumulation order, IEEE -0.0,
 int64 hash overflow).  Excluded because their ORACLE is infeasible in
 DuckDB at this scale (the Spark paths are covered by the rehearsal
-walls in tools/rehearse_r6.py): q28/q93 (minhash over ~1e9 shingles),
+walls in tools/rehearse.py): q28/q93 (minhash over ~1e9 shingles),
 q37 (shingle-set join replay), q60 (position unnest over ~1e10 chars),
 q85 (2M x 1432 assignment cross join).
 
 Usage: SPARK_CHECK_DRIVER_MEMORY=24g python tools/sf100_gate.py
+(Also runs automatically as the LAST step of tools/rehearse.py.)
 """
 
 from __future__ import annotations

@@ -1,0 +1,47 @@
+"""ONE-COMMAND end-of-round snapshot.  Runs, in the required order:
+
+  1. tools/rotate_window.py --apply   (diff-driven driver-window rotation)
+  2. tools/audit_plans.py             (regenerate PLAN_AUDIT.md from HEAD)
+  3. bench.py                         (refresh bench_out.json)
+  4. tools/snapshot_guard.py          (refuse if source newer than artifacts)
+
+Exit status is non-zero if ANY step fails — the round-close commit should
+not happen on a failed snapshot.  If you touch source after this ran,
+run it AGAIN (the guard in step 4 is also what catches you if you don't:
+it compares source mtimes against PLAN_AUDIT.md / bench_out.json).
+
+Usage: python tools/snapshot.py
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+STEPS = [
+    ("rotate_window", [sys.executable, "tools/rotate_window.py", "--apply"]),
+    ("audit_plans", [sys.executable, "tools/audit_plans.py"]),
+    ("bench", [sys.executable, "bench.py"]),
+    ("snapshot_guard", [sys.executable, "tools/snapshot_guard.py"]),
+]
+
+
+def main() -> int:
+    for name, cmd in STEPS:
+        t0 = time.time()
+        print(f"== snapshot step: {name} ==", flush=True)
+        r = subprocess.run(cmd, cwd=REPO)
+        print(f"== {name}: rc={r.returncode} ({time.time() - t0:.0f}s) ==", flush=True)
+        if r.returncode != 0:
+            print(f"snapshot: FAILED at {name}")
+            return r.returncode or 1
+    print("snapshot: PASS — safe to make the round-close commit now")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
