@@ -2878,6 +2878,179 @@ FROM s ORDER BY adist ASC, vec_id ASC LIMIT 10
 """
 
 
+def _q94_rotation(sf_dir: str) -> list[list[float]]:
+    """The OPQ rotation for q94, derived ENGINE-FREE (pyarrow + numpy —
+    similarity.opq_train_np) so the Spark query and the DuckDB oracle
+    train the IDENTICAL R from the same corpus: sample = the 512
+    smallest-id rows of the FIRST row group (deterministic given the
+    file; row-group-local so a 2M-row sf100 corpus reads ~one copy, not
+    2 GB), first 64 dims (the q92/q88 fixed-prefix stance), m=8, k=16,
+    3 OPQ-NP iterations."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    t = pf.read_row_group(0, columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"])
+    order = np.argsort(ids, kind="stable")[:512]
+    x = np.array(
+        [t["embedding"][int(i)].as_py() for i in order], dtype=np.float64
+    )[:, :64]
+    return similarity.opq_train_np(x, m=8, k=16, iters=3)
+
+
+def _q94_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per dataset fingerprint) the OPQ-rotated IVF-PQ index
+    over the first-64-dim slice of the embeddings."""
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _dir_fingerprint(src)
+    idx = os.path.join(tempfile.gettempdir(), f"esper_tv_opq_idx_{sf_tag}_{tag}")
+    if not (
+        os.path.exists(os.path.join(idx, "codebooks", "_SUCCESS"))
+        and os.path.exists(os.path.join(idx, "meta.json"))
+    ):
+        _evict_stale_siblings(f"esper_tv_opq_idx_{sf_tag}_", keep=idx)
+        emb64 = _t(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.slice(F.col("embedding").cast("array<double>"), 1, 64).alias("embedding"),
+        )
+        similarity.ivfpq_build_index(
+            emb64, idx, n_cells=16, m=8, k=16, dim=64,
+            opq_rotation=_q94_rotation(sf_dir),
+        )
+    return idx
+
+
+def q94_opq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-rotated IVF-PQ ANN over a persisted index (Ge et al. 2013 on
+    top of q92's IVFADC layout): the whole index lives in the ROTATED
+    space — corpus rotated once at build (distributed BLAS GEMM), the
+    learned R persisted beside the codebooks, the probe rotating the
+    query driver-side before cell ranking and LUT construction.  The
+    probe plan is UNCHANGED from q92 (scan -> project -> TakeOrdered,
+    zero joins, partition-pruned posting lists): a rotation adds zero
+    probe-time I/O or joins, which is exactly why OPQ is the standard
+    recall upgrade for serving indexes.  The oracle replays EVERYTHING —
+    the 64x64 rotation itself (embedded as a literal column table,
+    re-trained engine-free from the same corpus sample via
+    similarity.opq_train_np), coarse assignment, probe selection, PQ
+    encode, LUT, scaled-int ADC — end-to-end from the base table.
+    Rotation plumbing parity (index-with-R == plain index on
+    pre-rotated vectors) and OPQ stream-insert bit-identity are pytest
+    gates (tests/test_similarity.py, tests/test_streaming_ann.py);
+    recall vs raw PQ is measured on the clustered fixture
+    (tools/measure_pq_recall.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0][:64]
+    ]
+    idx = _q94_index_dir(spark, sf_dir)
+    return similarity.ivfpq_probe_index(spark, idx, qv, 10, n_probe=3)
+
+
+def _q94_sql() -> str:
+    """Q94's oracle: Q92's full IVFADC replay with one extra CTE layer —
+    the OPQ rotation applied relationally (vector x rotation-COLUMN dot
+    products: n*64 rows with an O(64) list_dot_product each, never an
+    n*64*64 unnest).  The rotation literal is re-derived from
+    $SPARK_GRAFT_ORACLE_SF_DIR's corpus by the same engine-free trainer
+    the Spark side uses (the q51 env-var stance: explicitly set but
+    unreadable raises; unset falls back to the driver's sf0.01 gate
+    corpus)."""
+    explicit = "SPARK_GRAFT_ORACLE_SF_DIR" in os.environ
+    src = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        rot = _q94_rotation(src)
+    except Exception as e:
+        if explicit:
+            raise RuntimeError(
+                f"SPARK_GRAFT_ORACLE_SF_DIR was set but {src} is unreadable: {e}"
+            ) from e
+        rot = _q94_rotation("/root/testdata/sf0.01")
+    cols = ",\n".join(
+        f"({i}, [{', '.join(repr(float(rot[j][i])) for j in range(64))}]::DOUBLE[])"
+        for i in range(64)
+    )
+    return f"""
+WITH e0 AS (SELECT vec_id,
+                   list_transform(list_slice(embedding::DOUBLE[], 1, 64),
+                                  x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+rotc(i, c) AS (VALUES {cols}),
+rc AS (SELECT e0.vec_id, rotc.i, round(list_dot_product(e0.v, rotc.c), 6) AS x
+       FROM e0, rotc),
+e AS (SELECT vec_id, list(x ORDER BY i) AS v FROM rc GROUP BY vec_id),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+c AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS cv FROM e
+      ORDER BY vec_id LIMIT 16),
+cd AS (
+  SELECT e.vec_id, c.cell,
+         round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM e, c
+),
+assign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+  FROM cd
+),
+probe AS (
+  SELECT c.cell FROM c, q
+  ORDER BY round(list_dot_product(c.cv, q.qv)
+                 / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+           c.cell ASC
+  LIMIT 3
+),
+subs AS (
+  SELECT e.vec_id, j.range AS subspace,
+         list_slice(e.v, j.range * 8 + 1, j.range * 8 + 8) AS sv
+  FROM e, range(8) j
+),
+cents AS (
+  SELECT e.vec_id AS code, j.range AS subspace,
+         list_transform(list_slice(e.v, j.range * 8 + 1, j.range * 8 + 8),
+                        x -> round(x, 6)) AS sc
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16) e, range(8) j
+),
+d AS (
+  SELECT s.vec_id, s.subspace, c.code,
+         round(list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.sc)
+               + list_dot_product(c.sc, c.sc), 6) AS d2
+  FROM subs s JOIN cents c ON s.subspace = c.subspace
+),
+a AS (
+  SELECT vec_id, subspace, code,
+         row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) AS rn
+  FROM d
+),
+qs AS (
+  SELECT j.range AS subspace, list_slice(q.qv, j.range * 8 + 1, j.range * 8 + 8) AS sv
+  FROM q, range(8) j
+),
+lut AS (
+  SELECT c.subspace, c.code,
+         CAST(round(round(list_dot_product(qs.sv, qs.sv)
+                          - 2.0 * list_dot_product(qs.sv, c.sc)
+                          + list_dot_product(c.sc, c.sc), 6) * 1000000.0, 0) AS BIGINT) AS sd2
+  FROM cents c JOIN qs ON qs.subspace = c.subspace
+),
+s AS (
+  SELECT a.vec_id, CAST(sum(l.sd2) AS BIGINT) AS ssum
+  FROM a
+  JOIN lut l ON l.subspace = a.subspace AND l.code = a.code
+  JOIN assign ON assign.vec_id = a.vec_id AND assign.rn = 1
+  WHERE a.rn = 1 AND assign.cell IN (SELECT cell FROM probe)
+  GROUP BY a.vec_id
+)
+SELECT vec_id, round(ssum / 1000000.0, 6) AS adist
+FROM s ORDER BY adist ASC, vec_id ASC LIMIT 10
+"""
+
+
 def q79_label_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label write-back composite (reference identity.py:165-199: calibrated
     probabilities bulk-created into a derived DB table, later re-read and
@@ -3758,6 +3931,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_jaccard_verify": q37_jaccard_verify,
     "q28_minhash_lsh_pairs": q28_minhash_lsh_pairs,
     "q93_minhash_cw_pairs": q93_minhash_cw_pairs,
+    "q94_opq_ann": q94_opq_ann,
     "q60_winnow_pairs": q60_winnow_pairs,
     "q71_dedup_groups": q71_dedup_groups,
     "q81_pq_codes": q81_pq_codes,
@@ -3963,4 +4137,6 @@ def oracle_sql() -> dict[str, str]:
     out["q51_near_dup_embeddings"] = _q51_sql()
     out["q47_ann_topk"] = _q47_sql()
     out["q78_logreg_score"] = _q78_sql()
+    # q94's rotation literal is trained from the oracle corpus itself
+    out["q94_opq_ann"] = _q94_sql()
     return out

@@ -59,13 +59,17 @@ HEADLINE = [
     "q85_semantic_dedup",
     # round-6 additions: the persisted-store probe paths (IVF census +
     # joinless PQ ADC), the audio + video decode stages, the fused IVF-PQ
-    # probe, and the Carter-Wegman minhash variant (vs q28's classic)
+    # probe
     "q87_ivf_cell_census",
     "q88_pq_adc_topk",
     "q89_wav_decode_stats",
     "q90_avi_decode_stats",
     "q92_ivfpq_ann",
-    "q93_minhash_cw_pairs",
+    # q93 (Carter-Wegman minhash) is DEMOTED from the headline loop
+    # (round-6 VERDICT #5): it lost its own bake-off to q28's classic
+    # signature (3.2s/round re-proving a negative); it remains a full
+    # correctness contract at the sf0.01 gate.  The reclaimed wall went
+    # to the multi-probe SemDeDup recall measurement below.
 ]
 
 # run once each at the 10x rehearsal scale (see tools/make_scale.py)
@@ -217,6 +221,64 @@ def main() -> None:
             for k, v in saved.items():
                 spark.conf.set(k, v)
 
+    # multi-probe SemDeDup recall: the scale fixture's planted ~0.95-cosine
+    # near-dup pairs are a KNOWN answer; measure how many planted dup ids
+    # the production path catches at cluster_probes 1 vs 2 (the round-6
+    # finding: single-probe blocking misses boundary-straddling pairs —
+    # ~74% recall; p=2 recovers them).  Measuring the winner instead of
+    # re-benching q93's bake-off loser (VERDICT r6 #5).
+    semrec: dict[str, dict] = {}
+    if os.path.isdir(scale_dir) and os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+            )
+            from pyspark.sql import functions as F
+            from verify_plants import expected_pairs
+
+            from esper_tv_spark.operators.dedup import (
+                recommended_clusters,
+                semantic_dedup,
+            )
+            from esper_tv_spark.plans.cache import release_all
+
+            want = expected_pairs(scale_dir, 50)
+            dup_ids = sorted(b for _a, b in want)
+            emb = entry_mod._t(spark, scale_dir, "embeddings")
+            n = entry_mod._parquet_num_rows(
+                os.path.join(scale_dir, "embeddings.parquet")
+            )
+            k = recommended_clusters(n)
+            cents = (
+                emb.orderBy(F.col("vec_id").asc())
+                .limit(k)
+                .select(
+                    F.col("vec_id").alias("cluster"),
+                    F.col("embedding").alias("cvec"),
+                )
+            )
+            wdf = spark.createDataFrame([(int(i),) for i in dup_ids], "vec_id long")
+            for p in (1, 2):
+                t0 = time.time()
+                sem = semantic_dedup(
+                    emb, k=k, threshold=0.4, centroids=cents, cluster_probes=p
+                )
+                caught = (
+                    sem.where("is_dup")
+                    .join(F.broadcast(wdf), "vec_id", "left_semi")
+                    .count()
+                )
+                semrec[f"p{p}"] = {
+                    "planted": len(dup_ids),
+                    "caught": caught,
+                    "recall": round(caught / max(len(dup_ids), 1), 4),
+                    "sec": round(time.time() - t0, 3),
+                }
+                release_all()
+                spark.catalog.clearCache()
+        except Exception as e:
+            semrec = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_total",
@@ -229,6 +291,8 @@ def main() -> None:
     }
     if scale:
         out["scale_sf1"] = scale
+    if semrec:
+        out["semdedup_recall"] = semrec
     if skew:
         out["skew"] = skew
     line = json.dumps(out)

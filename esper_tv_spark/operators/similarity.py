@@ -941,6 +941,123 @@ def _adc_lut_literal(cb: DataFrame, query_vec: list[float], round_digits: int):
     return _adc_lut_literals(cb, [query_vec], round_digits)[0]
 
 
+def rotate_vectors(
+    df: DataFrame,
+    rotation: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Apply a fixed dim x dim rotation to every vector: X -> round(X @ R).
+    One Arrow-batched float64 GEMM per batch (mapInPandas + BLAS) — a
+    256-dim rotation is 65k multiplies per row, far past what an
+    expression fold should do.  Per-row output depends only on that row
+    and the broadcast R, so the result is deterministic under any
+    partitioning (the property the OPQ stream==batch parity test leans
+    on).  Output keeps the caller's column names."""
+    import numpy as np
+
+    rot = np.asarray(rotation, dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast(rot)
+
+    def gemm(batches):
+        import pandas as pd
+
+        r = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            y = np.round(x @ r, round_digits)
+            yield pd.DataFrame({id_col: pdf[id_col], "__v": [v.tolist() for v in y]})
+
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    out = vecs.mapInPandas(gemm, schema=f"{id_col} long, __v array<double>")
+    return out.withColumnRenamed("__v", vec_col)
+
+
+def opq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int | None = None,
+    iters: int = 8,
+    sample_rows: int = 16384,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 90210,
+) -> list[list[float]]:
+    """Train an OPQ rotation (Ge, He, Ke, Sun, CVPR 2013 "Optimized
+    Product Quantization" — the non-parametric OPQ-NP alternation): find
+    the orthogonal R minimizing PQ reconstruction distortion of X @ R by
+    alternating (1) fit per-subspace k-means codebooks on the rotated
+    sample, (2) solve the orthogonal Procrustes problem R = U V^T from
+    SVD(X^T X_hat).  PQ's subspace split is arbitrary w.r.t. the data's
+    principal directions; the learned rotation re-balances variance
+    across subspaces so the m independent codebooks stop wasting codes on
+    correlated coordinates.
+
+    Training is DRIVER-SIDE numpy on a deterministic sample (the
+    `sample_rows` smallest ids — orderBy(id).limit, so every engine
+    draws the same rows): the rotation is dim^2 floats learned from a
+    bounded sample, exactly how production OPQ deployments train (FAISS
+    OPQMatrix trains on ~2^16 vectors regardless of corpus size); the
+    ENCODING of the full corpus stays distributed (rotate_vectors +
+    the ivfpq build).  Deterministic: fixed seed, fixed iteration
+    counts, no data-dependent stopping."""
+    import numpy as np
+
+    if dim is None:
+        raise ValueError("opq_train: dim is required (fail-closed, as pq_fit)")
+    rows = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(sample_rows)
+        .select(F.col(vec_col).cast("array<double>").alias("__v"))
+        .collect()
+    )
+    x = np.array([r["__v"] for r in rows], dtype=np.float64)
+    if x.shape[1] != dim:
+        raise ValueError(f"opq_train: corpus dim {x.shape[1]} != declared dim {dim}")
+    return opq_train_np(x, m=m, k=k, iters=iters, seed=seed)
+
+
+def opq_train_np(x: "object", m: int, k: int, iters: int = 8, seed: int = 90210):
+    """The engine-free numpy core of `opq_train` (OPQ-NP alternation on an
+    in-memory sample) — shared by the Spark trainer and the oracle-side
+    rotation derivation (both must produce the SAME R from the same
+    sample, or the q94 hash gate would compare different indexes)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    dim = x.shape[1]
+    sub = dim // m
+    r = np.eye(dim)
+
+    def _kmeans(s: "np.ndarray", kk: int, sd: int) -> "np.ndarray":
+        kr = np.random.RandomState(sd)
+        cents = s[kr.choice(len(s), size=min(kk, len(s)), replace=False)]
+        for _ in range(15):
+            d2 = ((s[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                mask = a == c
+                if mask.any():
+                    cents[c] = s[mask].mean(axis=0)
+        return cents
+
+    for _ in range(iters):
+        y = x @ r
+        xhat = np.empty_like(y)
+        for j in range(m):
+            s = y[:, j * sub : (j + 1) * sub]
+            cents = _kmeans(s, k, seed + 17 * j)
+            d2 = ((s[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            xhat[:, j * sub : (j + 1) * sub] = cents[d2.argmin(axis=1)]
+        u, _sv, vt = np.linalg.svd(x.T @ xhat)
+        r = u @ vt
+    return [[float(v) for v in row] for row in r]
+
+
 def ivfpq_build_index(
     df: DataFrame,
     path: str,
@@ -953,6 +1070,7 @@ def ivfpq_build_index(
     dim: int | None = None,
     by_residual: bool = False,
     coarse_centroids: DataFrame | None = None,
+    opq_rotation: list[list[float]] | None = None,
 ) -> None:
     """Persist the combined IVF-PQ index (Jegou, Douze, Schmid 2011,
     "Product Quantization for Nearest Neighbor Search" — the IVFADC
@@ -999,7 +1117,20 @@ def ivfpq_build_index(
     the residuals are no smaller than the vectors and the refinement is
     a wash (measured in tests/test_similarity.py); with KMeans cells the
     residual norms shrink and the same codebook budget buys visibly
-    higher recall."""
+    higher recall.  Measured on the CLUSTERED mixture-of-Gaussians
+    fixture (tools/make_scale.py --clustered: 21k vectors, 256-dim, 64
+    true clusters; KMeans coarse, m=16, k=16, n_probe=8, exact-L2
+    ground truth, tools/measure_pq_recall.py): top-10 recall raw 0.140
+    -> by_residual 0.202 — the gain the isotropic fixture could not
+    show.
+
+    `opq_rotation` (dim x dim, from `opq_train`) is the next rung (Ge et
+    al. 2013): the whole index lives in the ROTATED space — vectors are
+    rotated before coarse assignment and PQ encoding (rotation is an
+    isometry, so trained-on-unrotated coarse centroids stay valid once
+    rotated alongside, which the build does automatically), the rotation
+    is persisted as a `rotation/` table, and the probe rotates the query
+    before ranking cells or building LUTs.  Composes with by_residual."""
     import json
     import os
 
@@ -1029,7 +1160,50 @@ def ivfpq_build_index(
         if os.path.exists(stale):
             os.remove(stale)
     with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"by_residual": by_residual, "m": m, "k": k, "dim": dim}, f)
+        json.dump(
+            {
+                "by_residual": by_residual,
+                "m": m,
+                "k": k,
+                "dim": dim,
+                "opq": opq_rotation is not None,
+            },
+            f,
+        )
+    if opq_rotation is not None:
+        # the index lives in rotated space: rotate the corpus (BLAS,
+        # distributed) and any caller-trained coarse centroids (an
+        # isometry maps KMeans cells to the same cells of rotated data);
+        # persist R so probes and stream inserts rotate the same way
+        spark = df.sparkSession
+        spark.createDataFrame(
+            [(i, [float(v) for v in row]) for i, row in enumerate(opq_rotation)],
+            "pos int, row array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "rotation"))
+        df = rotate_vectors(df, opq_rotation, id_col, vec_col, round_digits)
+        if coarse_centroids is not None:
+            import numpy as np
+
+            rot = np.asarray(opq_rotation, dtype=np.float64)
+            cc = coarse_centroids.select(
+                "cell", F.col("cv").cast("array<double>").alias("cv")
+            ).collect()
+            coarse_centroids = spark.createDataFrame(
+                [
+                    (
+                        int(r["cell"]),
+                        [
+                            float(v)
+                            for v in np.round(
+                                np.asarray(r["cv"], dtype=np.float64) @ rot,
+                                round_digits,
+                            )
+                        ],
+                    )
+                    for r in cc
+                ],
+                "cell long, cv array<double>",
+            )
     if coarse_centroids is not None:
         cents_coarse = coarse_centroids.select(
             F.col("cell").cast("long").alias("cell"),
@@ -1108,7 +1282,18 @@ def _ivfpq_meta(path: str) -> dict:
     with open(meta_path) as f:
         meta = json.load(f)
     meta["by_residual"] = bool(meta.get("by_residual", False))
+    meta["opq"] = bool(meta.get("opq", False))
     return meta
+
+
+def _ivfpq_rotation(spark, path: str) -> "list[list[float]]":
+    """Load an OPQ index's persisted rotation as a dense dim x dim list
+    (dim rows — one tiny driver action)."""
+    import os
+
+    rows = spark.read.parquet(os.path.join(path, "rotation")).collect()
+    rows.sort(key=lambda r: r["pos"])
+    return [[float(v) for v in r["row"]] for r in rows]
 
 
 def ivfpq_probe_index(
@@ -1137,7 +1322,19 @@ def ivfpq_probe_index(
     import os
 
     scale = 10 ** round_digits
-    by_residual = _ivfpq_meta(path)["by_residual"]
+    meta = _ivfpq_meta(path)
+    by_residual = meta["by_residual"]
+    if meta["opq"]:
+        # the index lives in rotated space: rotate the query the same way
+        # (driver-side — one dim x dim GEMV), then everything downstream
+        # (cell ranking, LUTs, residuals) is unchanged
+        import numpy as np
+
+        rot = np.asarray(_ivfpq_rotation(spark, path), dtype=np.float64)
+        query_vec = [
+            float(v)
+            for v in np.round(np.asarray(query_vec, dtype=np.float64) @ rot, round_digits)
+        ]
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     qlit = lit_vector(query_vec)
     probe_rows = (

@@ -127,10 +127,26 @@ def ivfpq_stream_insert(
     def insert(batch_df: DataFrame, _batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        from esper_tv_spark.operators.similarity import _ivfpq_meta
+        from esper_tv_spark.operators.similarity import (
+            _ivfpq_meta,
+            _ivfpq_rotation,
+            rotate_vectors,
+        )
 
         spark = batch_df.sparkSession
-        by_residual = _ivfpq_meta(index_path)["by_residual"]
+        meta = _ivfpq_meta(index_path)
+        by_residual = meta["by_residual"]
+        if meta["opq"]:
+            # an OPQ index lives in rotated space: rotate the micro-batch
+            # with the SAME persisted rotation the build used, so stream
+            # inserts stay bit-identical to a batch rebuild
+            batch_df = rotate_vectors(
+                batch_df,
+                _ivfpq_rotation(spark, index_path),
+                id_col,
+                vec_col,
+                round_digits,
+            )
         cents = _stored_centroids(spark, index_path)
         cb = spark.read.parquet(os.path.join(index_path, "codebooks"))
         assigned = lloyd_assign(

@@ -488,3 +488,71 @@ def test_ivfpq_residual_reduces_distortion(spark, tmp_path):
     q = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
     got = sim.ivfpq_probe_index(spark, str(tmp_path / "res"), q, 10, n_probe=4).collect()
     assert len(got) == 10
+
+
+def _correlated_fixture(spark, n=1500, dim=16, latent=4, seed=5):
+    """Vectors with strong cross-subspace correlation (latent factors mixed
+    across all coordinates) — the structure plain PQ wastes codes on and
+    an OPQ rotation untangles."""
+    rng = np.random.RandomState(seed)
+    mix = rng.normal(size=(latent, dim))
+    z = rng.normal(size=(n, latent))
+    x = z @ mix + rng.normal(scale=0.05, size=(n, dim))
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_opq_train_orthogonal_and_deterministic(spark):
+    df = _correlated_fixture(spark)
+    r1 = np.array(sim.opq_train(df, m=4, k=16, dim=16, iters=3, sample_rows=512))
+    r2 = np.array(sim.opq_train(df, m=4, k=16, dim=16, iters=3, sample_rows=512))
+    assert np.allclose(r1, r2)
+    assert np.allclose(r1 @ r1.T, np.eye(16), atol=1e-9)
+
+
+def test_opq_reduces_distortion_on_correlated_data(spark, tmp_path):
+    """OPQ's guarantee (Ge et al. 2013): the learned rotation re-balances
+    variance across PQ subspaces, so reconstruction distortion at
+    identical storage drops vs unrotated PQ when coordinates are
+    correlated across subspace boundaries.  Errors are compared in each
+    index's own space — rotation is an isometry, so the comparison is
+    fair."""
+    import os
+
+    df = _correlated_fixture(spark)
+    vecs = {r["vec_id"]: np.array(r["embedding"], float) for r in df.collect()}
+    rot = sim.opq_train(df, m=4, k=16, dim=16, iters=5, sample_rows=1024)
+    rmat = np.asarray(rot, float)
+
+    errs = {}
+    for tag, kw in (("raw", {}), ("opq", {"opq_rotation": rot})):
+        idx = str(tmp_path / tag)
+        sim.ivfpq_build_index(df, idx, n_cells=8, m=4, k=16, dim=16, **kw)
+        cb = {(r["subspace"], r["rk"]): np.array(r["sc"], float)
+              for r in spark.read.parquet(os.path.join(idx, "codebooks")).collect()}
+        err = 0.0
+        for r in spark.read.parquet(os.path.join(idx, "cells")).collect():
+            rec = np.concatenate([cb[(j, r["codes"][j])] for j in range(4)])
+            ref = vecs[r["id"]] @ rmat if tag == "opq" else vecs[r["id"]]
+            err += float(((ref - rec) ** 2).sum())
+        errs[tag] = err / len(vecs)
+    assert errs["opq"] < errs["raw"] * 0.9, errs
+
+
+def test_opq_index_equals_prerotated_index(spark, tmp_path):
+    """Composed parity: an OPQ index probed with q must equal a plain
+    index built on pre-rotated vectors probed with q @ R — the rotation
+    plumbing adds nothing else."""
+    df = _correlated_fixture(spark)
+    rot = sim.opq_train(df, m=4, k=16, dim=16, iters=3, sample_rows=512)
+    idx_a = str(tmp_path / "opq")
+    idx_b = str(tmp_path / "prerot")
+    sim.ivfpq_build_index(df, idx_a, n_cells=8, m=4, k=16, dim=16, opq_rotation=rot)
+    sim.ivfpq_build_index(
+        sim.rotate_vectors(df, rot), idx_b, n_cells=8, m=4, k=16, dim=16
+    )
+    q = [float(x) for x in df.where("vec_id = 7").first()["embedding"]]
+    q_rot = [float(v) for v in np.round(np.asarray(q) @ np.asarray(rot), 6)]
+    got = [tuple(r) for r in sim.ivfpq_probe_index(spark, idx_a, q, 10, n_probe=3).collect()]
+    want = [tuple(r) for r in sim.ivfpq_probe_index(spark, idx_b, q_rot, 10, n_probe=3).collect()]
+    assert got == want and len(got) == 10

@@ -277,3 +277,46 @@ def test_ivfpq_rebuild_crash_cannot_leave_mixed_generation(spark, tmp_path, monk
         os.path.join(idx, "meta.json")
     )
     assert not complete
+
+
+def test_ivfpq_opq_stream_insert_equals_batch_rebuild(spark, tmp_path):
+    """OPQ indexes: stream inserts must rotate the micro-batch with the
+    persisted rotation, keeping stream==batch bit-identity."""
+    from esper_tv_spark.operators.similarity import (
+        ivfpq_build_index,
+        ivfpq_probe_index,
+        opq_train,
+    )
+    from esper_tv_spark.streaming.ann import ivfpq_stream_insert
+
+    emb = _emb(spark)
+    rot = opq_train(emb, m=8, k=16, dim=64, iters=3, sample_rows=512)
+    base = emb.where(F.col("vec_id") < 100)
+    tail = emb.where(F.col("vec_id") >= 100)
+
+    idx = str(tmp_path / "opq_stream")
+    ivfpq_build_index(base, idx, n_cells=16, m=8, k=16, dim=64, opq_rotation=rot)
+
+    src = str(tmp_path / "tail_src")
+    tail.coalesce(1).write.parquet(src)
+    stream = file_stream(spark, src, tail.schema, max_files_per_trigger=1)
+    q = ivfpq_stream_insert(stream, idx, str(tmp_path / "ckpt")).start()
+    q.awaitTermination(180)
+
+    idx_full = str(tmp_path / "opq_full")
+    ivfpq_build_index(emb, idx_full, n_cells=16, m=8, k=16, dim=64, opq_rotation=rot)
+
+    a = sorted(
+        (r["id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(os.path.join(idx, "cells")).collect()
+    )
+    b = sorted(
+        (r["id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(os.path.join(idx_full, "cells")).collect()
+    )
+    assert a == b
+
+    qv = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    got = [tuple(r) for r in ivfpq_probe_index(spark, idx, qv, 10, n_probe=3).collect()]
+    want = [tuple(r) for r in ivfpq_probe_index(spark, idx_full, qv, 10, n_probe=3).collect()]
+    assert got == want and len(got) == 10

@@ -222,8 +222,129 @@ def _build_embeddings(
     print("embeddings", n, "dim", dim, "planted/copy", plant_per_copy if dim > base_dim else 0)
 
 
+def build_clustered(
+    n: int,
+    out_dir: str,
+    dim: int = 256,
+    n_clusters: int = 64,
+    plant: int = 500,
+    noise: float = 0.35,
+    seed: int = 20240701,
+) -> None:
+    """CLUSTERED embeddings fixture: a mixture of `n_clusters` Gaussians —
+    the structure real corpora have and the replicated/isotropic fixture
+    lacks.  Purpose: make coarse-quantizer refinements MEASURABLE.
+    Residual-PQ (by_residual) and OPQ spend their codebook budget on the
+    part of a vector the coarse quantizer didn't explain; on isotropic
+    noise there is nothing to strip and their recall gain is a wash (the
+    honest round-6 measurement) — on this fixture within-cluster energy
+    is ~`noise`^2 of total, so stripping the center is worth ~
+    1/(1+noise^2) of the quantization load.
+
+    Layout: unit-norm cluster centers c_g ~ N(0, I/dim)-normalized;
+    vector i belongs to cluster g = rng-choice and is c_g + N(0,
+    (noise/sqrt(dim))^2 I).  `label` carries the TRUE cluster (recall
+    measurements never have to re-derive it).  The last `plant` ids
+    (n .. n+plant-1) are planted ~0.95-cosine near-duplicates of vectors
+    0..plant-1 — the same known-answer contract as the replicated
+    fixture, so dedup recall measurements run here too.
+
+    Deterministic (fixed seed), streamed in 100k-row row-groups."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    centers = rng.normal(size=(n_clusters, dim)).astype(np.float64)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    sigma = noise / np.sqrt(dim)
+
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    chunk = 100_000
+    plant_src: list[np.ndarray] = []  # first `plant` vectors, for the dups
+    with pq.ParquetWriter(f"{out_dir}/embeddings.parquet", schema) as writer:
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            g = rng.randint(0, n_clusters, size=hi - lo)
+            mat = centers[g] + rng.normal(scale=sigma, size=(hi - lo, dim))
+            if lo < plant:
+                plant_src.extend(mat[: plant - lo])
+            writer.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array(np.arange(lo, hi), pa.int64()),
+                        "embedding": pa.array(
+                            mat.astype(np.float32).tolist(), pa.list_(pa.float32())
+                        ),
+                        "label": pa.array(g.astype(np.int32), pa.int32()),
+                    },
+                    schema=schema,
+                )
+            )
+        if plant > 0:
+            src_mat = np.asarray(plant_src[:plant])
+            # perturbation norm ~0.3 * |v| => cosine ~0.96
+            pr = np.random.RandomState(seed + 1)
+            nrm = np.linalg.norm(src_mat, axis=1, keepdims=True)
+            dup = src_mat + pr.normal(size=src_mat.shape) * (0.3 * nrm / np.sqrt(dim))
+            # planted dup keeps its source's true cluster label: the
+            # perturbation is small relative to the center separation
+            g_dup = np.argmin(
+                ((dup[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2), axis=1
+            )
+            writer.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array(np.arange(n, n + plant), pa.int64()),
+                        "embedding": pa.array(
+                            dup.astype(np.float32).tolist(), pa.list_(pa.float32())
+                        ),
+                        "label": pa.array(g_dup.astype(np.int32), pa.int32()),
+                    },
+                    schema=schema,
+                )
+            )
+    print(
+        f"clustered embeddings: {n}+{plant} rows, dim {dim}, "
+        f"{n_clusters} clusters, noise {noise}"
+    )
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+
+    def _flag(name: str, default: int | None) -> int | None:
+        for a in sys.argv[1:]:
+            if a.startswith(f"--{name}"):
+                return int(a.split("=", 1)[1]) if "=" in a else (default or 256)
+        return default
+
+    if "--clustered" in sys.argv:
+        out = (
+            args[0]
+            if args
+            else os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".scale",
+                "clustered_sf1",
+            )
+        )
+        build_clustered(
+            n=_flag("n", 20_500),
+            out_dir=out,
+            dim=_flag("embed-dim", 256),
+            n_clusters=_flag("clusters", 64),
+            plant=_flag("plant", 500),
+        )
+        print("wrote", out)
+        sys.exit(0)
+
     copies = int(args[0]) if args else 10
     out = (
         args[1]

@@ -32,6 +32,8 @@ FEASIBLE = [
     "q88_pq_adc_topk",
     "q92_ivfpq_ann",
     "q80_ivf_ann",
+    # round-7: the OPQ-rotated IVF-PQ probe (rotation replayed relationally)
+    "q94_opq_ann",
     # regression classes (caught real bugs at this scale in r4)
     "q01_pricing_summary",
     "q16_events_hourly",
