@@ -1004,7 +1004,20 @@ def opq_train(
     OPQMatrix trains on ~2^16 vectors regardless of corpus size); the
     ENCODING of the full corpus stays distributed (rotate_vectors +
     the ivfpq build).  Deterministic: fixed seed, fixed iteration
-    counts, no data-dependent stopping."""
+    counts, no data-dependent stopping.
+
+    Measured honestly (tools/measure_pq_recall.py on the clustered
+    mixture-of-Gaussians fixture, m=16, k=16, n_probe=8/64): top-10
+    recall raw 0.140 -> OPQ 0.150 (+7% rel), residual 0.202 ->
+    OPQ+residual 0.204 (~flat).  Mechanism: that fixture's
+    within-cluster noise is ISOTROPIC, so once the coarse quantizer
+    strips the center there is no cross-subspace correlation left for a
+    rotation to rebalance — OPQ's win lives on corpora whose local
+    covariance is anisotropic (the correlated-latent pytest fixture
+    shows the >10% distortion drop; real embedding models produce
+    exactly that structure).  Kept as a first-class index option (and
+    the q94 oracle contract) because the plumbing cost is one GEMM at
+    build and zero probe-time I/O."""
     import numpy as np
 
     if dim is None:
