@@ -1006,18 +1006,22 @@ def opq_train(
     the ivfpq build).  Deterministic: fixed seed, fixed iteration
     counts, no data-dependent stopping.
 
-    Measured honestly (tools/measure_pq_recall.py on the clustered
-    mixture-of-Gaussians fixture, m=16, k=16, n_probe=8/64): top-10
-    recall raw 0.140 -> OPQ 0.150 (+7% rel), residual 0.202 ->
-    OPQ+residual 0.204 (~flat).  Mechanism: that fixture's
-    within-cluster noise is ISOTROPIC, so once the coarse quantizer
-    strips the center there is no cross-subspace correlation left for a
-    rotation to rebalance — OPQ's win lives on corpora whose local
-    covariance is anisotropic (the correlated-latent pytest fixture
-    shows the >10% distortion drop; real embedding models produce
-    exactly that structure).  Kept as a first-class index option (and
-    the q94 oracle contract) because the plumbing cost is one GEMM at
-    build and zero probe-time I/O."""
+    Measured honestly (tools/measure_pq_recall.py, m=16, k=16,
+    n_probe=8/64, exact-L2 top-10 ground truth), on TWO clustered
+    fixtures that isolate when the rotation pays:
+
+    - isotropic within-cluster noise (--clustered): raw 0.140 -> OPQ
+      0.150 (+7% rel); residual 0.202 -> OPQ+residual 0.204 (~flat) —
+      once the coarse quantizer strips the center there is no
+      cross-subspace correlation left for a rotation to rebalance;
+    - ANISOTROPIC within-cluster noise (--clustered --anisotropy=1.0,
+      rank^-1 eigen-decay through a random basis — the local structure
+      real embedding models produce): raw 0.304 -> OPQ 0.386 (+27%
+      rel); residual 0.458 -> OPQ+residual 0.534 (+17% rel) — the full
+      textbook ladder raw < OPQ < residual < OPQ+residual.
+
+    Plumbing cost: one GEMM at build, zero probe-time I/O or joins
+    (the q94 oracle contract replays rotation + IVFADC end-to-end)."""
     import numpy as np
 
     if dim is None:

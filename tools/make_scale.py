@@ -230,6 +230,7 @@ def build_clustered(
     plant: int = 500,
     noise: float = 0.35,
     seed: int = 20240701,
+    anisotropy: float = 0.0,
 ) -> None:
     """CLUSTERED embeddings fixture: a mixture of `n_clusters` Gaussians —
     the structure real corpora have and the replicated/isotropic fixture
@@ -249,6 +250,14 @@ def build_clustered(
     0..plant-1 — the same known-answer contract as the replicated
     fixture, so dedup recall measurements run here too.
 
+    `anisotropy=a > 0` draws the within-cluster noise from a SHARED
+    anisotropic covariance — eigenvalues decaying as rank^-a mixed
+    through a random orthonormal basis (total variance preserved).  Real
+    embedding models produce exactly this local structure (variance
+    concentrated in a few non-axis-aligned directions), and it is the
+    regime where OPQ's learned rotation pays: on isotropic noise
+    (a = 0) a rotation has nothing to rebalance and OPQ measures flat.
+
     Deterministic (fixed seed), streamed in 100k-row row-groups."""
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -258,6 +267,14 @@ def build_clustered(
     centers = rng.normal(size=(n_clusters, dim)).astype(np.float64)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     sigma = noise / np.sqrt(dim)
+    if anisotropy > 0:
+        qrng = np.random.RandomState(seed + 2)
+        q_mat, _ = np.linalg.qr(qrng.normal(size=(dim, dim)))
+        lam = np.arange(1, dim + 1, dtype=np.float64) ** -anisotropy
+        lam *= np.sqrt(dim / (lam ** 2).sum())  # mean eigen-variance = 1
+        mix = (lam[:, None] * q_mat)  # z @ mix has cov Q^T diag(lam^2) Q
+    else:
+        mix = None
 
     schema = pa.schema(
         [
@@ -272,7 +289,8 @@ def build_clustered(
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
             g = rng.randint(0, n_clusters, size=hi - lo)
-            mat = centers[g] + rng.normal(scale=sigma, size=(hi - lo, dim))
+            z = rng.normal(size=(hi - lo, dim))
+            mat = centers[g] + sigma * (z @ mix if mix is not None else z)
             if lo < plant:
                 plant_src.extend(mat[: plant - lo])
             writer.write_table(
@@ -335,12 +353,17 @@ if __name__ == "__main__":
                 "clustered_sf1",
             )
         )
+        aniso = 0.0
+        for a in sys.argv[1:]:
+            if a.startswith("--anisotropy"):
+                aniso = float(a.split("=", 1)[1]) if "=" in a else 1.0
         build_clustered(
             n=_flag("n", 20_500),
             out_dir=out,
             dim=_flag("embed-dim", 256),
             n_clusters=_flag("clusters", 64),
             plant=_flag("plant", 500),
+            anisotropy=aniso,
         )
         print("wrote", out)
         sys.exit(0)
