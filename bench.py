@@ -65,6 +65,9 @@ HEADLINE = [
     "q89_wav_decode_stats",
     "q90_avi_decode_stats",
     "q92_ivfpq_ann",
+    # round-7 addition: the OPQ-rotated IVF-PQ probe (same zero-join
+    # serving plan as q92; the rotation costs one GEMM at build only)
+    "q94_opq_ann",
     # q93 (Carter-Wegman minhash) is DEMOTED from the headline loop
     # (round-6 VERDICT #5): it lost its own bake-off to q28's classic
     # signature (3.2s/round re-proving a negative); it remains a full
