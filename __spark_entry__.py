@@ -3051,6 +3051,104 @@ FROM s ORDER BY adist ASC, vec_id ASC LIMIT 10
 """
 
 
+def _q95_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per dataset fingerprint) the persisted IVF-SQ8 index
+    over the embeddings (codes over the first 64 dims, the q92 stance)."""
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _dir_fingerprint(src)
+    idx = os.path.join(tempfile.gettempdir(), f"esper_tv_ivfsq_idx_{sf_tag}_{tag}")
+    if not (
+        os.path.exists(os.path.join(idx, "centroids", "_SUCCESS"))
+        and os.path.exists(os.path.join(idx, "meta.json"))
+    ):
+        _evict_stale_siblings(f"esper_tv_ivfsq_idx_{sf_tag}_", keep=idx)
+        similarity.ivfsq_build_index(
+            _t(spark, sf_dir, "embeddings"), idx, n_cells=16, dim=64
+        )
+    return idx
+
+
+def q95_ivfsq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 ANN over a persisted index (similarity.ivfsq_build_index /
+    ivfsq_probe_index — the FAISS IVF+scalar-quantizer rung between
+    q80's raw posting lists and q92's PQ codes): posting lists carry
+    8-BIT SCALAR codes (1 byte/dim, no codebook — the quantizer is 2*dim
+    floats of per-dimension bounds), and the asymmetric probe distance
+    sum_j (q_j - decode(code_j))^2 is PLAIN AFFINE ARITHMETIC, fused
+    into one zip_with/aggregate over literal bounds with per-term
+    scaled-BIGINT rounding (accumulation-order-free).  Probe plan: same
+    zero-join serving shape as q92 — rank 16 stored centroids, scan 3
+    cells' partitions, TakeOrdered.  The oracle replays EVERYTHING from
+    the base table: per-dimension min/max, the floor/clamp encode, the
+    affine decode, the coarse assignment and probe selection — the
+    entire index state is derivable in ANSI SQL, which PQ (iterative
+    codebooks) can never fully claim.  Encode/decode expression trees
+    mirror the SQL operation-for-operation so IEEE float64 results are
+    bit-identical."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    idx = _q95_index_dir(spark, sf_dir)
+    return similarity.ivfsq_probe_index(spark, idx, qv, 10, n_probe=3)
+
+
+Q95_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+c AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS cv FROM e
+      ORDER BY vec_id LIMIT 16),
+cd AS (
+  SELECT e.vec_id, c.cell,
+         round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM e, c
+),
+assign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+  FROM cd
+),
+probe AS (
+  SELECT c.cell FROM c, q
+  ORDER BY round(list_dot_product(c.cv, q.qv)
+                 / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+           c.cell ASC
+  LIMIT 3
+),
+u AS (SELECT vec_id, j.range AS pos, v[j.range + 1] AS x FROM e, range(64) j),
+b AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM u GROUP BY pos),
+codes AS (
+  SELECT u.vec_id, u.pos,
+         CASE WHEN b.mx - b.mn = 0.0 THEN 0
+              ELSE LEAST(255, GREATEST(0,
+                   CAST(floor(((u.x - b.mn) / (b.mx - b.mn)) * 256.0) AS INT)))
+         END AS code
+  FROM u JOIN b USING (pos)
+),
+qd AS (SELECT j.range AS pos, qv[j.range + 1] AS qx FROM q, range(64) j),
+th AS (
+  SELECT codes.vec_id,
+         qd.qx - (b.mn + (CAST(codes.code AS DOUBLE) + 0.5) * ((b.mx - b.mn) / 256.0)) AS err
+  FROM codes JOIN b USING (pos) JOIN qd USING (pos)
+),
+terms AS (
+  SELECT vec_id, CAST(round(round(err * err, 6) * 1000000.0, 0) AS BIGINT) AS t
+  FROM th
+),
+s AS (
+  SELECT terms.vec_id, CAST(sum(t) AS BIGINT) AS ssum
+  FROM terms
+  JOIN assign ON assign.vec_id = terms.vec_id AND assign.rn = 1
+  WHERE assign.cell IN (SELECT cell FROM probe)
+  GROUP BY terms.vec_id
+)
+SELECT vec_id, round(ssum / 1000000.0, 6) AS adist
+FROM s ORDER BY adist ASC, vec_id ASC LIMIT 10
+"""
+
+
 def q79_label_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label write-back composite (reference identity.py:165-199: calibrated
     probabilities bulk-created into a derived DB table, later re-read and
@@ -3932,6 +4030,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_minhash_lsh_pairs": q28_minhash_lsh_pairs,
     "q93_minhash_cw_pairs": q93_minhash_cw_pairs,
     "q94_opq_ann": q94_opq_ann,
+    "q95_ivfsq_ann": q95_ivfsq_ann,
     "q60_winnow_pairs": q60_winnow_pairs,
     "q71_dedup_groups": q71_dedup_groups,
     "q81_pq_codes": q81_pq_codes,
@@ -4052,6 +4151,7 @@ _ORACLES: dict[str, str] = {
     "q27_doc_fingerprints": Q27_SQL,
     "q28_minhash_lsh_pairs": Q28_SQL,
     "q93_minhash_cw_pairs": Q93_SQL,
+    "q95_ivfsq_ann": Q95_SQL,
     "q29_simhash": Q29_SQL,
     "q30_source_token_stats": Q30_SQL,
     "q31_knn": Q31_SQL,

@@ -65,9 +65,11 @@ HEADLINE = [
     "q89_wav_decode_stats",
     "q90_avi_decode_stats",
     "q92_ivfpq_ann",
-    # round-7 addition: the OPQ-rotated IVF-PQ probe (same zero-join
+    # round-7 additions: the OPQ-rotated IVF-PQ probe (same zero-join
     # serving plan as q92; the rotation costs one GEMM at build only)
+    # and the IVF-SQ8 probe (1 byte/dim scalar codes, codebook-free)
     "q94_opq_ann",
+    "q95_ivfsq_ann",
     # q93 (Carter-Wegman minhash) is DEMOTED from the headline loop
     # (round-6 VERDICT #5): it lost its own bake-off to q28's classic
     # signature (3.2s/round re-proving a negative); it remains a full

@@ -1397,6 +1397,183 @@ def ivfpq_probe_index(
     )
 
 
+def sq_fit(
+    df: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension (pos, mn, mx) quantization bounds over the first
+    `dim` coordinates — the training pass of 8-bit scalar quantization
+    (FAISS IndexScalarQuantizer QT_8bit; the rung between raw vectors
+    and PQ: 8 bytes/dim -> 1 byte/dim with NO codebook, every step plain
+    arithmetic a SQL engine replays exactly).  Scale shape: posexplode
+    fans n*dim rows but the min/max agg combines map-side, so the
+    exchange carries partitions x dim rows, not the corpus."""
+    v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
+    return (
+        df.select(F.posexplode(v).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+
+
+def _sq_encode_expr(vec64, mn: list[float], mx: list[float]):
+    """codes[j] = clamp(floor(((x-mn)/(mx-mn)) * 256), 0, 255) — the
+    expression tree mirrors the oracle SQL operation-for-operation so
+    IEEE float64 results are bit-identical (no reassociation)."""
+    rng = [float(b) - float(a) for a, b in zip(mn, mx)]
+    z1 = F.zip_with(vec64, lit_vector([float(a) for a in mn]), lambda x, m: x - m)
+    return F.zip_with(
+        z1,
+        lit_vector(rng),
+        lambda t, r: F.when(r == F.lit(0.0), F.lit(0)).otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(F.lit(0), F.floor(t / r * F.lit(256.0)).cast("int")),
+            )
+        ).cast("int"),
+    )
+
+
+def ivfsq_build_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> None:
+    """Persist the IVF-SQ8 index: posting lists of 8-bit SCALAR-quantized
+    codes partitioned by the deterministic Lloyd cell — the FAISS
+    IVF+SQ8 layout, sitting between q80's raw-vector posting lists
+    (8 bytes/dim) and q92's PQ codes (0.5 bit/dim at m=8,k=16): 1
+    byte/dim, no codebook, and — unlike PQ — an encode/decode that is
+    PLAIN AFFINE ARITHMETIC, so the entire index (bounds, codes, probe
+    ranking) replays in ANSI SQL with zero training state beyond 2*dim
+    floats.
+
+    Tables under `path`: ``cells/`` (id, codes array<int>) PARTITIONED
+    BY cell; ``centroids/`` (cell, cv) the rank-based coarse quantizer;
+    ``sq/`` (pos, mn, mx) the per-dimension bounds.  meta.json is
+    written FIRST and the old generation's sentinel dropped before it
+    (the same rebuild-crash invalidation contract as ivfpq_build_index);
+    completeness = meta.json + centroids/_SUCCESS (centroids are the
+    last table written)."""
+    import json
+    import os
+
+    if dim is None:
+        raise ValueError("ivfsq_build_index: dim is required (fail-closed)")
+    os.makedirs(path, exist_ok=True)
+    for stale in (
+        os.path.join(path, "centroids", "_SUCCESS"),
+        os.path.join(path, "meta.json"),
+    ):
+        if os.path.exists(stale):
+            os.remove(stale)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"kind": "ivfsq", "dim": dim}, f)
+    assigned = lloyd_assign(
+        df, k=n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+    ).withColumnRenamed("cluster", "cell")
+    sq = sq_fit(df, dim, id_col=id_col, vec_col=vec_col)
+    sq.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "sq"))
+    bounds = sorted(sq.collect(), key=lambda r: r["pos"])
+    mn = [float(r["mn"]) for r in bounds]
+    mx = [float(r["mx"]) for r in bounds]
+    v64 = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
+    codes = df.select(
+        F.col(id_col).alias("id"), _sq_encode_expr(v64, mn, mx).alias("codes")
+    )
+    (
+        assigned.select(F.col(id_col).alias("id"), "cell")
+        .join(codes, "id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "cells"))
+    )
+    (
+        _rank_coarse_centroids(df, n_cells, id_col, vec_col, round_digits)
+        .select(F.col("cell"), F.col("cv"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "centroids"))
+    )
+
+
+def _sq_bounds(spark, path: str) -> tuple[list[float], list[float]]:
+    import os
+
+    rows = sorted(
+        spark.read.parquet(os.path.join(os.fspath(path), "sq")).collect(),
+        key=lambda r: r["pos"],
+    )
+    return [float(r["mn"]) for r in rows], [float(r["mx"]) for r in rows]
+
+
+def ivfsq_probe_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k_top: int,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Probe an `ivfsq_build_index` index: rank the stored coarse
+    centroids by rounded query-cosine (full-dim), then scan ONLY the
+    n_probe winning cells' partitions scoring each code row with the
+    asymmetric SQ distance sum_j (q_j - xhat_j)^2 where
+    xhat_j = mn_j + (code_j + 0.5) * (mx_j - mn_j)/256 — decode + score
+    fused into one zip_with/aggregate expression over literal bounds
+    (2*dim doubles), per-term rounded and scaled to BIGINT so the sum is
+    accumulation-order-free.  scan -> project -> TakeOrdered, zero
+    joins, I/O = n_probe/n_cells of the CODES.  Output (id_col, adist)
+    ascending, ties to the smaller id."""
+    import json
+    import os  # noqa: F811 — module style keeps os imports function-local
+
+    with open(os.path.join(path, "meta.json")) as f:
+        dim = int(json.load(f)["dim"])
+    scale = 10 ** round_digits
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    qlit = lit_vector([float(x) for x in query_vec])
+    probe = [
+        int(r["cell"])
+        for r in cents.select(
+            "cell", F.round(cosine(F.col("cv"), qlit), round_digits).alias("__sim")
+        )
+        .orderBy(F.col("__sim").desc(), F.col("cell").asc())
+        .limit(n_probe)
+        .collect()
+    ]
+    mn, mx = _sq_bounds(spark, path)
+    q64 = [float(x) for x in query_vec[:dim]]
+    delta = [(b - a) / 256.0 for a, b in zip(mn, mx)]
+    codes = spark.read.parquet(os.path.join(path, "cells")).where(
+        F.col("cell").isin(probe)
+    )
+    # op-for-op the oracle's tree: t=(c+0.5)*delta; xhat=mn+t; err=q-xhat
+    z1 = F.zip_with(
+        F.col("codes"),
+        lit_vector(delta),
+        lambda c, d: (c.cast("double") + F.lit(0.5)) * d,
+    )
+    xhat = F.zip_with(z1, lit_vector(mn), lambda t, m: m + t)
+    terms = F.zip_with(
+        lit_vector(q64),
+        xhat,
+        lambda qq, xh: F.round(
+            F.round((qq - xh) * (qq - xh), round_digits) * F.lit(float(scale)), 0
+        ).cast("long"),
+    )
+    ssum = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    adist = F.round(ssum / F.lit(float(scale)), round_digits)
+    return (
+        codes.select(F.col("id").alias(id_col), adist.alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+        .limit(k_top)
+    )
+
+
 def dist_to_targets(
     df: DataFrame,
     target_vecs: list[list[float]],

@@ -185,6 +185,60 @@ def ivfpq_stream_insert(
     )
 
 
+def ivfsq_stream_insert(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+):
+    """Incremental maintenance for the IVF-SQ8 index
+    (similarity.ivfsq_build_index): per micro-batch, assign the coarse
+    cell against the stored frozen centroids and SQ-encode against the
+    stored FROZEN per-dimension bounds, then append (id, codes) rows
+    PARTITIONED BY cell.  The bounds are a build-time property — a
+    vector outside the frozen range CLAMPS to code 0/255, exactly what
+    every production scalar quantizer does (re-fitting bounds is a
+    rebuild, not an insert).  The encode expression is the same
+    `_sq_encode_expr` the batch build uses, so inserted codes are
+    bit-identical to batch-encoding the same rows against the same
+    store (asserted in tests/test_streaming_ann.py)."""
+    import json
+
+    from esper_tv_spark.operators.similarity import _sq_bounds, _sq_encode_expr
+
+    def insert(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        with open(os.path.join(index_path, "meta.json")) as f:
+            dim = int(json.load(f)["dim"])
+        mn, mx = _sq_bounds(spark, index_path)
+        cents = _stored_centroids(spark, index_path)
+        assigned = lloyd_assign(
+            batch_df, centroids=cents, id_col=id_col, vec_col=vec_col,
+            round_digits=round_digits,
+        ).withColumnRenamed("cluster", "cell")
+        v64 = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
+        codes = batch_df.select(
+            F.col(id_col).alias("id"), _sq_encode_expr(v64, mn, mx).alias("codes")
+        )
+        (
+            assigned.select(F.col(id_col).alias("id"), "cell")
+            .join(codes, "id")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(os.path.join(index_path, "cells"))
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(insert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def ivf_recenter(
     spark: SparkSession, index_path: str, round_digits: int = 6
 ) -> None:

@@ -370,3 +370,13 @@ def test_ivfpq_probe_matches_composed_ivf_plus_pq(spark, tmp_path):
         (r["vec_id"], r["adist"]) for r in all_scores if int(r["vec_id"]) in keep
     ][:10]
     assert got == want
+
+
+def test_q95_ivfsq_probe_is_partition_pruned_joinless(spark):
+    """The IVF-SQ8 probe: literal-bounds affine scoring means scan ->
+    project -> TakeOrdered — partition-pruned on `cell`, no joins."""
+    df = m.queries()["q95_ivfsq_ann"](spark, SF)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert count_shuffles(df) <= 1

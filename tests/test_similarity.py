@@ -556,3 +556,77 @@ def test_opq_index_equals_prerotated_index(spark, tmp_path):
     got = [tuple(r) for r in sim.ivfpq_probe_index(spark, idx_a, q, 10, n_probe=3).collect()]
     want = [tuple(r) for r in sim.ivfpq_probe_index(spark, idx_b, q_rot, 10, n_probe=3).collect()]
     assert got == want and len(got) == 10
+
+
+def test_ivfsq_probe_matches_numpy_replay(spark, tmp_path):
+    """IVF-SQ8's whole pipeline — per-dim bounds, floor/clamp encode,
+    affine decode, scaled-BIGINT asymmetric distance — replayed in
+    numpy; the probe's top-10 must match exactly."""
+    import os
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = str(tmp_path / "ivfsq")
+    sim.ivfsq_build_index(emb, idx, n_cells=16, dim=64)
+
+    rows = sorted(
+        (r["vec_id"], np.array(r["embedding"], np.float64)) for r in emb.collect()
+    )
+    ids = np.array([r[0] for r in rows])
+    x = np.stack([r[1][:64] for r in rows])
+    mn, mx = x.min(axis=0), x.max(axis=0)
+    rng = mx - mn
+    with np.errstate(invalid="ignore", divide="ignore"):
+        c = np.floor(((x - mn) / rng) * 256.0)
+    c = np.where(rng == 0.0, 0, np.clip(c, 0, 255)).astype(np.int64)
+    delta = rng / 256.0
+    xhat = mn + (c + 0.5) * delta
+
+    # coarse assignment + probe selection (rank-based, rounded, full dim)
+    full = np.stack([r[1] for r in rows])
+    cents = np.round(full[:16], 6)
+    d2 = np.round(
+        (full * full).sum(1)[:, None] - 2.0 * full @ cents.T + (cents * cents).sum(1)[None, :],
+        6,
+    )
+    cell = ids[:16][d2.argmin(axis=1)]
+    qfull = full[ids.tolist().index(0)]
+    cos = np.round(
+        cents @ qfull / (np.linalg.norm(cents, axis=1) * np.linalg.norm(qfull)), 6
+    )
+    order = sorted(range(16), key=lambda i: (-cos[i], ids[i]))
+    probe_cells = {int(ids[i]) for i in order[:3]}
+
+    q64 = qfull[:64]
+    terms = np.round(np.round((q64 - xhat) ** 2, 6) * 1e6, 0).astype(np.int64)
+    adist = np.round(terms.sum(axis=1) / 1e6, 6)
+    keep = [i for i in range(len(ids)) if int(cell[i]) in probe_cells]
+    want = sorted(((adist[i], int(ids[i])) for i in keep))[:10]
+    want = [(b, a) for a, b in want]
+
+    got = [
+        (r["vec_id"], r["adist"])
+        for r in sim.ivfsq_probe_index(spark, idx, [float(v) for v in qfull], 10, n_probe=3).collect()
+    ]
+    assert got == want
+
+
+def test_ivfsq_reconstruction_error_bounded(spark, tmp_path):
+    """Midpoint decode error is at most half a quantization step per
+    dimension."""
+    import os
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = str(tmp_path / "ivfsq_err")
+    sim.ivfsq_build_index(emb, idx, n_cells=8, dim=64)
+    mn, mx = sim._sq_bounds(spark, idx)
+    mn, mx = np.array(mn), np.array(mx)
+    delta = (mx - mn) / 256.0
+    vecs = {r["vec_id"]: np.array(r["embedding"], np.float64)[:64] for r in emb.collect()}
+    for r in spark.read.parquet(os.path.join(idx, "cells")).collect():
+        c = np.array(r["codes"], np.float64)
+        xhat = mn + (c + 0.5) * delta
+        assert (np.abs(vecs[r["id"]] - xhat) <= delta / 2 + 1e-12).all()

@@ -320,3 +320,48 @@ def test_ivfpq_opq_stream_insert_equals_batch_rebuild(spark, tmp_path):
     got = [tuple(r) for r in ivfpq_probe_index(spark, idx, qv, 10, n_probe=3).collect()]
     want = [tuple(r) for r in ivfpq_probe_index(spark, idx_full, qv, 10, n_probe=3).collect()]
     assert got == want and len(got) == 10
+
+
+def test_ivfsq_stream_insert_encodes_identically(spark, tmp_path):
+    """IVF-SQ8 stream inserts: codes appended by the stream must be
+    bit-identical to batch-encoding the same rows against the SAME
+    store (frozen bounds + frozen centroids — bounds are a build-time
+    property; out-of-range arrivals clamp, as production SQ does)."""
+    from pyspark.sql import functions as PF
+
+    from esper_tv_spark.operators.similarity import (
+        _sq_bounds,
+        _sq_encode_expr,
+        ivfsq_build_index,
+        ivfsq_probe_index,
+    )
+    from esper_tv_spark.streaming.ann import ivfsq_stream_insert
+
+    emb = _emb(spark)
+    base = emb.where(F.col("vec_id") < 100)
+    tail = emb.where(F.col("vec_id") >= 100)
+
+    idx = str(tmp_path / "ivfsq_stream")
+    ivfsq_build_index(base, idx, n_cells=16, dim=64)
+
+    src = str(tmp_path / "tail_src")
+    tail.coalesce(1).write.parquet(src)
+    stream = file_stream(spark, src, tail.schema, max_files_per_trigger=1)
+    q = ivfsq_stream_insert(stream, idx, str(tmp_path / "ckpt")).start()
+    q.awaitTermination(180)
+
+    mn, mx = _sq_bounds(spark, idx)
+    v64 = PF.slice(PF.col("embedding").cast("array<double>"), 1, 64)
+    want = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in tail.select("vec_id", _sq_encode_expr(v64, mn, mx).alias("codes")).collect()
+    }
+    got = {
+        r["id"]: tuple(r["codes"])
+        for r in spark.read.parquet(os.path.join(idx, "cells")).collect()
+        if r["id"] >= 100
+    }
+    assert got == want and len(got) > 0
+
+    qv = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    assert len(ivfsq_probe_index(spark, idx, qv, 10, n_probe=3).collect()) == 10

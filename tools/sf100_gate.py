@@ -33,7 +33,9 @@ FEASIBLE = [
     "q92_ivfpq_ann",
     "q80_ivf_ann",
     # round-7: the OPQ-rotated IVF-PQ probe (rotation replayed relationally)
+    # and the IVF-SQ8 probe (bounds/encode/decode all plain SQL arithmetic)
     "q94_opq_ann",
+    "q95_ivfsq_ann",
     # regression classes (caught real bugs at this scale in r4)
     "q01_pricing_summary",
     "q16_events_hourly",
