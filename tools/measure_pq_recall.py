@@ -118,6 +118,34 @@ def main() -> int:
             f"n_probe={n_probe}/{N_CELLS}, m={M}, k={K})",
             flush=True,
         )
+
+    # context row: IVF-SQ8 at 1 byte/dim (16x the PQ storage at m=16 —
+    # not a like-for-like budget, the classic accuracy-for-bytes rung)
+    if hasattr(sim, "ivfsq_build_index"):
+        idx = os.path.join(fixture, "ivfsq")
+        t0 = time.time()
+        # rank-based coarse here would differ from cdf's KMeans cells;
+        # SQ8's build takes no coarse_centroids param — rebuild pattern
+        sim.ivfsq_build_index(df, idx, n_cells=N_CELLS, dim=dim)
+        build_s = time.time() - t0
+        hits = 0
+        t0 = time.time()
+        for qi in q_idx:
+            got = {
+                r["vec_id"]
+                for r in sim.ivfsq_probe_index(
+                    spark, idx, [float(x) for x in mat[qi]], TOPK, n_probe=n_probe
+                ).collect()
+            }
+            hits += len(got & truth[int(ids[qi])])
+        recall = hits / (TOPK * len(q_idx))
+        out["sq8"] = recall
+        print(
+            f"{'sq8':14s} recall@{TOPK} = {recall:.3f}   "
+            f"(build {build_s:.1f}s, probe {(time.time() - t0) / len(q_idx):.2f}s/q, "
+            f"n_probe={n_probe}/{N_CELLS}, 8 bit/dim)",
+            flush=True,
+        )
     spark.stop()
     print({"fixture": fixture, "recall": out})
     return 0
