@@ -3149,6 +3149,76 @@ FROM s ORDER BY adist ASC, vec_id ASC LIMIT 10
 """
 
 
+def q96_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed BATCH kNN join (similarity.ivf_knn_join_index): a query
+    BATCH (vec_ids 0, 7, 13) probes the q80 persisted IVF index in one
+    pass — per-query cell ranking is a broadcast cross against the tiny
+    centroid table + one narrow window; the posting lists are scanned
+    ONCE for the union of probed cells; each posting row meets its
+    probing queries via a broadcast join on `cell`; the only wide
+    exchange is the per-qid top-k window.  This is the serving-batch
+    twin of q80's single probe (per-query results bit-identical,
+    asserted in tests/test_plans.py) and the INDEXED upgrade of q38's
+    brute-force knn_join (n_probe/n_cells of the corpus scored instead
+    of all of it).  The oracle replays cell assignment, per-query probe
+    selection, in-cell cosine, and the per-query top-k window from the
+    base table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _ivf_index_dir(spark, sf_dir, n_cells=16)
+    queries = emb.where(F.col("vec_id").isin([0, 7, 13])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.ivf_knn_join_index(spark, idx, queries, 10, n_probe=3)
+    return out.orderBy("qid", F.col("cosine_sim").desc(), "vec_id")
+
+
+Q96_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 7, 13)),
+c AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS cv FROM e
+      ORDER BY vec_id LIMIT 16),
+d AS (
+  SELECT e.vec_id, c.cell,
+         round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM e, c
+),
+assign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+  FROM d
+),
+pr AS (
+  SELECT qs.qid, c.cell,
+         row_number() OVER (
+           PARTITION BY qs.qid
+           ORDER BY round(list_dot_product(c.cv, qs.qv)
+                          / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(qs.qv, qs.qv))), 6) DESC,
+                    c.cell ASC
+         ) AS rn
+  FROM qs, c
+),
+cand AS (
+  SELECT p.qid, a.vec_id
+  FROM assign a JOIN pr p ON a.cell = p.cell AND p.rn <= 3
+  WHERE a.rn = 1
+),
+scored AS (
+  SELECT cand.qid, cand.vec_id,
+         round(list_dot_product(e.v, qs.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qs.qv, qs.qv))), 6) AS cosine_sim
+  FROM cand JOIN e ON e.vec_id = cand.vec_id JOIN qs ON qs.qid = cand.qid
+),
+top AS (
+  SELECT qid, vec_id, cosine_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, cosine_sim FROM top WHERE rn <= 10
+ORDER BY qid, cosine_sim DESC, vec_id
+"""
+
+
 def q79_label_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label write-back composite (reference identity.py:165-199: calibrated
     probabilities bulk-created into a derived DB table, later re-read and
@@ -4031,6 +4101,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q93_minhash_cw_pairs": q93_minhash_cw_pairs,
     "q94_opq_ann": q94_opq_ann,
     "q95_ivfsq_ann": q95_ivfsq_ann,
+    "q96_ivf_knn_join": q96_ivf_knn_join,
     "q60_winnow_pairs": q60_winnow_pairs,
     "q71_dedup_groups": q71_dedup_groups,
     "q81_pq_codes": q81_pq_codes,
@@ -4152,6 +4223,7 @@ _ORACLES: dict[str, str] = {
     "q28_minhash_lsh_pairs": Q28_SQL,
     "q93_minhash_cw_pairs": Q93_SQL,
     "q95_ivfsq_ann": Q95_SQL,
+    "q96_ivf_knn_join": Q96_SQL,
     "q29_simhash": Q29_SQL,
     "q30_source_token_stats": Q30_SQL,
     "q31_knn": Q31_SQL,

@@ -556,6 +556,80 @@ def ivf_probe_index(
     )
 
 
+def ivf_knn_join_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 3,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """BATCH probe of an `ivf_build_index` index — the indexed kNN JOIN:
+    every row of `queries` (qid, qvec) gets its top-k from the persisted
+    posting lists, with ONE scan amortized across the whole query batch
+    (the serving pattern of every production ANN service: requests
+    arrive in batches; probing per-query would re-scan the shared cells
+    once per request).
+
+    Plan shape: queries x centroids is a broadcast cross of a tiny table
+    (n_cells rows) — per-query cell ranking costs one narrow window over
+    n_q*n_cells rows; the posting-list scan reads ONLY the UNION of
+    probed cells (one driver action collects the distinct cell ids for
+    partition pruning, the same stance as the single probe); each
+    posting row meets the queries probing its cell via a BROADCAST join
+    on `cell` (n_q*n_probe rows carrying the query vectors — KBs); the
+    only wide exchange is the per-qid top-k window over candidate rows
+    (n_probe/n_cells of the corpus x batch overlap).  Skew note: a hot
+    cell probed by many queries multiplies its rows by those queries —
+    bounded by the batch size, and the window key (qid) redistributes
+    before the heavy sort.
+
+    Output: (qid, id_col, cosine_sim), top-k per qid, ties to the
+    smaller id — per-query results bit-identical to `ivf_probe_index`
+    (asserted in tests)."""
+    import os
+
+    from pyspark.sql import Window
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    qn = queries.select(
+        F.col(qid_col),
+        F.col(qvec_col).cast("array<double>").alias("__qv"),
+    )
+    ranked = qn.crossJoin(F.broadcast(cents)).select(
+        qid_col,
+        "cell",
+        "__qv",
+        F.round(cosine(F.col("cv"), F.col("__qv")), round_digits).alias("__sim"),
+    )
+    wq = Window.partitionBy(qid_col).orderBy(F.col("__sim").desc(), F.col("cell").asc())
+    probe = (
+        ranked.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= n_probe)
+        .select(qid_col, "cell", "__qv")
+    )
+    cell_list = [int(r["cell"]) for r in probe.select("cell").distinct().collect()]
+    cells = spark.read.parquet(os.path.join(path, "cells")).where(
+        F.col("cell").isin(cell_list)
+    )
+    cand = cells.join(F.broadcast(probe), "cell")
+    sim = F.round(
+        dot(F.col("v"), F.col("__qv"))
+        / (F.col("norm") * F.sqrt(dot(F.col("__qv"), F.col("__qv")))),
+        round_digits,
+    )
+    wk = Window.partitionBy(qid_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (
+        cand.select(F.col(qid_col), F.col("id").alias(id_col), sim.alias("cosine_sim"))
+        .withColumn("__rn", F.row_number().over(wk))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def pq_assign_deterministic(
     df: DataFrame,
     m: int = 8,

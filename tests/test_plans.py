@@ -380,3 +380,38 @@ def test_q95_ivfsq_probe_is_partition_pruned_joinless(spark):
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert count_shuffles(df) <= 1
+
+
+def test_q96_batch_knn_join_matches_single_probes(spark, tmp_path):
+    """Per-query results of the batch kNN join are bit-identical to the
+    single-query probe; the plan broadcasts the query side (no shuffle
+    of the posting lists for the join) and prunes partitions."""
+    from pyspark.sql import functions as F
+
+    from esper_tv_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_knn_join_index,
+        ivf_probe_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_batch")
+    ivf_build_index(emb, idx, n_cells=16)
+    qids = [0, 7, 13]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = ivf_knn_join_index(spark, idx, queries, 10, n_probe=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], []).append((r["vec_id"], r["cosine_sim"]))
+    for qid in qids:
+        qv = [float(x) for x in emb.where(F.col("vec_id") == qid).first()["embedding"]]
+        want = [tuple(r) for r in ivf_probe_index(spark, idx, qv, 10, n_probe=3).collect()]
+        have = sorted(got[qid], key=lambda t: (-t[1], t[0]))
+        assert have == want, qid
+
+    plan = physical_plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

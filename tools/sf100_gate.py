@@ -36,6 +36,7 @@ FEASIBLE = [
     # and the IVF-SQ8 probe (bounds/encode/decode all plain SQL arithmetic)
     "q94_opq_ann",
     "q95_ivfsq_ann",
+    "q96_ivf_knn_join",
     # regression classes (caught real bugs at this scale in r4)
     "q01_pricing_summary",
     "q16_events_hourly",
