@@ -107,6 +107,15 @@ def main():
     os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
 
     con = duckdb.connect()
+    # a heavy oracle must SPILL, not OOM-kill the whole gate: the q94
+    # rotation replay at sf100 grew past 119 GB RSS and took the global
+    # OOM killer with it (losing every later query's record).  Cap the
+    # oracle engine and give it a disk spill dir; genuinely-infeasible
+    # oracles then fail their own query with an out-of-memory error and
+    # the gate keeps going.
+    con.execute("SET memory_limit = '48GB'")
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET temp_directory = '/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 

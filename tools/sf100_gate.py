@@ -32,9 +32,12 @@ FEASIBLE = [
     "q88_pq_adc_topk",
     "q92_ivfpq_ann",
     "q80_ivf_ann",
-    # round-7: the OPQ-rotated IVF-PQ probe (rotation replayed relationally)
-    # and the IVF-SQ8 probe (bounds/encode/decode all plain SQL arithmetic)
-    "q94_opq_ann",
+    # round-7: the IVF-SQ8 probe (bounds/encode/decode all plain SQL
+    # arithmetic) and the indexed batch kNN join.  q94 (OPQ) is NOT here:
+    # its rotation-replay CTE exceeded 119 GB in DuckDB at sf100 (measured
+    # — it OOM-killed the first r7 gate attempt); q94 joins the documented
+    # sf100-oracle-infeasible list (q28/q37/q60/q85/q93) with sf1 hash
+    # evidence from the full gate.
     "q95_ivfsq_ann",
     "q96_ivf_knn_join",
     # regression classes (caught real bugs at this scale in r4)
