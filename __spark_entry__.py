@@ -3219,6 +3219,107 @@ ORDER BY qid, cosine_sim DESC, vec_id
 """
 
 
+def q97_ivfpq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ADC probe of the persisted IVF-PQ index
+    (similarity.ivfpq_knn_join_index): the q96 amortized-scan kNN join
+    applied to PQ-coded posting lists — the batch-serving shape of the
+    billion-vector index.  A 3-query batch (vec_ids 0, 7, 13) shares ONE
+    partition-pruned scan of the union of probed cells; each code row is
+    scored against every query probing its cell via a literal map
+    qid -> ADC LUT (no join for the LUT — n_q*m*k longs inline); the
+    only wide exchange is the per-qid top-k window.  Per-query results
+    bit-identical to q92's single probe (asserted in
+    tests/test_plans.py).  The oracle replays coarse assignment,
+    per-query probe selection, PQ encode, per-query LUTs, and the
+    scaled-int ADC sum for the whole batch."""
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _ivfpq_index_dir(spark, sf_dir)
+    queries = emb.where(F.col("vec_id").isin([0, 7, 13])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.ivfpq_knn_join_index(spark, idx, queries, 10, n_probe=3)
+    return out.orderBy("qid", F.col("adist").asc(), "vec_id")
+
+
+Q97_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qb AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 7, 13)),
+c AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS cv FROM e
+      ORDER BY vec_id LIMIT 16),
+cd AS (
+  SELECT e.vec_id, c.cell,
+         round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM e, c
+),
+assign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+  FROM cd
+),
+pr AS (
+  SELECT qb.qid, c.cell,
+         row_number() OVER (
+           PARTITION BY qb.qid
+           ORDER BY round(list_dot_product(c.cv, qb.qv)
+                          / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(qb.qv, qb.qv))), 6) DESC,
+                    c.cell ASC
+         ) AS rn
+  FROM qb, c
+),
+subs AS (
+  SELECT e.vec_id, j.range AS subspace,
+         list_slice(e.v, j.range * 8 + 1, j.range * 8 + 8) AS sv
+  FROM e, range(8) j
+),
+cents AS (
+  SELECT e.vec_id AS code, j.range AS subspace,
+         list_transform(list_slice(e.v, j.range * 8 + 1, j.range * 8 + 8),
+                        x -> round(x, 6)) AS sc
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16) e, range(8) j
+),
+d AS (
+  SELECT s.vec_id, s.subspace, c.code,
+         round(list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.sc)
+               + list_dot_product(c.sc, c.sc), 6) AS d2
+  FROM subs s JOIN cents c ON s.subspace = c.subspace
+),
+a AS (
+  SELECT vec_id, subspace, code,
+         row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) AS rn
+  FROM d
+),
+qsub AS (
+  SELECT qb.qid, j.range AS subspace,
+         list_slice(qb.qv, j.range * 8 + 1, j.range * 8 + 8) AS sv
+  FROM qb, range(8) j
+),
+lut AS (
+  SELECT qsub.qid, c.subspace, c.code,
+         CAST(round(round(list_dot_product(qsub.sv, qsub.sv)
+                          - 2.0 * list_dot_product(qsub.sv, c.sc)
+                          + list_dot_product(c.sc, c.sc), 6) * 1000000.0, 0) AS BIGINT) AS sd2
+  FROM cents c JOIN qsub ON qsub.subspace = c.subspace
+),
+s AS (
+  SELECT p.qid, a.vec_id, CAST(sum(l.sd2) AS BIGINT) AS ssum
+  FROM a
+  JOIN assign ON assign.vec_id = a.vec_id AND assign.rn = 1
+  JOIN pr p ON p.cell = assign.cell AND p.rn <= 3
+  JOIN lut l ON l.qid = p.qid AND l.subspace = a.subspace AND l.code = a.code
+  WHERE a.rn = 1
+  GROUP BY p.qid, a.vec_id
+),
+top AS (
+  SELECT qid, vec_id, round(ssum / 1000000.0, 6) AS adist,
+         row_number() OVER (PARTITION BY qid ORDER BY round(ssum / 1000000.0, 6) ASC, vec_id ASC) AS rn
+  FROM s
+)
+SELECT qid, vec_id, adist FROM top WHERE rn <= 10
+ORDER BY qid, adist ASC, vec_id
+"""
+
+
 def q79_label_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label write-back composite (reference identity.py:165-199: calibrated
     probabilities bulk-created into a derived DB table, later re-read and
@@ -4101,6 +4202,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q94_opq_ann": q94_opq_ann,
     "q95_ivfsq_ann": q95_ivfsq_ann,
     "q96_ivf_knn_join": q96_ivf_knn_join,
+    "q97_ivfpq_knn_join": q97_ivfpq_knn_join,
     "q92_ivfpq_ann": q92_ivfpq_ann,
     "q46_asset_decode_stats": q46_asset_decode_stats,
     "q64_pos_tags": q64_pos_tags,
@@ -4224,6 +4326,7 @@ _ORACLES: dict[str, str] = {
     "q93_minhash_cw_pairs": Q93_SQL,
     "q95_ivfsq_ann": Q95_SQL,
     "q96_ivf_knn_join": Q96_SQL,
+    "q97_ivfpq_knn_join": Q97_SQL,
     "q29_simhash": Q29_SQL,
     "q30_source_token_stats": Q30_SQL,
     "q31_knn": Q31_SQL,

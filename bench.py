@@ -70,9 +70,10 @@ HEADLINE = [
     # and the IVF-SQ8 probe (1 byte/dim scalar codes, codebook-free)
     "q94_opq_ann",
     "q95_ivfsq_ann",
-    # and the indexed BATCH kNN join (one posting-list scan amortized
-    # across the query batch — the serving twin of q80's single probe)
+    # and the indexed BATCH kNN joins (one posting-list scan amortized
+    # across the query batch — the serving twins of the single probes)
     "q96_ivf_knn_join",
+    "q97_ivfpq_knn_join",
     # q93 (Carter-Wegman minhash) is DEMOTED from the headline loop
     # (round-6 VERDICT #5): it lost its own bake-off to q28's classic
     # signature (3.2s/round re-proving a negative); it remains a full

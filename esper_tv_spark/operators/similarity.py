@@ -1471,6 +1471,96 @@ def ivfpq_probe_index(
     )
 
 
+def ivfpq_knn_join_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k_top: int,
+    n_probe: int = 3,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """BATCH ADC probe of an `ivfpq_build_index` index — q96's
+    amortized-scan kNN join applied to the PQ-coded posting lists (the
+    billion-vector serving batch): ONE partition-pruned scan of the
+    union of all queries' probed cells, each code row scored against
+    every query probing its cell via a LITERAL map qid -> ADC LUT
+    (n_q * m * k longs — KBs for a serving batch), one wide exchange =
+    the per-qid top-k window.
+
+    The query batch is COLLECTED to the driver (a serving batch is
+    small by definition — it has to fit in one RPC) to build the LUT
+    literals; cell ranking runs as ONE Spark action over the n_cells
+    centroid rows with one rounded-cosine column per query (the same
+    expressions the single probe and the oracle use).  Raw and OPQ
+    indexes supported (OPQ rotates the collected queries driver-side);
+    by_residual needs per-(qid, cell) LUTs and keeps the single-probe
+    path."""
+    import os
+
+    from pyspark.sql import Window
+
+    meta = _ivfpq_meta(path)
+    if meta["by_residual"]:
+        raise ValueError(
+            "ivfpq_knn_join_index: residual indexes need per-(qid, cell) "
+            "LUTs — probe them one query at a time (ivfpq_probe_index)"
+        )
+    scale = 10 ** round_digits
+    q_rows = queries.select(
+        F.col(qid_col), F.col(qvec_col).cast("array<double>").alias("__qv")
+    ).collect()
+    qids = [int(r[qid_col]) for r in q_rows]
+    qvecs = [[float(x) for x in r["__qv"]] for r in q_rows]
+    if meta["opq"]:
+        import numpy as np
+
+        rot = np.asarray(_ivfpq_rotation(spark, path), dtype=np.float64)
+        qvecs = [
+            [float(v) for v in np.round(np.asarray(q) @ rot, round_digits)]
+            for q in qvecs
+        ]
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    sim_cols = [
+        F.round(cosine(F.col("cv"), lit_vector(q)), round_digits).alias(f"__s{i}")
+        for i, q in enumerate(qvecs)
+    ]
+    cent_rows = cents.select("cell", *sim_cols).collect()
+    pairs = []  # (qid, cell)
+    for i, qid in enumerate(qids):
+        ranked = sorted(cent_rows, key=lambda r: (-r[f"__s{i}"], r["cell"]))
+        pairs.extend((qid, int(r["cell"])) for r in ranked[:n_probe])
+    cell_list = sorted({c for _q, c in pairs})
+
+    cb = spark.read.parquet(os.path.join(path, "codebooks"))
+    luts = _adc_lut_literals(cb, qvecs, round_digits)
+    qid_lut = F.map_from_arrays(
+        F.array(*[F.lit(q).cast("long") for q in qids]), F.array(*luts)
+    )
+    pair_df = spark.createDataFrame(pairs, f"{qid_col} long, cell long")
+    codes = spark.read.parquet(os.path.join(path, "cells")).where(
+        F.col("cell").isin(cell_list)
+    )
+    cand = codes.join(F.broadcast(pair_df), "cell")
+    lut_col = F.element_at(qid_lut, F.col(qid_col))
+    ssum = F.aggregate(
+        F.zip_with(lut_col, F.col("codes"), lambda row, c: F.element_at(row, c + 1)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    adist = F.round(ssum / F.lit(float(scale)), round_digits)
+    wk = Window.partitionBy(qid_col).orderBy(F.col("adist").asc(), F.col(id_col).asc())
+    return (
+        cand.select(F.col(qid_col), F.col("id").alias(id_col), adist.alias("adist"))
+        .withColumn("__rn", F.row_number().over(wk))
+        .where(F.col("__rn") <= k_top)
+        .drop("__rn")
+    )
+
+
 def sq_fit(
     df: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

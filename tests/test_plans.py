@@ -415,3 +415,41 @@ def test_q96_batch_knn_join_matches_single_probes(spark, tmp_path):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q97_batch_adc_join_matches_single_probes(spark, tmp_path):
+    """Per-query results of the batched ADC kNN join equal the single
+    ivfpq probe bit-for-bit; OPQ indexes rotate the batch the same way;
+    residual indexes are refused (per-cell LUTs)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from esper_tv_spark.operators.similarity import (
+        ivfpq_build_index,
+        ivfpq_knn_join_index,
+        ivfpq_probe_index,
+        opq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    qids = [0, 7, 13]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    rot = opq_train(emb, m=8, k=16, dim=64, iters=2, sample_rows=256)
+    for tag, kw in (("raw", {}), ("opq", {"opq_rotation": rot})):
+        idx = str(tmp_path / tag)
+        ivfpq_build_index(emb, idx, n_cells=16, m=8, k=16, dim=64, **kw)
+        out = ivfpq_knn_join_index(spark, idx, queries, 10, n_probe=3)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["qid"], []).append((r["vec_id"], r["adist"]))
+        for qid in qids:
+            qv = [float(x) for x in emb.where(F.col("vec_id") == qid).first()["embedding"]]
+            want = [tuple(r) for r in ivfpq_probe_index(spark, idx, qv, 10, n_probe=3).collect()]
+            assert sorted(got[qid], key=lambda t: (t[1], t[0])) == want, (tag, qid)
+
+    idx_res = str(tmp_path / "res")
+    ivfpq_build_index(emb, idx_res, n_cells=16, m=8, k=16, dim=64, by_residual=True)
+    with pytest.raises(ValueError, match="residual"):
+        ivfpq_knn_join_index(spark, idx_res, queries, 10)

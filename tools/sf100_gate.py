@@ -40,6 +40,7 @@ FEASIBLE = [
     # evidence from the full gate.
     "q95_ivfsq_ann",
     "q96_ivf_knn_join",
+    "q97_ivfpq_knn_join",
     # regression classes (caught real bugs at this scale in r4)
     "q01_pricing_summary",
     "q16_events_hourly",
