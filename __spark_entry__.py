@@ -3320,6 +3320,241 @@ ORDER BY qid, adist ASC, vec_id
 """
 
 
+def _q98_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per dataset fingerprint) the RESIDUAL IVF-PQ index
+    (by_residual=True, rank-based coarse quantizer so the oracle can
+    replay the codebook seeds) — same fingerprint + eviction stance as
+    `_ivfpq_index_dir`."""
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _dir_fingerprint(src)
+    idx = os.path.join(tempfile.gettempdir(), f"esper_tv_ivfpqres_idx_{sf_tag}_{tag}")
+    if not (
+        os.path.exists(os.path.join(idx, "codebooks", "_SUCCESS"))
+        and os.path.exists(os.path.join(idx, "meta.json"))
+    ):
+        _evict_stale_siblings(f"esper_tv_ivfpqres_idx_{sf_tag}_", keep=idx)
+        similarity.ivfpq_build_index(
+            _t(spark, sf_dir, "embeddings"), idx,
+            n_cells=16, m=8, k=16, dim=64, by_residual=True,
+        )
+    return idx
+
+
+def q98_ivfpq_residual_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ADC kNN join over the RESIDUAL IVF-PQ index (FAISS's
+    default IVFADC refinement, Jegou et al. 2011 §IV): the stored codes
+    quantize r = v - centroid[cell], so the query-side LUT differs PER
+    PROBED CELL — the batch join keys its literal LUT map on the
+    composite (qid, cell) pair (n_q * n_probe LUTs of m*k longs, inline,
+    zero LUT joins) instead of q97's qid alone.  This closes the
+    batched-serving matrix for the highest-recall PQ rung: one
+    partition-pruned posting scan shared by the whole batch, one
+    broadcast (qid, cell) pair join, one per-qid top-k window.  The
+    oracle replays EVERYTHING from the base table: coarse assignment,
+    per-vector residuals, the residual codebook seeds (the 16 smallest
+    NON-centroid ids — centroid rows have ~zero residuals and would
+    degenerate the codebook), the residual PQ encode, per-(qid, cell)
+    query-residual LUTs, and the scaled-int ADC sum.  Per-query results
+    bit-identical to ivfpq_probe_index on the same index (asserted in
+    tests/test_plans.py, raw/OPQ/residual/OPQ+residual).  Reference
+    shape: batch serving of face_embeddings.py:74-96 knn."""
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _q98_index_dir(spark, sf_dir)
+    queries = emb.where(F.col("vec_id").isin([0, 7, 13])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.ivfpq_knn_join_index(spark, idx, queries, 10, n_probe=3)
+    return out.orderBy("qid", F.col("adist").asc(), "vec_id")
+
+
+Q98_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qb AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 7, 13)),
+c AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS cv FROM e
+      ORDER BY vec_id LIMIT 16),
+cd AS (
+  SELECT e.vec_id, c.cell,
+         round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM e, c
+),
+assign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+  FROM cd
+),
+pr AS (
+  SELECT qb.qid, c.cell,
+         row_number() OVER (
+           PARTITION BY qb.qid
+           ORDER BY round(list_dot_product(c.cv, qb.qv)
+                          / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(qb.qv, qb.qv))), 6) DESC,
+                    c.cell ASC
+         ) AS rn
+  FROM qb, c
+),
+rv AS (
+  SELECT e.vec_id,
+         list_transform(list_zip(list_slice(e.v, 1, 64), list_slice(c.cv, 1, 64)),
+                        z -> z[1] - z[2]) AS r
+  FROM e
+  JOIN assign ON assign.vec_id = e.vec_id AND assign.rn = 1
+  JOIN c ON c.cell = assign.cell
+),
+cbv AS (
+  SELECT vec_id, r FROM rv WHERE vec_id NOT IN (SELECT cell FROM c)
+  ORDER BY vec_id LIMIT 16
+),
+cents AS (
+  SELECT cbv.vec_id AS code, j.range AS subspace,
+         list_transform(list_slice(cbv.r, j.range * 8 + 1, j.range * 8 + 8),
+                        x -> round(x, 6)) AS sc
+  FROM cbv, range(8) j
+),
+subs AS (
+  SELECT rv.vec_id, j.range AS subspace,
+         list_slice(rv.r, j.range * 8 + 1, j.range * 8 + 8) AS sv
+  FROM rv, range(8) j
+),
+d AS (
+  SELECT s.vec_id, s.subspace, c.code,
+         round(list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.sc)
+               + list_dot_product(c.sc, c.sc), 6) AS d2
+  FROM subs s JOIN cents c ON s.subspace = c.subspace
+),
+a AS (
+  SELECT vec_id, subspace, code,
+         row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) AS rn
+  FROM d
+),
+qres AS (
+  SELECT p.qid, p.cell, j.range AS subspace,
+         list_slice(list_transform(list_zip(list_slice(qb.qv, 1, 64),
+                                            list_slice(c.cv, 1, 64)),
+                                   z -> z[1] - z[2]),
+                    j.range * 8 + 1, j.range * 8 + 8) AS sv
+  FROM pr p
+  JOIN qb ON qb.qid = p.qid
+  JOIN c ON c.cell = p.cell, range(8) j
+  WHERE p.rn <= 3
+),
+lut AS (
+  SELECT qres.qid, qres.cell, c2.subspace, c2.code,
+         CAST(round(round(list_dot_product(qres.sv, qres.sv)
+                          - 2.0 * list_dot_product(qres.sv, c2.sc)
+                          + list_dot_product(c2.sc, c2.sc), 6) * 1000000.0, 0) AS BIGINT) AS sd2
+  FROM cents c2 JOIN qres ON qres.subspace = c2.subspace
+),
+s AS (
+  SELECT p.qid, a.vec_id, CAST(sum(l.sd2) AS BIGINT) AS ssum
+  FROM a
+  JOIN assign ON assign.vec_id = a.vec_id AND assign.rn = 1
+  JOIN pr p ON p.cell = assign.cell AND p.rn <= 3
+  JOIN lut l ON l.qid = p.qid AND l.cell = p.cell
+            AND l.subspace = a.subspace AND l.code = a.code
+  WHERE a.rn = 1
+  GROUP BY p.qid, a.vec_id
+),
+top AS (
+  SELECT qid, vec_id, round(ssum / 1000000.0, 6) AS adist,
+         row_number() OVER (PARTITION BY qid ORDER BY round(ssum / 1000000.0, 6) ASC, vec_id ASC) AS rn
+  FROM s
+)
+SELECT qid, vec_id, adist FROM top WHERE rn <= 10
+ORDER BY qid, adist ASC, vec_id
+"""
+
+
+def q99_ivfsq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched kNN join over the persisted IVF-SQ8 index
+    (similarity.ivfsq_knn_join_index): q96's amortized-scan serving
+    shape applied to 8-bit scalar-quantized posting lists.  The affine
+    decode xhat = mn + (code + 0.5) * (mx - mn)/256 is query-INDEPENDENT
+    arithmetic, so the batch needs no per-query LUTs at all — the
+    broadcast (qid, cell) pair rows carry each query's dim-slice and the
+    fused decode+score expression reads it as a column (op-for-op the
+    single probe's tree, so IEEE float64 results are bit-identical —
+    asserted per query in tests/test_plans.py).  ONE partition-pruned
+    scan of the union of probed cells, one broadcast pair join, one
+    per-qid top-k window.  The oracle replays bounds, encode, decode,
+    per-query probe selection, and the scaled-BIGINT term sum for the
+    whole batch from the base table — like q95, the entire index state
+    is ANSI-SQL-derivable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _q95_index_dir(spark, sf_dir)
+    queries = emb.where(F.col("vec_id").isin([0, 7, 13])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.ivfsq_knn_join_index(spark, idx, queries, 10, n_probe=3)
+    return out.orderBy("qid", F.col("adist").asc(), "vec_id")
+
+
+Q99_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qb AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 7, 13)),
+c AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS cv FROM e
+      ORDER BY vec_id LIMIT 16),
+cd AS (
+  SELECT e.vec_id, c.cell,
+         round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM e, c
+),
+assign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+  FROM cd
+),
+pr AS (
+  SELECT qb.qid, c.cell,
+         row_number() OVER (
+           PARTITION BY qb.qid
+           ORDER BY round(list_dot_product(c.cv, qb.qv)
+                          / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(qb.qv, qb.qv))), 6) DESC,
+                    c.cell ASC
+         ) AS rn
+  FROM qb, c
+),
+u AS (SELECT vec_id, j.range AS pos, v[j.range + 1] AS x FROM e, range(64) j),
+b AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM u GROUP BY pos),
+codes AS (
+  SELECT u.vec_id, u.pos,
+         CASE WHEN b.mx - b.mn = 0.0 THEN 0
+              ELSE LEAST(255, GREATEST(0,
+                   CAST(floor(((u.x - b.mn) / (b.mx - b.mn)) * 256.0) AS INT)))
+         END AS code
+  FROM u JOIN b USING (pos)
+),
+qd AS (SELECT qb.qid, j.range AS pos, qb.qv[j.range + 1] AS qx FROM qb, range(64) j),
+th AS (
+  SELECT qd.qid, codes.vec_id,
+         qd.qx - (b.mn + (CAST(codes.code AS DOUBLE) + 0.5) * ((b.mx - b.mn) / 256.0)) AS err
+  FROM codes JOIN b USING (pos) JOIN qd USING (pos)
+),
+terms AS (
+  SELECT qid, vec_id, CAST(round(round(err * err, 6) * 1000000.0, 0) AS BIGINT) AS t
+  FROM th
+),
+s AS (
+  SELECT p.qid, terms.vec_id, CAST(sum(t) AS BIGINT) AS ssum
+  FROM terms
+  JOIN assign ON assign.vec_id = terms.vec_id AND assign.rn = 1
+  JOIN pr p ON p.cell = assign.cell AND p.rn <= 3 AND p.qid = terms.qid
+  GROUP BY p.qid, terms.vec_id
+),
+top AS (
+  SELECT qid, vec_id, round(ssum / 1000000.0, 6) AS adist,
+         row_number() OVER (PARTITION BY qid ORDER BY round(ssum / 1000000.0, 6) ASC, vec_id ASC) AS rn
+  FROM s
+)
+SELECT qid, vec_id, adist FROM top WHERE rn <= 10
+ORDER BY qid, adist ASC, vec_id
+"""
+
+
 def q79_label_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label write-back composite (reference identity.py:165-199: calibrated
     probabilities bulk-created into a derived DB table, later re-read and
@@ -4203,6 +4438,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_ivfsq_ann": q95_ivfsq_ann,
     "q96_ivf_knn_join": q96_ivf_knn_join,
     "q97_ivfpq_knn_join": q97_ivfpq_knn_join,
+    "q98_ivfpq_residual_knn_join": q98_ivfpq_residual_knn_join,
+    "q99_ivfsq_knn_join": q99_ivfsq_knn_join,
     "q92_ivfpq_ann": q92_ivfpq_ann,
     "q46_asset_decode_stats": q46_asset_decode_stats,
     "q64_pos_tags": q64_pos_tags,
@@ -4327,6 +4564,8 @@ _ORACLES: dict[str, str] = {
     "q95_ivfsq_ann": Q95_SQL,
     "q96_ivf_knn_join": Q96_SQL,
     "q97_ivfpq_knn_join": Q97_SQL,
+    "q98_ivfpq_residual_knn_join": Q98_SQL,
+    "q99_ivfsq_knn_join": Q99_SQL,
     "q29_simhash": Q29_SQL,
     "q30_source_token_stats": Q30_SQL,
     "q31_knn": Q31_SQL,

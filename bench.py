@@ -74,6 +74,11 @@ HEADLINE = [
     # across the query batch — the serving twins of the single probes)
     "q96_ivf_knn_join",
     "q97_ivfpq_knn_join",
+    # round-8 additions: the batched-serving matrix completed — residual
+    # IVF-PQ kNN join (per-(qid,cell) literal LUTs) and the IVF-SQ8 batch
+    # join (query slice as a broadcast column, no LUTs at all)
+    "q98_ivfpq_residual_knn_join",
+    "q99_ivfsq_knn_join",
     # q93 (Carter-Wegman minhash) is DEMOTED from the headline loop
     # (round-6 VERDICT #5): it lost its own bake-off to q28's classic
     # signature (3.2s/round re-proving a negative); it remains a full

@@ -151,7 +151,7 @@ def knn_join_vectorized(
                 continue
             c_mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
-            sims = np.round(c_mat @ mat_b.T, round_digits)  # (n_corpus, n_q)
+            sims = _round_half_away(c_mat @ mat_b.T, round_digits)  # (n_corpus, n_q)
             top = min(k, len(pdf))
             # per-partition top-k per query: only k*n_q rows leave the task
             order = np.argsort(-sims, axis=0, kind="stable")[:top]
@@ -556,6 +556,67 @@ def ivf_probe_index(
     )
 
 
+def _collect_query_batch(
+    queries: DataFrame, qid_col: str, qvec_col: str
+) -> tuple[list[int], list[list[float]]]:
+    """Collect a kNN-join serving batch ONCE (a serving batch is small by
+    definition — it arrives in one RPC) and validate its ids: every
+    downstream structure — the literal qid -> LUT map, the broadcast
+    (qid, cell) pair rows, the per-qid top-k window — keys on an
+    integral, UNIQUE qid.  A float id would silently truncate; a
+    duplicate would make `map_from_arrays` fail deep inside codegen (or
+    silently drop a query under map dedup policy).  Collecting exactly
+    once also means a nondeterministic `queries` plan (sample / limit
+    without order) cannot diverge between cell ranking and scoring —
+    both derive from this one collect."""
+    rows = queries.select(
+        F.col(qid_col), F.col(qvec_col).cast("array<double>").alias("__qv")
+    ).collect()
+    qids: list[int] = []
+    for r in rows:
+        q = r[qid_col]
+        if q is None or float(q) != int(q):
+            raise ValueError(
+                f"batch kNN join: {qid_col}={q!r} is not an integral query id"
+            )
+        qids.append(int(q))
+    if len(set(qids)) != len(qids):
+        dupes = sorted({q for q in qids if qids.count(q) > 1})
+        raise ValueError(
+            f"batch kNN join: duplicate {qid_col} values {dupes} in the query batch"
+        )
+    qvecs = [[float(x) for x in r["__qv"]] for r in rows]
+    return qids, qvecs
+
+
+def _rank_probe_cells(
+    cents: DataFrame,
+    qids: list[int],
+    qvecs: list[list[float]],
+    n_probe: int,
+    round_digits: int,
+) -> tuple[list[tuple[int, int]], list[int], dict[int, list[float]]]:
+    """Rank the stored coarse centroids for EVERY query of a collected
+    serving batch in ONE Spark action — one rounded-cosine column per
+    query over the n_cells-row table — and pick each query's n_probe
+    cells driver-side under the same (sim desc, cell asc) total order
+    the single probes use, so batch results stay bit-identical to them.
+    Returns (pairs [(qid, cell)], sorted distinct cell list for
+    partition pruning, cell -> centroid-vector map for residual LUTs)."""
+    sim_cols = [
+        F.round(cosine(F.col("cv"), lit_vector(q)), round_digits).alias(f"__s{i}")
+        for i, q in enumerate(qvecs)
+    ]
+    cent_rows = cents.select("cell", "cv", *sim_cols).collect()
+    pairs: list[tuple[int, int]] = []
+    for i, qid in enumerate(qids):
+        ranked = sorted(cent_rows, key=lambda r: (-r[f"__s{i}"], r["cell"]))
+        pairs.extend((qid, int(r["cell"])) for r in ranked[:n_probe])
+    cell_list = sorted({c for _q, c in pairs})
+    cv_by_cell = {int(r["cell"]): [float(x) for x in r["cv"]] for r in cent_rows}
+    return pairs, cell_list, cv_by_cell
+
+
 def ivf_knn_join_index(
     spark,
     path: str,
@@ -574,11 +635,13 @@ def ivf_knn_join_index(
     arrive in batches; probing per-query would re-scan the shared cells
     once per request).
 
-    Plan shape: queries x centroids is a broadcast cross of a tiny table
-    (n_cells rows) — per-query cell ranking costs one narrow window over
-    n_q*n_cells rows; the posting-list scan reads ONLY the UNION of
-    probed cells (one driver action collects the distinct cell ids for
-    partition pruning, the same stance as the single probe); each
+    Plan shape: the query batch is COLLECTED once (it is a serving
+    batch — driver-sized by definition, and a single collect means a
+    nondeterministic `queries` plan cannot diverge between cell ranking
+    and scoring); per-query cell ranking is ONE Spark action over the
+    n_cells-row centroid table with one rounded-cosine column per query;
+    the posting-list scan reads ONLY the UNION of probed cells
+    (partition pruning, the same stance as the single probe); each
     posting row meets the queries probing its cell via a BROADCAST join
     on `cell` (n_q*n_probe rows carrying the query vectors — KBs); the
     only wide exchange is the per-qid top-k window over candidate rows
@@ -595,27 +658,17 @@ def ivf_knn_join_index(
     from pyspark.sql import Window
 
     cents = spark.read.parquet(os.path.join(path, "centroids"))
-    qn = queries.select(
-        F.col(qid_col),
-        F.col(qvec_col).cast("array<double>").alias("__qv"),
+    qids, qvecs = _collect_query_batch(queries, qid_col, qvec_col)
+    pairs, cell_list, _cv = _rank_probe_cells(cents, qids, qvecs, n_probe, round_digits)
+    qv_by_qid = dict(zip(qids, qvecs))
+    pair_df = spark.createDataFrame(
+        [(q, c, qv_by_qid[q]) for q, c in pairs],
+        f"{qid_col} long, cell long, __qv array<double>",
     )
-    ranked = qn.crossJoin(F.broadcast(cents)).select(
-        qid_col,
-        "cell",
-        "__qv",
-        F.round(cosine(F.col("cv"), F.col("__qv")), round_digits).alias("__sim"),
-    )
-    wq = Window.partitionBy(qid_col).orderBy(F.col("__sim").desc(), F.col("cell").asc())
-    probe = (
-        ranked.withColumn("__rn", F.row_number().over(wq))
-        .where(F.col("__rn") <= n_probe)
-        .select(qid_col, "cell", "__qv")
-    )
-    cell_list = [int(r["cell"]) for r in probe.select("cell").distinct().collect()]
     cells = spark.read.parquet(os.path.join(path, "cells")).where(
         F.col("cell").isin(cell_list)
     )
-    cand = cells.join(F.broadcast(probe), "cell")
+    cand = cells.join(F.broadcast(pair_df), "cell")
     sim = F.round(
         dot(F.col("v"), F.col("__qv"))
         / (F.col("norm") * F.sqrt(dot(F.col("__qv"), F.col("__qv")))),
@@ -1015,6 +1068,20 @@ def _adc_lut_literal(cb: DataFrame, query_vec: list[float], round_digits: int):
     return _adc_lut_literals(cb, [query_vec], round_digits)[0]
 
 
+def _round_half_away(x, digits: int):
+    """Elementwise round-half-AWAY-from-zero at `digits` decimals over a
+    numpy array — the SAME tie rule as Spark's F.round (HALF_UP) and
+    DuckDB's round(), so every rounding primitive in the OPQ rotation
+    parity chain (numpy GEMM output -> Spark expressions -> SQL oracle)
+    agrees.  np.round's bankers rounding differs only at exact decimal
+    midpoints — unrepresentable in binary for x.xxxxx5e-6, but a
+    bit-identity contract should not rest on representation luck."""
+    import numpy as np
+
+    s = 10.0 ** digits
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+
 def rotate_vectors(
     df: DataFrame,
     rotation: list[list[float]],
@@ -1042,7 +1109,7 @@ def rotate_vectors(
             if len(pdf) == 0:
                 continue
             x = np.array(pdf["__v"].tolist(), dtype=np.float64)
-            y = np.round(x @ r, round_digits)
+            y = _round_half_away(x @ r, round_digits)
             yield pd.DataFrame({id_col: pdf[id_col], "__v": [v.tolist() for v in y]})
 
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
@@ -1285,7 +1352,7 @@ def ivfpq_build_index(
                         int(r["cell"]),
                         [
                             float(v)
-                            for v in np.round(
+                            for v in _round_half_away(
                                 np.asarray(r["cv"], dtype=np.float64) @ rot,
                                 round_digits,
                             )
@@ -1424,7 +1491,9 @@ def ivfpq_probe_index(
         rot = np.asarray(_ivfpq_rotation(spark, path), dtype=np.float64)
         query_vec = [
             float(v)
-            for v in np.round(np.asarray(query_vec, dtype=np.float64) @ rot, round_digits)
+            for v in _round_half_away(
+                np.asarray(query_vec, dtype=np.float64) @ rot, round_digits
+            )
         ]
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     qlit = lit_vector(query_vec)
@@ -1494,58 +1563,66 @@ def ivfpq_knn_join_index(
     small by definition — it has to fit in one RPC) to build the LUT
     literals; cell ranking runs as ONE Spark action over the n_cells
     centroid rows with one rounded-cosine column per query (the same
-    expressions the single probe and the oracle use).  Raw and OPQ
-    indexes supported (OPQ rotates the collected queries driver-side);
-    by_residual needs per-(qid, cell) LUTs and keeps the single-probe
-    path."""
+    expressions the single probe and the oracle use).  All three index
+    flavors are supported: raw, OPQ (the collected queries are rotated
+    driver-side), and `by_residual` — the residual query r = q -
+    centroid[cell] differs PER PROBED CELL, so the LUT map keys on the
+    composite (qid, cell) pair instead of qid alone: n_q * n_probe LUTs
+    of m*k longs each, still one inline literal map, still zero LUT
+    joins (the FAISS IVFADC batch-serving shape)."""
     import os
 
     from pyspark.sql import Window
 
     meta = _ivfpq_meta(path)
-    if meta["by_residual"]:
-        raise ValueError(
-            "ivfpq_knn_join_index: residual indexes need per-(qid, cell) "
-            "LUTs — probe them one query at a time (ivfpq_probe_index)"
-        )
     scale = 10 ** round_digits
-    q_rows = queries.select(
-        F.col(qid_col), F.col(qvec_col).cast("array<double>").alias("__qv")
-    ).collect()
-    qids = [int(r[qid_col]) for r in q_rows]
-    qvecs = [[float(x) for x in r["__qv"]] for r in q_rows]
+    qids, qvecs = _collect_query_batch(queries, qid_col, qvec_col)
     if meta["opq"]:
         import numpy as np
 
         rot = np.asarray(_ivfpq_rotation(spark, path), dtype=np.float64)
         qvecs = [
-            [float(v) for v in np.round(np.asarray(q) @ rot, round_digits)]
+            [float(v) for v in _round_half_away(np.asarray(q) @ rot, round_digits)]
             for q in qvecs
         ]
 
     cents = spark.read.parquet(os.path.join(path, "centroids"))
-    sim_cols = [
-        F.round(cosine(F.col("cv"), lit_vector(q)), round_digits).alias(f"__s{i}")
-        for i, q in enumerate(qvecs)
-    ]
-    cent_rows = cents.select("cell", *sim_cols).collect()
-    pairs = []  # (qid, cell)
-    for i, qid in enumerate(qids):
-        ranked = sorted(cent_rows, key=lambda r: (-r[f"__s{i}"], r["cell"]))
-        pairs.extend((qid, int(r["cell"])) for r in ranked[:n_probe])
-    cell_list = sorted({c for _q, c in pairs})
+    pairs, cell_list, cv_by_cell = _rank_probe_cells(
+        cents, qids, qvecs, n_probe, round_digits
+    )
 
     cb = spark.read.parquet(os.path.join(path, "codebooks"))
-    luts = _adc_lut_literals(cb, qvecs, round_digits)
-    qid_lut = F.map_from_arrays(
-        F.array(*[F.lit(q).cast("long") for q in qids]), F.array(*luts)
-    )
     pair_df = spark.createDataFrame(pairs, f"{qid_col} long, cell long")
     codes = spark.read.parquet(os.path.join(path, "cells")).where(
         F.col("cell").isin(cell_list)
     )
     cand = codes.join(F.broadcast(pair_df), "cell")
-    lut_col = F.element_at(qid_lut, F.col(qid_col))
+    if meta["by_residual"]:
+        # one LUT per (qid, cell): the query residual q - centroid[cell]
+        # is what the stored codes quantized against.  Key the literal
+        # map on qid * 2^32 + cell (injective: cells are non-negative
+        # ints < 2^32) — same zero-join stance as the qid-keyed raw map.
+        qv_by_qid = dict(zip(qids, qvecs))
+        residuals = [
+            [float(a) - float(b) for a, b in zip(qv_by_qid[q], cv_by_cell[c])]
+            for q, c in pairs
+        ]
+        luts = _adc_lut_literals(cb, residuals, round_digits)
+        key_base = 1 << 32
+        pair_lut = F.map_from_arrays(
+            F.array(*[F.lit(q * key_base + c).cast("long") for q, c in pairs]),
+            F.array(*luts),
+        )
+        lut_col = F.element_at(
+            pair_lut,
+            F.col(qid_col).cast("long") * F.lit(key_base) + F.col("cell").cast("long"),
+        )
+    else:
+        luts = _adc_lut_literals(cb, qvecs, round_digits)
+        qid_lut = F.map_from_arrays(
+            F.array(*[F.lit(q).cast("long") for q in qids]), F.array(*luts)
+        )
+        lut_col = F.element_at(qid_lut, F.col(qid_col))
     ssum = F.aggregate(
         F.zip_with(lut_col, F.col("codes"), lambda row, c: F.element_at(row, c + 1)),
         F.lit(0).cast("long"),
@@ -1742,6 +1819,83 @@ def ivfsq_probe_index(
         codes.select(F.col("id").alias(id_col), adist.alias("adist"))
         .orderBy(F.col("adist").asc(), F.col(id_col).asc())
         .limit(k_top)
+    )
+
+
+def ivfsq_knn_join_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k_top: int,
+    n_probe: int = 3,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """BATCH probe of an `ivfsq_build_index` index — the amortized-scan
+    kNN join (ivf_knn_join_index's shape) over 8-bit scalar-quantized
+    posting lists.  The SQ8 decode xhat = mn + (code + 0.5) * delta is
+    query-INDEPENDENT affine arithmetic, so unlike PQ's per-query LUTs
+    the batch needs nothing per-query beyond the query vector itself:
+    the broadcast (qid, cell) pair rows carry each query's first-dim
+    slice and the fused decode+score expression reads it as a COLUMN —
+    op-for-op the single probe's tree (z1 = (c+0.5)*delta; xhat = mn+t;
+    err = q-xhat; per-term scaled-BIGINT rounding), so IEEE float64
+    results are bit-identical to `ivfsq_probe_index` per query
+    (asserted in tests).
+
+    Plan: one driver action ranks the n_cells centroids for the whole
+    batch (full-dim cosine, same total order as the single probe); ONE
+    partition-pruned scan of the union of probed cells; one broadcast
+    hash join on `cell`; one per-qid top-k window — the only wide
+    exchange.  Output (qid, id_col, adist), ascending approximate
+    distance per qid, ties to the smaller id."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    with open(os.path.join(path, "meta.json")) as f:
+        dim = int(json.load(f)["dim"])
+    scale = 10 ** round_digits
+    qids, qvecs = _collect_query_batch(queries, qid_col, qvec_col)
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    # cell ranking uses the FULL query vector (the single probe's
+    # stance); scoring uses the first `dim` coordinates the codes cover
+    pairs, cell_list, _cv = _rank_probe_cells(cents, qids, qvecs, n_probe, round_digits)
+    mn, mx = _sq_bounds(spark, path)
+    delta = [(b - a) / 256.0 for a, b in zip(mn, mx)]
+    q64_by_qid = {q: [float(x) for x in v[:dim]] for q, v in zip(qids, qvecs)}
+    pair_df = spark.createDataFrame(
+        [(q, c, q64_by_qid[q]) for q, c in pairs],
+        f"{qid_col} long, cell long, __qv array<double>",
+    )
+    codes = spark.read.parquet(os.path.join(path, "cells")).where(
+        F.col("cell").isin(cell_list)
+    )
+    cand = codes.join(F.broadcast(pair_df), "cell")
+    z1 = F.zip_with(
+        F.col("codes"),
+        lit_vector(delta),
+        lambda c, d: (c.cast("double") + F.lit(0.5)) * d,
+    )
+    xhat = F.zip_with(z1, lit_vector(mn), lambda t, m: m + t)
+    terms = F.zip_with(
+        F.col("__qv"),
+        xhat,
+        lambda qq, xh: F.round(
+            F.round((qq - xh) * (qq - xh), round_digits) * F.lit(float(scale)), 0
+        ).cast("long"),
+    )
+    ssum = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    adist = F.round(ssum / F.lit(float(scale)), round_digits)
+    wk = Window.partitionBy(qid_col).orderBy(F.col("adist").asc(), F.col(id_col).asc())
+    return (
+        cand.select(F.col(qid_col), F.col("id").alias(id_col), adist.alias("adist"))
+        .withColumn("__rn", F.row_number().over(wk))
+        .where(F.col("__rn") <= k_top)
+        .drop("__rn")
     )
 
 
@@ -1971,7 +2125,7 @@ def lloyd_assign_blas(
         ).collect()
     cent_rows.sort(key=lambda r: r["cluster"])
     cids = np.array([r["cluster"] for r in cent_rows], dtype=np.int64)
-    cmat = np.round(
+    cmat = _round_half_away(
         np.array([r["__c"] for r in cent_rows], dtype=np.float64), round_digits
     )
     ccsq = (cmat * cmat).sum(axis=1)
@@ -1987,7 +2141,7 @@ def lloyd_assign_blas(
                 # partitions; np.array([]) is 1-D and would crash the GEMM
                 continue
             x = np.array(pdf["__v"].tolist(), dtype=np.float64)
-            d2 = np.round(
+            d2 = _round_half_away(
                 (x * x).sum(axis=1)[:, None] - 2.0 * (x @ b_cmat.T) + b_ccsq[None, :],
                 round_digits,
             )

@@ -239,6 +239,117 @@ def ivfsq_stream_insert(
     )
 
 
+def posting_fragment_census(index_path: str) -> dict[int, int]:
+    """cell -> parquet fragment count for a persisted index's posting
+    lists — the small-files health metric every streaming-insert
+    deployment watches: each `*_stream_insert` micro-batch APPENDS one
+    parquet fragment per touched cell, so a long-running ingest turns a
+    probe's pruned scan into thousands of tiny file opens (the classic
+    100 TB small-files problem).  Pure driver-side directory metadata —
+    zero data read, no Spark job."""
+    cells_dir = os.path.join(index_path, "cells")
+    census: dict[int, int] = {}
+    for entry in os.scandir(cells_dir):
+        if not entry.is_dir() or not entry.name.startswith("cell="):
+            continue
+        n = sum(
+            1
+            for f in os.scandir(entry.path)
+            if f.is_file() and f.name.endswith(".parquet")
+        )
+        census[int(entry.name.split("=", 1)[1])] = n
+    return census
+
+
+def compact_posting_lists(
+    spark: SparkSession, index_path: str, min_fragments: int = 2
+) -> dict:
+    """Compact fragmented posting-list partitions down to ONE parquet
+    file per cell — the maintenance op that closes the streaming-insert
+    loop (insert appends fragments; recenter fixes drift; THIS fixes
+    file count).  Works unchanged on all three index layouts (ivf raw
+    vectors, ivfpq codes, ivfsq codes): compaction is schema-agnostic —
+    it rewrites rows, it never interprets them.
+
+    Only cells with >= `min_fragments` fragments are REWRITTEN (one
+    partition-pruned scan + one hash repartition on `cell`, so each cell
+    lands in exactly one task = one output file); already-compact cells'
+    fragments are HARD-LINKED into the new generation (driver-side
+    metadata only, no data movement — at 100 TB rewriting every cell to
+    fix a few hot ones would be a full-corpus I/O pass).  The new
+    generation is then swapped in with the same crash-safe two-rename
+    discipline as `ivf_recenter` (write-aside __rc -> rename live to
+    __old -> rename __rc to live -> drop __old), including the same
+    recovery preamble: a crash inside a PRIOR compaction's swap window
+    is recovered (prefer __rc, fall back to __old), never deleted.
+    Compaction never changes CONTENT — probe results are bit-identical
+    before and after (asserted in tests/test_streaming_ann.py).
+
+    Returns {"cells_total", "cells_compacted", "fragments_before",
+    "fragments_after"}."""
+    import shutil
+
+    cells_dir = os.path.join(index_path, "cells")
+    # recovery preamble — identical contract to ivf_recenter's: only
+    # clean __rc/__old when live exists; otherwise they ARE the index.
+    if os.path.exists(cells_dir):
+        for suffix in ("__rc", "__old"):
+            shutil.rmtree(cells_dir + suffix, ignore_errors=True)
+    elif os.path.exists(cells_dir + "__rc"):
+        os.rename(cells_dir + "__rc", cells_dir)
+        shutil.rmtree(cells_dir + "__old", ignore_errors=True)
+    elif os.path.exists(cells_dir + "__old"):
+        os.rename(cells_dir + "__old", cells_dir)
+    else:
+        raise FileNotFoundError(
+            f"compact_posting_lists: {cells_dir} missing and no __rc/__old "
+            "to recover from"
+        )
+    census = posting_fragment_census(index_path)
+    hot = sorted(c for c, n in census.items() if n >= min_fragments)
+    stats = {
+        "cells_total": len(census),
+        "cells_compacted": len(hot),
+        "fragments_before": sum(census.values()),
+    }
+    if not hot:
+        stats["fragments_after"] = stats["fragments_before"]
+        return stats
+
+    tmp = cells_dir + "__rc"
+    (
+        spark.read.parquet(cells_dir)
+        .where(F.col("cell").isin(hot))
+        .repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    # carry the already-compact cells across via hard links (fall back
+    # to copy on filesystems without link support)
+    for cell, n in census.items():
+        if cell in set(hot):
+            continue
+        src_dir = os.path.join(cells_dir, f"cell={cell}")
+        dst_dir = os.path.join(tmp, f"cell={cell}")
+        os.makedirs(dst_dir, exist_ok=True)
+        for f in os.scandir(src_dir):
+            if not (f.is_file() and f.name.endswith(".parquet")):
+                continue
+            dst = os.path.join(dst_dir, f.name)
+            try:
+                os.link(f.path, dst)
+            except OSError:
+                shutil.copy2(f.path, dst)
+
+    old = cells_dir + "__old"
+    os.rename(cells_dir, old)
+    os.rename(tmp, cells_dir)
+    shutil.rmtree(old)
+    stats["fragments_after"] = sum(posting_fragment_census(index_path).values())
+    return stats
+
+
 def ivf_recenter(
     spark: SparkSession, index_path: str, round_digits: int = 6
 ) -> None:

@@ -412,16 +412,21 @@ def test_q96_batch_knn_join_matches_single_probes(spark, tmp_path):
         assert have == want, qid
 
     plan = physical_plan(out)
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    # two INDEPENDENT asserts (a combined `or` was tautological): the
+    # cell join must be a broadcast hash join, and no other join shape
+    # may appear anywhere — the centroid ranking is driver-side now, so
+    # even the broadcast-NL cross is gone.
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
 def test_q97_batch_adc_join_matches_single_probes(spark, tmp_path):
     """Per-query results of the batched ADC kNN join equal the single
-    ivfpq probe bit-for-bit; OPQ indexes rotate the batch the same way;
-    residual indexes are refused (per-cell LUTs)."""
-    import pytest
+    ivfpq probe bit-for-bit across ALL THREE index flavors — raw, OPQ
+    (the batch is rotated the same way), and by_residual (per-(qid,
+    cell) LUTs keyed by the composite literal map)."""
     from pyspark.sql import functions as F
 
     from esper_tv_spark.operators.similarity import (
@@ -437,7 +442,12 @@ def test_q97_batch_adc_join_matches_single_probes(spark, tmp_path):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     rot = opq_train(emb, m=8, k=16, dim=64, iters=2, sample_rows=256)
-    for tag, kw in (("raw", {}), ("opq", {"opq_rotation": rot})):
+    for tag, kw in (
+        ("raw", {}),
+        ("opq", {"opq_rotation": rot}),
+        ("res", {"by_residual": True}),
+        ("opq_res", {"opq_rotation": rot, "by_residual": True}),
+    ):
         idx = str(tmp_path / tag)
         ivfpq_build_index(emb, idx, n_cells=16, m=8, k=16, dim=64, **kw)
         out = ivfpq_knn_join_index(spark, idx, queries, 10, n_probe=3)
@@ -449,7 +459,64 @@ def test_q97_batch_adc_join_matches_single_probes(spark, tmp_path):
             want = [tuple(r) for r in ivfpq_probe_index(spark, idx, qv, 10, n_probe=3).collect()]
             assert sorted(got[qid], key=lambda t: (t[1], t[0])) == want, (tag, qid)
 
-    idx_res = str(tmp_path / "res")
-    ivfpq_build_index(emb, idx_res, n_cells=16, m=8, k=16, dim=64, by_residual=True)
-    with pytest.raises(ValueError, match="residual"):
-        ivfpq_knn_join_index(spark, idx_res, queries, 10)
+
+def test_q99_batch_sq8_join_matches_single_probes(spark, tmp_path):
+    """Per-query results of the batched IVF-SQ8 kNN join equal the
+    single ivfsq probe bit-for-bit; the plan is one broadcast hash join
+    on the pruned posting scan plus the top-k window — no other join
+    shape, no cartesian."""
+    from pyspark.sql import functions as F
+
+    from esper_tv_spark.operators.similarity import (
+        ivfsq_build_index,
+        ivfsq_knn_join_index,
+        ivfsq_probe_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    idx = str(tmp_path / "ivfsq_batch")
+    ivfsq_build_index(emb, idx, n_cells=16, dim=64)
+    qids = [0, 7, 13]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = ivfsq_knn_join_index(spark, idx, queries, 10, n_probe=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], []).append((r["vec_id"], r["adist"]))
+    for qid in qids:
+        qv = [float(x) for x in emb.where(F.col("vec_id") == qid).first()["embedding"]]
+        want = [tuple(r) for r in ivfsq_probe_index(spark, idx, qv, 10, n_probe=3).collect()]
+        assert sorted(got[qid], key=lambda t: (t[1], t[0])) == want, qid
+
+    plan = physical_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_batch_knn_join_rejects_bad_qids(spark, tmp_path):
+    """The collected serving batch is validated up front: non-integral
+    qids and duplicate qids raise a clear ValueError instead of
+    truncating silently or failing deep inside map_from_arrays."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from esper_tv_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_knn_join_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    idx = str(tmp_path / "ivf_badqid")
+    ivf_build_index(emb, idx, n_cells=16)
+    base = emb.where(F.col("vec_id").isin([0, 7])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    frac = base.withColumn("qid", F.col("qid") + F.lit(0.5))
+    with pytest.raises(ValueError, match="not an integral"):
+        ivf_knn_join_index(spark, idx, frac, 5)
+    dup = base.withColumn("qid", F.lit(7))
+    with pytest.raises(ValueError, match="duplicate"):
+        ivf_knn_join_index(spark, idx, dup, 5)

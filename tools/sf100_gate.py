@@ -41,6 +41,11 @@ FEASIBLE = [
     "q95_ivfsq_ann",
     "q96_ivf_knn_join",
     "q97_ivfpq_knn_join",
+    # round-8: the batch joins over the residual IVF-PQ and SQ8 indexes —
+    # both oracles stay per-row list arithmetic (no unnest-regroup CTE of
+    # the q94 rotation-replay kind, which is what made q94 infeasible)
+    "q98_ivfpq_residual_knn_join",
+    "q99_ivfsq_knn_join",
     # regression classes (caught real bugs at this scale in r4)
     "q01_pricing_summary",
     "q16_events_hourly",

@@ -26,6 +26,7 @@ STEPS = [
     ("rotate_window", [sys.executable, "tools/rotate_window.py", "--apply"]),
     ("audit_plans", [sys.executable, "tools/audit_plans.py"]),
     ("bench", [sys.executable, "bench.py"]),
+    ("snapshot_record", [sys.executable, "tools/snapshot_guard.py", "--record"]),
     ("snapshot_guard", [sys.executable, "tools/snapshot_guard.py"]),
 ]
 
