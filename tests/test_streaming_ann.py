@@ -365,3 +365,118 @@ def test_ivfsq_stream_insert_encodes_identically(spark, tmp_path):
 
     qv = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
     assert len(ivfsq_probe_index(spark, idx, qv, 10, n_probe=3).collect()) == 10
+
+
+def test_compaction_preserves_probe_results_and_collapses_fragments(spark, tmp_path):
+    """Streaming inserts fragment the posting lists (one parquet file
+    per touched cell per micro-batch); compact_posting_lists rewrites
+    hot cells to ONE file each, hard-links already-compact cells across,
+    and probe results are bit-identical before/after (compaction never
+    changes content)."""
+    from esper_tv_spark.streaming.ann import (
+        compact_posting_lists,
+        posting_fragment_census,
+    )
+
+    emb = _emb(spark)
+    base = emb.where(F.col("vec_id") < 100)
+    tail = emb.where(F.col("vec_id") >= 100)
+    idx = str(tmp_path / "ivf_compact")
+    ivf_build_index(base, idx, n_cells=8)
+
+    src = str(tmp_path / "tail_src")
+    for i in range(3):
+        tail.where(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+    stream = file_stream(spark, src, tail.schema, max_files_per_trigger=1)
+    q = ivf_stream_insert(stream, idx, str(tmp_path / "ckpt")).start()
+    q.awaitTermination(180)
+
+    before = posting_fragment_census(idx)
+    assert max(before.values()) >= 2  # inserts really did fragment
+
+    qv = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    want = [tuple(r) for r in ivf_probe_index(spark, idx, qv, 10, n_probe=3).collect()]
+    rows_want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(idx, "cells"))
+        .select("id", "cell")
+        .collect()
+    )
+
+    stats = compact_posting_lists(spark, idx, min_fragments=2)
+    after = posting_fragment_census(idx)
+    assert max(after.values()) == 1
+    assert stats["cells_compacted"] == sum(1 for n in before.values() if n >= 2)
+    assert stats["fragments_before"] == sum(before.values())
+    assert stats["fragments_after"] == len(after)
+
+    got = [tuple(r) for r in ivf_probe_index(spark, idx, qv, 10, n_probe=3).collect()]
+    assert got == want
+    rows_got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(idx, "cells"))
+        .select("id", "cell")
+        .collect()
+    )
+    assert rows_got == rows_want
+    for leftover in ("cells__rc", "cells__old"):
+        assert not os.path.exists(os.path.join(idx, leftover))
+
+    # idempotent: a second run finds nothing hot and rewrites nothing
+    stats2 = compact_posting_lists(spark, idx, min_fragments=2)
+    assert stats2["cells_compacted"] == 0
+    assert stats2["fragments_after"] == stats2["fragments_before"]
+
+
+def test_compaction_recovers_from_mid_swap_crash(spark, tmp_path):
+    """Same recovery contract as ivf_recenter: live missing + complete
+    __rc means a prior compaction died inside its swap window — recover
+    the new generation, never delete it."""
+    import shutil
+
+    from esper_tv_spark.streaming.ann import compact_posting_lists
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf_compact_crash")
+    ivf_build_index(emb, idx, n_cells=8)
+    cells = os.path.join(idx, "cells")
+    n_rows = spark.read.parquet(cells).count()
+
+    shutil.copytree(cells, cells + "__rc")
+    os.rename(cells, cells + "__old")
+    assert not os.path.exists(cells)
+
+    compact_posting_lists(spark, idx, min_fragments=2)
+
+    assert spark.read.parquet(cells).count() == n_rows
+    for leftover in (cells + "__rc", cells + "__old"):
+        assert not os.path.exists(leftover)
+
+
+def test_compaction_works_on_pq_and_sq_code_layouts(spark, tmp_path):
+    """Compaction is schema-agnostic: the same op compacts ivfpq and
+    ivfsq posting lists (id + codes) with probe bit-identity."""
+    from esper_tv_spark.operators.similarity import (
+        ivfpq_build_index,
+        ivfpq_probe_index,
+        ivfsq_build_index,
+        ivfsq_probe_index,
+    )
+    from esper_tv_spark.streaming.ann import compact_posting_lists
+
+    emb = _emb(spark)
+    qv = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    for kind in ("pq", "sq"):
+        idx = str(tmp_path / f"idx_{kind}")
+        if kind == "pq":
+            ivfpq_build_index(emb, idx, n_cells=8, m=8, k=16, dim=64)
+            probe = lambda: ivfpq_probe_index(spark, idx, qv, 10, n_probe=3)
+        else:
+            ivfsq_build_index(emb, idx, n_cells=8, dim=64)
+            probe = lambda: ivfsq_probe_index(spark, idx, qv, 10, n_probe=3)
+        want = [tuple(r) for r in probe().collect()]
+        stats = compact_posting_lists(spark, idx, min_fragments=1)  # rewrite all
+        assert stats["cells_compacted"] == stats["cells_total"]
+        assert [tuple(r) for r in probe().collect()] == want, kind
