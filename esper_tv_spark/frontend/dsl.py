@@ -126,9 +126,19 @@ def compile_expr(node: Any) -> Column:
     raise DSLError(f"bad expression node: {node!r}")
 
 
-def run_query(catalog: dict[str, DataFrame], spec: dict[str, Any]) -> DataFrame:
+def run_query(
+    catalog: dict[str, DataFrame],
+    spec: dict[str, Any],
+    index_catalog: dict[str, str] | None = None,
+) -> DataFrame:
     """Compile + run a spec against a table catalog. Raises DSLError on any
-    construct outside the whitelist."""
+    construct outside the whitelist.
+
+    `index_catalog` maps SERVER-chosen names to persisted ANN index paths
+    (ivf / ivfpq / ivfsq stores) for the `ann_probe` similarity verb.  A
+    spec can only reference an index by name — never a filesystem path —
+    so the worst a spec can do remains running a slow query (a raw path
+    here would be an arbitrary-parquet-read primitive)."""
     if not isinstance(spec, dict) or "table" not in spec:
         raise DSLError("spec must be a dict with a 'table'")
     if spec["table"] not in catalog:
@@ -258,6 +268,65 @@ def run_query(catalog: dict[str, DataFrame], spec: dict[str, Any]) -> DataFrame:
             df = sim_ops.dist_to_targets(
                 df, [_vec(t, "each target") for t in targets], id_col=id_col, vec_col=vec_col
             )
+        elif op == "ann_probe":
+            # probe a PERSISTED index (the serving path — reference entry
+            # point A, views.py:56-66, reaching face_embeddings.py-style
+            # knn without arbitrary Python).  Index by NAME from the
+            # server-provided index_catalog, never by path.  Single query
+            # ('query' vector or 'query_id') -> *_probe_index; a
+            # 'query_ids' batch -> the amortized-scan *_knn_join_index.
+            import json as _json
+            import os as _os
+
+            name = sim.get("index")
+            if not isinstance(name, str) or name not in (index_catalog or {}):
+                raise DSLError(f"unknown index {name!r}")
+            path = index_catalog[name]
+            k = sim.get("k")
+            if not _int(k) or k <= 0:
+                raise DSLError("ann_probe needs a positive int 'k'")
+            n_probe = sim.get("n_probe", 3)
+            if not _int(n_probe) or n_probe <= 0:
+                raise DSLError("'n_probe' must be a positive int")
+            meta_path = _os.path.join(path, "meta.json")
+            if _os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    kind = "ivfsq" if _json.load(f).get("kind") == "ivfsq" else "ivfpq"
+            else:
+                kind = "ivf"  # raw-vector posting lists carry no meta
+            spark = df.sparkSession
+            if "query_ids" in sim:
+                qids = sim["query_ids"]
+                if not isinstance(qids, list) or not qids or not all(_int(q) for q in qids):
+                    raise DSLError("'query_ids' must be a non-empty list of ints")
+                queries = df.where(F.col(id_col).isin(qids)).select(
+                    F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+                )
+                join_fn = {
+                    "ivf": sim_ops.ivf_knn_join_index,
+                    "ivfpq": sim_ops.ivfpq_knn_join_index,
+                    "ivfsq": sim_ops.ivfsq_knn_join_index,
+                }[kind]
+                df = join_fn(spark, path, queries, k, n_probe=n_probe, id_col=id_col)
+            else:
+                if "query" in sim:
+                    q = _vec(sim["query"], "'query'")
+                elif "query_id" in sim:
+                    qid = sim["query_id"]
+                    if not _int(qid):
+                        raise DSLError("'query_id' must be an int")
+                    row = df.where(F.col(id_col) == F.lit(qid)).select(vec_col).head()
+                    if row is None:
+                        raise DSLError(f"query_id {qid} not found")
+                    q = [float(x) for x in row[0]]
+                else:
+                    raise DSLError("ann_probe needs 'query', 'query_id', or 'query_ids'")
+                probe_fn = {
+                    "ivf": sim_ops.ivf_probe_index,
+                    "ivfpq": sim_ops.ivfpq_probe_index,
+                    "ivfsq": sim_ops.ivfsq_probe_index,
+                }[kind]
+                df = probe_fn(spark, path, q, k, n_probe=n_probe, id_col=id_col)
         else:
             raise DSLError(f"similarity op not allowed: {op!r}")
 

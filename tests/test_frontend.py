@@ -444,3 +444,134 @@ def test_dsl_semantic_dedup_verb(spark, catalog):
     assert sorted(tuple(r) for r in got_dk.collect()) == sorted(
         tuple(r) for r in want_dk.collect()
     )
+
+
+def test_dsl_ann_probe_matches_library(spark, catalog, tmp_path):
+    """The ann_probe verb reaches the persisted serving indexes (ivf /
+    ivfpq / ivfsq, auto-detected from the store) by NAME from a
+    server-provided index catalog; single-query probes and query_ids
+    batches both match the library calls bit-for-bit."""
+    from esper_tv_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_knn_join_index,
+        ivf_probe_index,
+        ivfpq_build_index,
+        ivfpq_probe_index,
+        ivfsq_build_index,
+        ivfsq_probe_index,
+    )
+
+    emb = catalog["embeddings"]
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    paths = {
+        "faces_ivf": str(tmp_path / "ivf"),
+        "faces_ivfpq": str(tmp_path / "ivfpq"),
+        "faces_ivfsq": str(tmp_path / "ivfsq"),
+    }
+    ivf_build_index(emb, paths["faces_ivf"], n_cells=8)
+    ivfpq_build_index(emb, paths["faces_ivfpq"], n_cells=8, m=8, k=16, dim=64)
+    ivfsq_build_index(emb, paths["faces_ivfsq"], n_cells=8, dim=64)
+
+    for name, probe_fn in (
+        ("faces_ivf", ivf_probe_index),
+        ("faces_ivfpq", ivfpq_probe_index),
+        ("faces_ivfsq", ivfsq_probe_index),
+    ):
+        spec = {
+            "table": "embeddings",
+            "similarity": {"op": "ann_probe", "index": name, "query_id": 0, "k": 5},
+        }
+        got = [tuple(r) for r in run_query(catalog, spec, index_catalog=paths).collect()]
+        want = [tuple(r) for r in probe_fn(spark, paths[name], q, 5, n_probe=3).collect()]
+        assert got == want, name
+
+    # batch form -> the amortized-scan kNN join
+    spec_b = {
+        "table": "embeddings",
+        "similarity": {
+            "op": "ann_probe", "index": "faces_ivf", "query_ids": [0, 7], "k": 5,
+        },
+        "order_by": [["qid", "asc"], ["cosine_sim", "desc"], ["vec_id", "asc"]],
+    }
+    queries = emb.where(F.col("vec_id").isin([0, 7])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got_b = [tuple(r) for r in run_query(catalog, spec_b, index_catalog=paths).collect()]
+    want_b = [
+        tuple(r)
+        for r in ivf_knn_join_index(spark, paths["faces_ivf"], queries, 5, n_probe=3)
+        .orderBy(F.col("qid").asc(), F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .collect()
+    ]
+    assert got_b == want_b
+
+
+def test_dsl_ann_probe_rejected_specs(spark, catalog, tmp_path):
+    """Index access is name-keyed only: unknown names, raw paths, and
+    malformed params are DSLErrors — and without an index_catalog the
+    verb is unreachable."""
+    import pytest
+
+    from esper_tv_spark.operators.similarity import ivf_build_index
+
+    emb = catalog["embeddings"]
+    idx = str(tmp_path / "ivf_dsl")
+    ivf_build_index(emb, idx, n_cells=8)
+    cat = {"faces": idx}
+    bad = [
+        ({"op": "ann_probe", "index": "nope", "query_id": 0, "k": 5}, cat),
+        # a raw filesystem path is NOT a name in the catalog
+        ({"op": "ann_probe", "index": idx, "query_id": 0, "k": 5}, cat),
+        ({"op": "ann_probe", "index": "faces", "query_id": 0, "k": 5}, None),
+        ({"op": "ann_probe", "index": "faces", "query_id": 0}, cat),
+        ({"op": "ann_probe", "index": "faces", "query_id": 0, "k": 0}, cat),
+        ({"op": "ann_probe", "index": "faces", "query_id": 0, "k": True}, cat),
+        ({"op": "ann_probe", "index": "faces", "k": 5}, cat),
+        ({"op": "ann_probe", "index": "faces", "query_id": 0, "k": 5, "n_probe": 0}, cat),
+        ({"op": "ann_probe", "index": "faces", "query_ids": [], "k": 5}, cat),
+        ({"op": "ann_probe", "index": "faces", "query_ids": [0, "x"], "k": 5}, cat),
+        ({"op": "ann_probe", "index": None, "query_id": 0, "k": 5}, cat),
+    ]
+    for sim_spec, icat in bad:
+        with pytest.raises(DSLError):
+            run_query(
+                catalog,
+                {"table": "embeddings", "similarity": sim_spec},
+                index_catalog=icat,
+            )
+
+
+def test_dsl_fuzz_ann_probe_index_names(spark, catalog, tmp_path):
+    """Fuzz: arbitrary index names (including path-traversal shapes)
+    either resolve to the one catalog name or raise DSLError — nothing
+    else (no filesystem errors leaking through as non-DSL exceptions)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from esper_tv_spark.operators.similarity import ivf_build_index
+
+    emb = catalog["embeddings"]
+    idx = str(tmp_path / "ivf_fuzz")
+    ivf_build_index(emb, idx, n_cells=8)
+    cat = {"faces": idx}
+    names = st.one_of(
+        st.text(max_size=30),
+        st.sampled_from(["faces", "../faces", "/etc/passwd", "faces/../faces", ""]),
+    )
+
+    @given(name=names)
+    @settings(max_examples=30, deadline=None)
+    def check(name):
+        spec = {
+            "table": "embeddings",
+            "similarity": {"op": "ann_probe", "index": name, "query_id": 0, "k": 3},
+        }
+        if name == "faces":
+            assert run_query(catalog, spec, index_catalog=cat).count() == 3
+        else:
+            with pytest.raises(DSLError):
+                run_query(catalog, spec, index_catalog=cat)
+
+    import pytest
+
+    check()
