@@ -218,14 +218,22 @@ def interval_join(
     def banded(df: DataFrame, prefix: str, extend: int) -> DataFrame:
         s_col = F.col(f"{prefix}{start}")
         e_col = F.col(f"{prefix}{end}")
-        # tight upper bucket for pure overlap (e-1: strict inequality);
-        # extended by `reach` on the a side so before-pairs share a bucket
-        # even on band boundaries; greatest(..) keeps empty intervals in
-        # their own single bucket instead of dropping them
-        hi = e_col + F.lit(extend) if extend else F.greatest(e_col - F.lit(1), s_col)
+        lo_bucket = F.floor(s_col / F.lit(band))
+        # tight upper bucket for pure overlap: ceil(e/W) - 1 == the bucket
+        # holding sup of the half-open span — correct for FRACTIONAL
+        # coordinates too (the previous floor((e-1)/W) assumed integer
+        # coordinates: a partner starting inside (e-1, e) fell in a bucket
+        # this interval never exploded into, silently dropping the pair —
+        # caught by the skewed-interval fixture, whose starts are doubles;
+        # for integers the two expressions are identical).  `reach`
+        # extends the e side inclusively (gap <= reach); greatest(..)
+        # keeps empty intervals in their own single bucket.
+        if extend:
+            hi_bucket = F.floor((e_col + F.lit(extend)) / F.lit(band))
+        else:
+            hi_bucket = F.greatest(F.ceil(e_col / F.lit(band)) - F.lit(1), lo_bucket)
         return df.withColumn(
-            "__band",
-            F.explode(F.sequence(F.floor(s_col / F.lit(band)), F.floor(hi / F.lit(band)))),
+            "__band", F.explode(F.sequence(lo_bucket, hi_bucket))
         )
 
     ja = banded(pa, "a_", reach)

@@ -360,3 +360,51 @@ def test_banded_join_fuzz_matches_plain(spark, rows_a, rows_b, band):
         for r in iv.interval_join(a, b, ["key"], pred, band=band, reach=13).collect()
     )
     assert banded_gap == plain_gap
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.floats(min_value=-50.0, max_value=50.0, allow_nan=False),
+            st.floats(min_value=0.1, max_value=40.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.floats(min_value=-50.0, max_value=50.0, allow_nan=False),
+            st.floats(min_value=0.1, max_value=40.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from([7, 16, 64]),
+)
+def test_banded_join_fuzz_fractional_coordinates(spark, rows_a, rows_b, band):
+    """Property: banded == plain on FRACTIONAL (double) coordinates —
+    the r8 regression: the old upper-bucket bound floor((e-1)/W) assumed
+    integer coordinates, so a partner starting inside (e-1, e) sat in a
+    bucket the interval never exploded into and the pair was silently
+    dropped (caught by the skewed-interval fixture, 17,940 pairs short).
+    ceil(e/W) - 1 is tight for both."""
+    a = spark.createDataFrame(
+        [(k, float(s), float(s) + float(l)) for k, s, l in rows_a],
+        "key long, start double, end double",
+    )
+    b = spark.createDataFrame(
+        [(k, float(s), float(s) + float(l)) for k, s, l in rows_b],
+        "key long, start double, end double",
+    )
+    plain = sorted(
+        (r["a_key"], r["a_start"], r["b_start"])
+        for r in iv.interval_join(a, b, ["key"]).collect()
+    )
+    banded = sorted(
+        (r["a_key"], r["a_start"], r["b_start"])
+        for r in iv.interval_join(a, b, ["key"], band=band).collect()
+    )
+    assert banded == plain
