@@ -1129,7 +1129,11 @@ def _semantic_dedup_pairs_blas(
             bmat = np.array(bv["__v"].tolist(), dtype=np.float64)
             an = av["__n"].to_numpy(dtype=np.float64)
             bn = bv["__n"].to_numpy(dtype=np.float64)
-            sims = np.round((bmat @ amat.T) / (bn[:, None] * an[None, :]), round_digits)
+            from esper_tv_spark.operators.similarity import _round_half_away
+
+            sims = _round_half_away(
+                (bmat @ amat.T) / (bn[:, None] * an[None, :]), round_digits
+            )
             smaller = av["__id"].to_numpy()[None, :] < bv["__id"].to_numpy()[:, None]
             out_dup = ((sims >= threshold) & smaller).any(axis=1)
         return pd.DataFrame(

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from esper_tv_spark.operators.dedup import lsh_buckets
+from esper_tv_spark.operators.similarity import _round_half_away
 
 
 def shingle_set_col(text_col: str = "text", shingle_n: int = 3) -> Column:
@@ -204,7 +205,9 @@ def streaming_semantic_dedup(
 
     cent_rows = sorted(((int(c), list(map(float, v))) for c, v in centroids), key=lambda r: r[0])
     cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
-    cmat = np.round(np.array([r[1] for r in cent_rows], dtype=np.float64), round_digits)
+    cmat = _round_half_away(
+        np.array([r[1] for r in cent_rows], dtype=np.float64), round_digits
+    )
     ccsq = (cmat * cmat).sum(axis=1)
 
     p = max(1, int(cluster_probes))
@@ -214,7 +217,7 @@ def streaming_semantic_dedup(
             if len(pdf) == 0:
                 continue
             x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            d2 = np.round(
+            d2 = _round_half_away(
                 (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cmat.T) + ccsq[None, :],
                 round_digits,
             )
@@ -303,10 +306,10 @@ def streaming_semantic_dedup(
                 vn = float(np.sqrt(v @ v))
                 dup = False
                 if frozen is not None:
-                    sims = np.round((frozen @ v) / (frozen_nrm * vn), round_digits)
+                    sims = _round_half_away((frozen @ v) / (frozen_nrm * vn), round_digits)
                     dup = bool((sims >= threshold).any())
                 if not dup and cnt:
-                    sims = np.round((buf[:cnt] @ v) / (nbuf[:cnt] * vn), round_digits)
+                    sims = _round_half_away((buf[:cnt] @ v) / (nbuf[:cnt] * vn), round_digits)
                     dup = bool((sims >= threshold).any())
                 if p > 1:
                     rows.append(

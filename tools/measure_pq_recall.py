@@ -43,9 +43,12 @@ def main() -> int:
         os.path.join(REPO, ".scale", "clustered_sf1"),
     )
     n_probe = 8
+    n_cells = N_CELLS
     for a in sys.argv[1:]:
         if a.startswith("--n-probe"):
             n_probe = int(a.split("=", 1)[1])
+        if a.startswith("--n-cells"):
+            n_cells = int(a.split("=", 1)[1])
     emb_path = os.path.join(fixture, "embeddings.parquet")
     if not os.path.exists(emb_path):
         print(f"no fixture at {fixture} — python tools/make_scale.py {fixture} --clustered")
@@ -53,9 +56,15 @@ def main() -> int:
 
     import pyarrow.parquet as pq
 
-    t = pq.read_table(emb_path)
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
     ids = t["vec_id"].to_numpy()
-    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    # arrow-native load: flatten the list column's value buffer and
+    # reshape — to_pylist() at 2M x 256 materializes 2M Python lists
+    # (tens of GB transient) where this is one 4 GB array
+    col = t["embedding"].combine_chunks()
+    n_rows = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = flat.reshape(n_rows, -1)
     dim = mat.shape[1]
     order = np.argsort(ids)
     ids, mat = ids[order], mat[order]
@@ -78,7 +87,7 @@ def main() -> int:
     df = spark.read.parquet(emb_path).select("vec_id", "embedding")
 
     # trained coarse quantizer — residual/OPQ only pay off vs trained cells
-    _, centers = sim.ivf_fit(df, n_cells=N_CELLS)
+    _, centers = sim.ivf_fit(df, n_cells=n_cells)
     cdf = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centers)], "cell long, cv array<double>"
     )
@@ -96,7 +105,7 @@ def main() -> int:
         idx = os.path.join(fixture, f"ivfpq_{name.replace('+', '_')}")
         t0 = time.time()
         sim.ivfpq_build_index(
-            df, idx, n_cells=N_CELLS, m=M, k=K, dim=dim,
+            df, idx, n_cells=n_cells, m=M, k=K, dim=dim,
             coarse_centroids=cdf, **kw,
         )
         build_s = time.time() - t0
@@ -115,7 +124,7 @@ def main() -> int:
         print(
             f"{name:14s} recall@{TOPK} = {recall:.3f}   "
             f"(build {build_s:.1f}s, probe {(time.time() - t0) / len(q_idx):.2f}s/q, "
-            f"n_probe={n_probe}/{N_CELLS}, m={M}, k={K})",
+            f"n_probe={n_probe}/{n_cells}, m={M}, k={K})",
             flush=True,
         )
 
@@ -126,7 +135,7 @@ def main() -> int:
         t0 = time.time()
         # rank-based coarse here would differ from cdf's KMeans cells;
         # SQ8's build takes no coarse_centroids param — rebuild pattern
-        sim.ivfsq_build_index(df, idx, n_cells=N_CELLS, dim=dim)
+        sim.ivfsq_build_index(df, idx, n_cells=n_cells, dim=dim)
         build_s = time.time() - t0
         hits = 0
         t0 = time.time()
@@ -143,11 +152,13 @@ def main() -> int:
         print(
             f"{'sq8':14s} recall@{TOPK} = {recall:.3f}   "
             f"(build {build_s:.1f}s, probe {(time.time() - t0) / len(q_idx):.2f}s/q, "
-            f"n_probe={n_probe}/{N_CELLS}, 8 bit/dim)",
+            f"n_probe={n_probe}/{n_cells}, 8 bit/dim)",
             flush=True,
         )
     spark.stop()
-    print({"fixture": fixture, "recall": out})
+    import json
+
+    print(json.dumps({"fixture": fixture, "n_probe": n_probe, "n_cells": n_cells, "recall": out}))
     return 0
 
 

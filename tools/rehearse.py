@@ -161,7 +161,141 @@ def main() -> int:
                 "sf10_over_sf1": round(walls["sf10"] / max(walls["sf1"], 0.001), 2),
             }
         )
+
+        # ---- 5b. interval-skew walls (SURVEY §7's flagged regime: one ---
+        # 3-hour video among 10-minute clips).  banded vs unbanded on the
+        # same join — the banding must defeat the hot (video_id) key by
+        # splitting it across (video, band) buckets.
+        from esper_tv_spark.operators.intervals import overlap_join
+
+        skew_iv = os.path.join(REPO, ".scale", "skew_intervals")
+        if not os.path.isdir(skew_iv):
+            from make_skew import build_intervals
+
+            build_intervals(skew_iv)
+        iv_a = spark.read.parquet(os.path.join(skew_iv, "iv_a.parquet"))
+        iv_b = spark.read.parquet(os.path.join(skew_iv, "iv_b.parquet"))
+        iv_walls = {}
+        iv_rows = {}
+        for tag, band in (("banded_auto", "auto"), ("unbanded", None)):
+            t0 = time.time()
+            iv_rows[tag] = overlap_join(iv_a, iv_b, ["video_id"], band=band).count()
+            iv_walls[tag] = round(time.time() - t0, 1)
+            emit({"step": f"interval_skew_{tag}", "rows": iv_rows[tag], "wall_s": iv_walls[tag]})
+            spark.catalog.clearCache()
+        emit(
+            {
+                "step": "interval_skew_ratio",
+                "rows_match": iv_rows["banded_auto"] == iv_rows["unbanded"],
+                "unbanded_over_banded": round(
+                    iv_walls["unbanded"] / max(iv_walls["banded_auto"], 0.001), 2
+                ),
+            }
+        )
+
+        # ---- 5c. posting-list compaction @ sf1 (the streaming-insert ----
+        # small-files story): build an IVF index over the sf1 base, stream
+        # three micro-batches of the tail in, census, compact, and assert
+        # probe bit-identity across the swap.
+        import shutil
+
+        from esper_tv_spark.streaming import file_stream
+        from esper_tv_spark.streaming.ann import (
+            compact_posting_lists,
+            ivf_stream_insert,
+            posting_fragment_census,
+        )
+
+        work = os.path.join(REPO, ".scale", "compact_rehearsal")
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        emb1 = m._t(spark, SF1, "embeddings").select("vec_id", "embedding")
+        n1 = m._parquet_num_rows(os.path.join(SF1, "embeddings.parquet"))
+        cut = int(n1 * 0.75)
+        idxc = os.path.join(work, "ivf")
+        t0 = time.time()
+        from esper_tv_spark.operators.similarity import ivf_build_index, ivf_probe_index
+
+        ivf_build_index(emb1.where(F.col("vec_id") < cut), idxc, n_cells=32)
+        build_s = round(time.time() - t0, 1)
+        src = os.path.join(work, "tail_src")
+        tail = emb1.where(F.col("vec_id") >= cut)
+        for i in range(3):
+            tail.where(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(src, mode="append")
+        t0 = time.time()
+        q = ivf_stream_insert(
+            file_stream(spark, src, tail.schema, max_files_per_trigger=1),
+            idxc,
+            os.path.join(work, "ckpt"),
+        ).start()
+        q.awaitTermination(600)
+        insert_s = round(time.time() - t0, 1)
+        census = posting_fragment_census(idxc)
+        qv1 = [float(x) for x in emb1.where("vec_id = 3").first()["embedding"]]
+        before = [tuple(r) for r in ivf_probe_index(spark, idxc, qv1, 10, n_probe=3).collect()]
+        t0 = time.time()
+        stats = compact_posting_lists(spark, idxc, min_fragments=2)
+        compact_s = round(time.time() - t0, 1)
+        after = [tuple(r) for r in ivf_probe_index(spark, idxc, qv1, 10, n_probe=3).collect()]
+        emit(
+            {
+                "step": "compaction_sf1",
+                "n_vectors": n1,
+                "build_s": build_s,
+                "insert_s": insert_s,
+                "compact_s": compact_s,
+                "max_fragments_before": max(census.values()),
+                **stats,
+                "probe_identical": before == after,
+            }
+        )
+        shutil.rmtree(work, ignore_errors=True)
+        spark.catalog.clearCache()
         spark.stop()
+
+        # ---- 5d. OPQ recall at rehearsal scale (2M x 256 anisotropic ----
+        # clustered fixture; r7's ladder was measured at 21k).  Own
+        # process — measure_pq_recall builds five indexes and holds the
+        # corpus matrix driver-side.
+        aniso2m = os.path.join(REPO, ".scale", "clustered_aniso_2m")
+        if not os.path.exists(os.path.join(aniso2m, "embeddings.parquet")):
+            t0 = time.time()
+            r = subprocess.run(
+                [
+                    sys.executable, os.path.join(REPO, "tools", "make_scale.py"),
+                    aniso2m, "--clustered", "--n=2000000", "--clusters=1024",
+                    "--plant=500", "--anisotropy=1.0",
+                ],
+                cwd=REPO,
+            )
+            emit({"step": "build_aniso_2m", "rc": r.returncode,
+                  "wall_s": round(time.time() - t0, 1)})
+        t0 = time.time()
+        recall_log = os.path.join(REPO, ".scale", f"pq_recall_2m_{args.tag}.log")
+        with open(recall_log, "w") as lf:
+            r = subprocess.run(
+                [
+                    sys.executable, os.path.join(REPO, "tools", "measure_pq_recall.py"),
+                    aniso2m, "--n-probe=8",
+                ],
+                stdout=lf, stderr=subprocess.STDOUT, cwd=REPO,
+            )
+        lines = [l for l in open(recall_log).read().splitlines() if l.strip()]
+        recall_row = {}
+        for line in reversed(lines):
+            try:
+                recall_row = json.loads(line)
+                break
+            except ValueError:
+                continue
+        emit(
+            {
+                "step": "opq_recall_2m",
+                "rc": r.returncode,
+                "wall_s": round(time.time() - t0, 1),
+                **recall_row,
+            }
+        )
 
     # ---- 6. full hash gate @ sf1 (own process) --------------------------
     # 24g driver heap: check.py's documented scale deviation (12g OOM'd at
@@ -186,6 +320,34 @@ def main() -> int:
             "step": "full_gate_sf1",
             "rc": r.returncode,
             "tail": tail,
+            "wall_s": round(time.time() - t0, 1),
+        }
+    )
+
+    # ---- 6b. sampled sf100 oracle for the oracle-INFEASIBLE pair --------
+    # (q85 / q94): stored-state spot-checks + complete probe replay over
+    # stored state — see tools/sampled_oracle.py.  Own process (its q85
+    # leg runs the full production SemDeDup at sf100).
+    t0 = time.time()
+    so_log = os.path.join(REPO, ".scale", f"sampled_oracle_{args.tag}.log")
+    with open(so_log, "w") as lf:
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "sampled_oracle.py"), SF100],
+            stdout=lf,
+            stderr=subprocess.STDOUT,
+            cwd=REPO,
+            env=env,
+        )
+    rc_total |= r.returncode
+    for line in open(so_log).read().splitlines():
+        try:
+            emit(json.loads(line))
+        except ValueError:
+            continue
+    emit(
+        {
+            "step": "sampled_oracle_sf100",
+            "rc": r.returncode,
             "wall_s": round(time.time() - t0, 1),
         }
     )
