@@ -1012,6 +1012,64 @@ def pq_encode_with_codebooks(
     )
 
 
+def pq_encode_with_codebooks_blas(
+    df: DataFrame,
+    cb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """PRODUCTION-scale twin of `pq_encode_with_codebooks`: encode against
+    a FROZEN codebook table with one float64 GEMM per (batch, subspace)
+    instead of per-row interpreted array folds.  Same tie rule — rounded
+    d2 (half-away, matching F.round), argmin first occurrence over
+    codebooks sorted by rk = smallest rank — so results agree with the
+    expression path except where a pre-round last-ulp difference (BLAS vs
+    sequential summation) lands exactly on a rounding boundary (pytest
+    asserts exact agreement on the test corpora).  Why it exists: the
+    interpreted encode costs ~50-100us per (row, subspace, code) triple —
+    an n=2M, m=16, k=16 build is HOURS interpreted and minutes here; use
+    the expression path for oracle-gated contracts, this for production
+    builds (the `fast=True` switch on the index builders).
+
+    Output: (id, codes array<int>) — identical shape to the expression
+    twin."""
+    import numpy as np
+
+    rows = cb.select("subspace", "rk", "sc").collect()
+    m = max(int(r["subspace"]) for r in rows) + 1
+    kk = max(int(r["rk"]) for r in rows) + 1
+    sub = len(rows[0]["sc"])
+    mats = np.zeros((m, kk, sub), dtype=np.float64)
+    for r in rows:
+        mats[int(r["subspace"]), int(r["rk"])] = [float(x) for x in r["sc"]]
+    bc = df.sparkSession.sparkContext.broadcast(mats)
+
+    def encode(batches):
+        import pandas as pd
+
+        cbm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                s = x[:, j * sub : (j + 1) * sub]
+                cj = cbm[j]
+                d2 = _round_half_away(
+                    (s * s).sum(axis=1)[:, None]
+                    - 2.0 * (s @ cj.T)
+                    + (cj * cj).sum(axis=1)[None, :],
+                    round_digits,
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col], "codes": [c.tolist() for c in codes]})
+
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    return vecs.mapInPandas(encode, schema="id long, codes array<int>")
+
+
 def _adc_lut_literals(
     cb: DataFrame, query_vecs: list[list[float]], round_digits: int
 ) -> list:
@@ -1229,6 +1287,7 @@ def ivfpq_build_index(
     by_residual: bool = False,
     coarse_centroids: DataFrame | None = None,
     opq_rotation: list[list[float]] | None = None,
+    fast: bool = False,
 ) -> None:
     """Persist the combined IVF-PQ index (Jegou, Douze, Schmid 2011,
     "Product Quantization for Nearest Neighbor Search" — the IVFADC
@@ -1288,7 +1347,18 @@ def ivfpq_build_index(
     isometry, so trained-on-unrotated coarse centroids stay valid once
     rotated alongside, which the build does automatically), the rotation
     is persisted as a `rotation/` table, and the probe rotates the query
-    before ranking cells or building LUTs.  Composes with by_residual."""
+    before ranking cells or building LUTs.  Composes with by_residual.
+
+    `fast=True` is the PRODUCTION-SCALE build: the two Theta(n*k)
+    stages — coarse assignment and PQ encode — run as Arrow-batched BLAS
+    (lloyd_assign_blas / pq_encode_with_codebooks_blas) instead of
+    interpreted expression folds.  Identical tie rules and half-away
+    rounding; the only divergence window is a pre-round last-ulp GEMM
+    difference (pytest asserts fast==slow builds are byte-identical on
+    the test corpora).  Interpreted folds cost ~50-100us per scored
+    pair — a 2M x 256 build is HOURS interpreted, minutes with BLAS —
+    so keep fast=False only for the oracle-gated contract builds the
+    SQL replays."""
     import json
     import os
 
@@ -1362,6 +1432,7 @@ def ivfpq_build_index(
                 ],
                 "cell long, cv array<double>",
             )
+    assign_fn = lloyd_assign_blas if fast else lloyd_assign
     if coarse_centroids is not None:
         cents_coarse = coarse_centroids.select(
             F.col("cell").cast("long").alias("cell"),
@@ -1369,7 +1440,7 @@ def ivfpq_build_index(
                 F.col("cv").cast("array<double>"), lambda x: F.round(x, round_digits)
             ).alias("cv"),
         )
-        assigned = lloyd_assign(
+        assigned = assign_fn(
             df,
             centroids=cents_coarse.select(
                 F.col("cell").alias("cluster"), F.col("cv").alias("cvec")
@@ -1379,7 +1450,7 @@ def ivfpq_build_index(
             round_digits=round_digits,
         ).withColumnRenamed("cluster", "cell")
     else:
-        assigned = lloyd_assign(
+        assigned = assign_fn(
             df, k=n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
         ).withColumnRenamed("cluster", "cell")
         cents_coarse = _rank_coarse_centroids(df, n_cells, id_col, vec_col, round_digits)
@@ -1401,8 +1472,14 @@ def ivfpq_build_index(
         cents = _rank_codebooks(
             cb_src, m, dim // m, k, id_col, "__rv", round_digits
         )
-        packed = pq_encode_with_codebooks(
+        encode_fn = pq_encode_with_codebooks_blas if fast else pq_encode_with_codebooks
+        packed = encode_fn(
             enc_in, cents, id_col=id_col, vec_col="__rv", round_digits=round_digits
+        )
+    elif fast:
+        cents = _rank_codebooks(df, m, dim // m, k, id_col, vec_col, round_digits)
+        packed = pq_encode_with_codebooks_blas(
+            df, cents, id_col=id_col, vec_col=vec_col, round_digits=round_digits
         )
     else:
         packed, cents = _pq_packed_codes(
@@ -1682,6 +1759,7 @@ def ivfsq_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    fast: bool = False,
 ) -> None:
     """Persist the IVF-SQ8 index: posting lists of 8-bit SCALAR-quantized
     codes partitioned by the deterministic Lloyd cell — the FAISS
@@ -1720,7 +1798,7 @@ def ivfsq_build_index(
             os.remove(stale)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump({"kind": "ivfsq", "dim": dim}, f)
-    assigned = lloyd_assign(
+    assigned = (lloyd_assign_blas if fast else lloyd_assign)(
         df, k=n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
     ).withColumnRenamed("cluster", "cell")
     sq = sq_fit(df, dim, id_col=id_col, vec_col=vec_col)

@@ -630,3 +630,42 @@ def test_ivfsq_reconstruction_error_bounded(spark, tmp_path):
         c = np.array(r["codes"], np.float64)
         xhat = mn + (c + 0.5) * delta
         assert (np.abs(vecs[r["id"]] - xhat) <= delta / 2 + 1e-12).all()
+
+
+def test_fast_build_matches_expression_build(spark, tmp_path):
+    """fast=True (BLAS assignment + BLAS frozen-codebook encode) produces
+    a BYTE-identical index to the expression-path build on the test
+    corpus, across raw / residual / OPQ ivfpq and ivfsq — the production
+    build path's correctness gate (interpreted folds are hours at 2M
+    where BLAS is minutes; see ivfpq_build_index docstring)."""
+    import os
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    rot = sim.opq_train(emb, m=8, k=16, dim=64, iters=2, sample_rows=256)
+
+    def cells(idx):
+        return sorted(
+            (int(r["id"]), int(r["cell"]), tuple(r["codes"]))
+            for r in spark.read.parquet(os.path.join(idx, "cells"))
+            .select("id", "cell", "codes")
+            .collect()
+        )
+
+    for tag, kw in (
+        ("raw", {}),
+        ("res", {"by_residual": True}),
+        ("opq", {"opq_rotation": rot}),
+    ):
+        slow = str(tmp_path / f"slow_{tag}")
+        fast = str(tmp_path / f"fast_{tag}")
+        sim.ivfpq_build_index(emb, slow, n_cells=16, m=8, k=16, dim=64, **kw)
+        sim.ivfpq_build_index(emb, fast, n_cells=16, m=8, k=16, dim=64, fast=True, **kw)
+        assert cells(slow) == cells(fast), tag
+
+    slow = str(tmp_path / "slow_sq")
+    fast = str(tmp_path / "fast_sq")
+    sim.ivfsq_build_index(emb, slow, n_cells=16, dim=64)
+    sim.ivfsq_build_index(emb, fast, n_cells=16, dim=64, fast=True)
+    assert cells(slow) == cells(fast)
