@@ -4441,48 +4441,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_ivfpq_residual_knn_join": q98_ivfpq_residual_knn_join,
     "q99_ivfsq_knn_join": q99_ivfsq_knn_join,
     "q92_ivfpq_ann": q92_ivfpq_ann,
-    "q46_asset_decode_stats": q46_asset_decode_stats,
-    "q64_pos_tags": q64_pos_tags,
-    "q29_simhash": q29_simhash,
-    "q32_label_centroids": q32_label_centroids,
-    "q33_embedding_norms": q33_embedding_norms,
-    "q38_knn_join": q38_knn_join,
-    "q57_knn_predict": q57_knn_predict,
-    "q48_kmeans_clusters": q48_kmeans_clusters,
-    "q65_nearest_centroid": q65_nearest_centroid,
-    "q47_ann_topk": q47_ann_topk,
-    "q55_panel_scene_graph": q55_panel_scene_graph,
     "q19_interval_overlap_pairs": q19_interval_overlap_pairs,
-    "q20_interval_minus": q20_interval_minus,
     "q21_interval_overlap_measure": q21_interval_overlap_measure,
     "q22_interval_merge_near": q22_interval_merge_near,
     "q34_interview_composite": q34_interview_composite,
-    "q66_coverage_sweep": q66_coverage_sweep,
-    "q77_bootstrap_validation": q77_bootstrap_validation,
-    "q02_top_revenue_orders": q02_top_revenue_orders,
-    "q04_late_ship_priority": q04_late_ship_priority,
-    "q05_quiet_customers": q05_quiet_customers,
-    "q06_top_order_per_customer": q06_top_order_per_customer,
-    "q09_sum_distinct_orders": q09_sum_distinct_orders,
-    "q10_orders_with_seven_items": q10_orders_with_seven_items,
-    "q11_orders_by_dateparts": q11_orders_by_dateparts,
-    "q13_part_string_ops": q13_part_string_ops,
-    "q14_math_ops": q14_math_ops,
-    "q15_rollup_revenue": q15_rollup_revenue,
-    "q35_sliding_topic": q35_sliding_topic,
-    "q36_trigram_tf": q36_trigram_tf,
-    "q39_status_priority_cube": q39_status_priority_cube,
-    "q44_lowercase_segments": q44_lowercase_segments,
-    "q45_caption_query_search": q45_caption_query_search,
-    "q49_json_props": q49_json_props,
-    "q50_auto_join_path": q50_auto_join_path,
-    "q52_precision_bucket_probability": q52_precision_bucket_probability,
-    "q59_bpe_token_counts": q59_bpe_token_counts,
-    "q86_jpeg_decode_stats": q86_jpeg_decode_stats,
-    "q67_decontaminate": q67_decontaminate,
-    # ---- position 50 cutoff: rows below hold a prior-round green
-    # ---- record on code paths unchanged since (rule enforced above)
     "q68_stratified_sample": q68_stratified_sample,
+    "q69_chunk_documents": q69_chunk_documents,
+    "q24_word_counts": q24_word_counts,
+    "q30_source_token_stats": q30_source_token_stats,
     "q93_minhash_cw_pairs": q93_minhash_cw_pairs,
     "q60_winnow_pairs": q60_winnow_pairs,
     "q71_dedup_groups": q71_dedup_groups,
@@ -4512,6 +4478,43 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_hourly_profile": q42_hourly_profile,
     "q43_latest_event_per_user": q43_latest_event_per_user,
     "q53_point_in_interval": q53_point_in_interval,
+    # ---- position 50 cutoff: rows below hold a prior-round green
+    # ---- record on code paths unchanged since (rule enforced above)
+    "q46_asset_decode_stats": q46_asset_decode_stats,
+    "q64_pos_tags": q64_pos_tags,
+    "q29_simhash": q29_simhash,
+    "q32_label_centroids": q32_label_centroids,
+    "q33_embedding_norms": q33_embedding_norms,
+    "q38_knn_join": q38_knn_join,
+    "q57_knn_predict": q57_knn_predict,
+    "q48_kmeans_clusters": q48_kmeans_clusters,
+    "q65_nearest_centroid": q65_nearest_centroid,
+    "q47_ann_topk": q47_ann_topk,
+    "q55_panel_scene_graph": q55_panel_scene_graph,
+    "q20_interval_minus": q20_interval_minus,
+    "q66_coverage_sweep": q66_coverage_sweep,
+    "q77_bootstrap_validation": q77_bootstrap_validation,
+    "q02_top_revenue_orders": q02_top_revenue_orders,
+    "q04_late_ship_priority": q04_late_ship_priority,
+    "q05_quiet_customers": q05_quiet_customers,
+    "q06_top_order_per_customer": q06_top_order_per_customer,
+    "q09_sum_distinct_orders": q09_sum_distinct_orders,
+    "q10_orders_with_seven_items": q10_orders_with_seven_items,
+    "q11_orders_by_dateparts": q11_orders_by_dateparts,
+    "q13_part_string_ops": q13_part_string_ops,
+    "q14_math_ops": q14_math_ops,
+    "q15_rollup_revenue": q15_rollup_revenue,
+    "q35_sliding_topic": q35_sliding_topic,
+    "q36_trigram_tf": q36_trigram_tf,
+    "q39_status_priority_cube": q39_status_priority_cube,
+    "q44_lowercase_segments": q44_lowercase_segments,
+    "q45_caption_query_search": q45_caption_query_search,
+    "q49_json_props": q49_json_props,
+    "q50_auto_join_path": q50_auto_join_path,
+    "q52_precision_bucket_probability": q52_precision_bucket_probability,
+    "q59_bpe_token_counts": q59_bpe_token_counts,
+    "q86_jpeg_decode_stats": q86_jpeg_decode_stats,
+    "q67_decontaminate": q67_decontaminate,
     "q54_stride_sample": q54_stride_sample,
     "q61_median_price": q61_median_price,
     "q62_grouping_sets": q62_grouping_sets,
@@ -4526,9 +4529,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_sentiment_rank": q63_sentiment_rank,
     "q84_png_decode_stats": q84_png_decode_stats,
     "q79_label_writeback": q79_label_writeback,
-    "q69_chunk_documents": q69_chunk_documents,
-    "q24_word_counts": q24_word_counts,
-    "q30_source_token_stats": q30_source_token_stats,
 }
 
 _ORACLES: dict[str, str] = {
