@@ -480,3 +480,65 @@ def test_compaction_works_on_pq_and_sq_code_layouts(spark, tmp_path):
         stats = compact_posting_lists(spark, idx, min_fragments=1)  # rewrite all
         assert stats["cells_compacted"] == stats["cells_total"]
         assert [tuple(r) for r in probe().collect()] == want, kind
+
+
+def test_serving_survives_insert_and_compaction_interleaving(spark, tmp_path):
+    """The serving-maintenance loop closed end-to-end: build -> batch
+    kNN join -> stream-insert -> join sees the new vectors -> compact ->
+    join bit-identical to pre-compaction.  This is the lifecycle a
+    production index actually lives (serve while ingesting, compact in
+    maintenance windows) — each pair of steps is tested elsewhere; this
+    guards the INTERLEAVING."""
+    from esper_tv_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_knn_join_index,
+    )
+    from esper_tv_spark.streaming.ann import (
+        compact_posting_lists,
+        posting_fragment_census,
+    )
+
+    emb = _emb(spark)
+    base = emb.where(F.col("vec_id") < 100)
+    tail = emb.where(F.col("vec_id") >= 100)
+    idx = str(tmp_path / "ivf_loop")
+    ivf_build_index(base, idx, n_cells=8)
+    queries = emb.where(F.col("vec_id").isin([0, 7])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    def topk():
+        out = ivf_knn_join_index(spark, idx, queries, 10, n_probe=3)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["qid"], []).append((r["vec_id"], r["cosine_sim"]))
+        return {q: sorted(v, key=lambda t: (-t[1], t[0])) for q, v in got.items()}
+
+    before_insert = topk()
+    base_ids = {r["vec_id"] for r in base.select("vec_id").collect()}
+    assert all(i in base_ids for rows in before_insert.values() for i, _ in rows)
+
+    src = str(tmp_path / "tail_src")
+    for i in range(2):
+        tail.where(F.col("vec_id") % 2 == i).coalesce(1).write.parquet(src, mode="append")
+    q = ivf_stream_insert(
+        file_stream(spark, src, tail.schema, max_files_per_trigger=1),
+        idx,
+        str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination(180)
+
+    after_insert = topk()
+    # the inserted tail must be visible to the serving join (the full
+    # corpus contains nearer neighbors than the base alone for at least
+    # one query on this fixture — assert the result CHANGED and that a
+    # tail id appears)
+    assert after_insert != before_insert
+    assert any(
+        i not in base_ids for rows in after_insert.values() for i, _ in rows
+    )
+
+    assert max(posting_fragment_census(idx).values()) >= 2
+    compact_posting_lists(spark, idx, min_fragments=2)
+    assert topk() == after_insert
+    assert max(posting_fragment_census(idx).values()) == 1
