@@ -458,10 +458,40 @@ def residual_vectors(
     )
 
 
+def recommended_cells(n_vectors: int) -> int:
+    """Coarse-quantizer size for an IVF-family index: n_cells =
+    round(4 * sqrt(n)) (the FAISS sizing guidance).  Why it must scale
+    with n and never be a constant: the round-8 2M x 256 anisotropic
+    rehearsal measured the recall ladder COLLAPSING under a fixed
+    n_cells=64 (residual .198 ~ raw .230 — 64 cells cannot resolve the
+    corpus's 1024 true clusters, so the residual r = v - cell-center no
+    longer strips the true center and the code-budget refinements have
+    no lever), while n_cells=1024 restored it (residual .346,
+    OPQ+residual .422, SQ8 .904 -> .978) WHILE scanning 4x less data
+    per probe (32/1024 = 3.1% vs 8/64 = 12.5%).  Coarse resolution,
+    not code budget, is the first-order recall knob at scale.  Rounds
+    half-up like dedup.recommended_clusters (engine-replayable from
+    count(*))."""
+    import math
+
+    return max(1, int(math.floor(4.0 * math.sqrt(max(0, n_vectors)) + 0.5)))
+
+
+def _resolve_n_cells(df: DataFrame, n_cells) -> int:
+    """'auto' -> recommended_cells(count) — one count job at build time,
+    paid only when the caller didn't size the quantizer themselves (the
+    same stance as the DSL's semantic-dedup k derivation)."""
+    if n_cells == "auto":
+        return recommended_cells(df.count())
+    if not isinstance(n_cells, int) or isinstance(n_cells, bool) or n_cells <= 0:
+        raise ValueError(f"n_cells must be a positive int or 'auto', got {n_cells!r}")
+    return n_cells
+
+
 def ivf_build_index(
     df: DataFrame,
     path: str,
-    n_cells: int = 16,
+    n_cells: "int | str" = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
@@ -487,9 +517,14 @@ def ivf_build_index(
 
     Everything stored is the output of deterministic relational plans and
     parquet doubles round-trip binary-exact, so probe results are
-    bit-identical to the inline `ivf_topk_deterministic`."""
+    bit-identical to the inline `ivf_topk_deterministic`.
+
+    `n_cells='auto'` sizes the coarse quantizer as `recommended_cells`
+    (4*sqrt(n)) — see that docstring for the 2M-rehearsal evidence that
+    a constant n_cells collapses recall at scale."""
     import os
 
+    n_cells = _resolve_n_cells(df, n_cells)
     assigned = lloyd_assign(
         df, k=n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
     ).withColumnRenamed("cluster", "cell")
@@ -1277,7 +1312,7 @@ def opq_train_np(x: "object", m: int, k: int, iters: int = 8, seed: int = 90210)
 def ivfpq_build_index(
     df: DataFrame,
     path: str,
-    n_cells: int = 16,
+    n_cells: "int | str" = 16,
     m: int = 8,
     k: int = 16,
     id_col: str = "vec_id",
@@ -1367,6 +1402,7 @@ def ivfpq_build_index(
             "ivfpq_build_index: dim is required (same fail-closed contract "
             "as pq_build_store — probe the parquet footer instead)"
         )
+    n_cells = _resolve_n_cells(df, n_cells)
     # meta FIRST: the index-complete sentinel is the LAST table's _SUCCESS,
     # so meta.json present + sentinel present => a complete, self-described
     # index; a crash mid-build leaves no sentinel and forces a rebuild.
@@ -1754,7 +1790,7 @@ def _sq_encode_expr(vec64, mn: list[float], mx: list[float]):
 def ivfsq_build_index(
     df: DataFrame,
     path: str,
-    n_cells: int = 16,
+    n_cells: "int | str" = 16,
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1789,6 +1825,7 @@ def ivfsq_build_index(
 
     if dim is None:
         raise ValueError("ivfsq_build_index: dim is required (fail-closed)")
+    n_cells = _resolve_n_cells(df, n_cells)
     os.makedirs(path, exist_ok=True)
     for stale in (
         os.path.join(path, "centroids", "_SUCCESS"),

@@ -669,3 +669,34 @@ def test_fast_build_matches_expression_build(spark, tmp_path):
     sim.ivfsq_build_index(emb, slow, n_cells=16, dim=64)
     sim.ivfsq_build_index(emb, fast, n_cells=16, dim=64, fast=True)
     assert cells(slow) == cells(fast)
+
+
+def test_auto_cells_sizes_with_corpus(spark, tmp_path):
+    """n_cells='auto' resolves to recommended_cells(count) = round(4*sqrt(n))
+    — the scale-safe default the 2M rehearsal motivated (a constant
+    n_cells collapses the recall ladder; see recommended_cells) — and
+    the built index probes normally; malformed n_cells fail loudly."""
+    import os
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    want = sim.recommended_cells(n)
+    assert want == int(np.floor(4.0 * np.sqrt(n) + 0.5))
+
+    idx = str(tmp_path / "auto")
+    sim.ivf_build_index(emb, idx, n_cells="auto")
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    assert cents.count() == want
+    qv = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    assert len(sim.ivf_probe_index(spark, idx, qv, 10, n_probe=3).collect()) == 10
+
+    idx2 = str(tmp_path / "auto_sq")
+    sim.ivfsq_build_index(emb, idx2, dim=64, n_cells="auto")
+    assert spark.read.parquet(os.path.join(idx2, "centroids")).count() == want
+
+    with pytest.raises(ValueError, match="n_cells"):
+        sim.ivf_build_index(emb, str(tmp_path / "bad"), n_cells=0)
+    with pytest.raises(ValueError, match="n_cells"):
+        sim.ivf_build_index(emb, str(tmp_path / "bad2"), n_cells="many")
