@@ -4445,6 +4445,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_interval_overlap_measure": q21_interval_overlap_measure,
     "q22_interval_merge_near": q22_interval_merge_near,
     "q34_interview_composite": q34_interview_composite,
+    "q80_ivf_ann": q80_ivf_ann,
+    "q87_ivf_cell_census": q87_ivf_cell_census,
     "q68_stratified_sample": q68_stratified_sample,
     "q69_chunk_documents": q69_chunk_documents,
     "q24_word_counts": q24_word_counts,
@@ -4453,8 +4455,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_winnow_pairs": q60_winnow_pairs,
     "q71_dedup_groups": q71_dedup_groups,
     "q81_pq_codes": q81_pq_codes,
-    "q80_ivf_ann": q80_ivf_ann,
-    "q87_ivf_cell_census": q87_ivf_cell_census,
     "q88_pq_adc_topk": q88_pq_adc_topk,
     "q89_wav_decode_stats": q89_wav_decode_stats,
     "q90_avi_decode_stats": q90_avi_decode_stats,
