@@ -288,12 +288,37 @@ def run_query(
             n_probe = sim.get("n_probe", 3)
             if not _int(n_probe) or n_probe <= 0:
                 raise DSLError("'n_probe' must be a positive int")
+            # kind WHITELIST — fail closed on anything that is not a
+            # probeable ivf/ivfpq/ivfsq store.  Defaulting unknown metas
+            # to ivfpq would silently mis-probe e.g. a pq_build_store
+            # (q88 layout) catalog entry; the catalog is server-owned so
+            # this is operator error, not injection — but it should be a
+            # loud error, same stance as every other rejection here.
             meta_path = _os.path.join(path, "meta.json")
             if _os.path.exists(meta_path):
                 with open(meta_path) as f:
-                    kind = "ivfsq" if _json.load(f).get("kind") == "ivfsq" else "ivfpq"
-            else:
+                    meta = _json.load(f)
+                mk = meta.get("kind")
+                if mk == "ivfsq":
+                    kind = "ivfsq"
+                elif mk is None and all(
+                    key in meta for key in ("by_residual", "m", "k", "dim")
+                ):
+                    kind = "ivfpq"  # ivfpq_build_index's meta shape
+                else:
+                    raise DSLError(
+                        f"index {name!r} meta.json kind {mk!r} is not a "
+                        "probeable ivf/ivfpq/ivfsq store"
+                    )
+            elif _os.path.isdir(_os.path.join(path, "cells")) and _os.path.isdir(
+                _os.path.join(path, "centroids")
+            ):
                 kind = "ivf"  # raw-vector posting lists carry no meta
+            else:
+                raise DSLError(
+                    f"index {name!r} has no meta.json and no cells/ + "
+                    "centroids/ layout — not a probeable index store"
+                )
             spark = df.sparkSession
             if "query_ids" in sim:
                 qids = sim["query_ids"]
@@ -302,6 +327,20 @@ def run_query(
                 queries = df.where(F.col(id_col).isin(qids)).select(
                     F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
                 )
+                # the single-id path raises DSLError for an absent id; the
+                # batch path must not silently drop absentees (nor let a
+                # fan-out duplicate surface as a raw ValueError from the
+                # join's batch collect) — one driver action over the
+                # filtered batch, spec-surface consistency
+                got = [r[0] for r in queries.select("qid").collect()]
+                missing = sorted(set(qids) - set(got))
+                if missing:
+                    raise DSLError(f"query_ids not found: {missing}")
+                dupes = sorted({g for g in got if got.count(g) > 1})
+                if dupes:
+                    raise DSLError(
+                        f"query_ids duplicated in table {spec['table']!r}: {dupes}"
+                    )
                 join_fn = {
                     "ivf": sim_ops.ivf_knn_join_index,
                     "ivfpq": sim_ops.ivfpq_knn_join_index,

@@ -614,6 +614,16 @@ def _collect_query_batch(
             raise ValueError(
                 f"batch kNN join: {qid_col}={q!r} is not an integral query id"
             )
+        if not -(1 << 31) <= int(q) < (1 << 31):
+            # the residual join keys its LUT map on qid * 2^32 + cell —
+            # injective only while |qid| < 2^31 (past that the int64 key
+            # wraps / the literal fails deep in codegen); fail loudly at
+            # the batch boundary instead
+            raise ValueError(
+                f"batch kNN join: {qid_col}={q!r} out of range — query ids "
+                "must fit int32 (the composite (qid, cell) LUT key is "
+                "qid * 2^32 + cell in an int64)"
+            )
         qids.append(int(q))
     if len(set(qids)) != len(qids):
         dupes = sorted({q for q in qids if qids.count(q) > 1})
@@ -644,11 +654,27 @@ def _rank_probe_cells(
     ]
     cent_rows = cents.select("cell", "cv", *sim_cols).collect()
     pairs: list[tuple[int, int]] = []
+    neg_inf = float("-inf")
     for i, qid in enumerate(qids):
-        ranked = sorted(cent_rows, key=lambda r: (-r[f"__s{i}"], r["cell"]))
+        # a NULL rounded cosine (zero-norm centroid, zero query vector)
+        # must sort LAST, matching the single probe's Spark `desc` order
+        # (nulls last) — a raw `-r[__s]` key would TypeError on None
+        ranked = sorted(
+            cent_rows,
+            key=lambda r: (
+                -(r[f"__s{i}"] if r[f"__s{i}"] is not None else neg_inf),
+                r["cell"],
+            ),
+        )
         pairs.extend((qid, int(r["cell"])) for r in ranked[:n_probe])
     cell_list = sorted({c for _q, c in pairs})
-    cv_by_cell = {int(r["cell"]): [float(x) for x in r["cv"]] for r in cent_rows}
+    # preserve null components (float(None) would crash the whole batch
+    # for one corrupt centroid); a residual caller probing such a cell
+    # fails at its own residual arithmetic with the cell named
+    cv_by_cell = {
+        int(r["cell"]): [None if x is None else float(x) for x in r["cv"]]
+        for r in cent_rows
+    }
     return pairs, cell_list, cv_by_cell
 
 

@@ -541,6 +541,82 @@ def test_dsl_ann_probe_rejected_specs(spark, catalog, tmp_path):
             )
 
 
+def test_dsl_ann_probe_kind_whitelist(spark, catalog, tmp_path):
+    """Stores that are not probeable ivf/ivfpq/ivfsq indexes are
+    REJECTED, not mis-probed: a pq_build_store layout (q88 — codes/ +
+    codebooks/, no meta.json), a meta.json with an unknown kind, and an
+    empty directory all raise DSLError (r8 defaulted unknown metas to
+    ivfpq, which would score a pq store's centroids as posting lists)."""
+    import json
+    import os
+
+    import pytest
+
+    from esper_tv_spark.operators.similarity import pq_build_store
+
+    emb = catalog["embeddings"]
+    pq_path = str(tmp_path / "pqstore")
+    pq_build_store(emb, pq_path, m=8, k=16, dim=64)
+    weird = str(tmp_path / "weird")
+    os.makedirs(weird)
+    with open(os.path.join(weird, "meta.json"), "w") as f:
+        json.dump({"kind": "hnsw", "dim": 64}, f)
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    cat = {"pq": pq_path, "weird": weird, "empty": empty}
+    for name in cat:
+        with pytest.raises(DSLError, match="not a probeable"):
+            run_query(
+                catalog,
+                {
+                    "table": "embeddings",
+                    "similarity": {"op": "ann_probe", "index": name, "query_id": 0, "k": 3},
+                },
+                index_catalog=cat,
+            )
+
+
+def test_dsl_ann_probe_batch_missing_and_dup_ids(spark, catalog, tmp_path):
+    """The query_ids batch path matches the single-id path's stance on
+    absent ids (DSLError, not a silently smaller batch) and surfaces
+    duplicate ids in the table as DSLError rather than a raw ValueError
+    from the join's internal batch collect."""
+    import pytest
+
+    from esper_tv_spark.operators.similarity import ivf_build_index
+
+    emb = catalog["embeddings"]
+    idx = str(tmp_path / "ivf_batch_ids")
+    ivf_build_index(emb, idx, n_cells=8)
+    cat = {"faces": idx}
+    with pytest.raises(DSLError, match="not found"):
+        run_query(
+            catalog,
+            {
+                "table": "embeddings",
+                "similarity": {
+                    "op": "ann_probe", "index": "faces",
+                    "query_ids": [0, 10_000_000], "k": 3,
+                },
+            },
+            index_catalog=cat,
+        )
+    dup_cat = dict(catalog)
+    dup_cat["embdup"] = emb.union(emb.where(F.col("vec_id") == 0))
+    with pytest.raises(DSLError, match="duplicated"):
+        run_query(
+            dup_cat,
+            {
+                "table": "embdup",
+                "similarity": {
+                    "op": "ann_probe", "index": "faces",
+                    "query_ids": [0, 7], "k": 3,
+                },
+            },
+            index_catalog=cat,
+        )
+
+
 def test_dsl_fuzz_ann_probe_index_names(spark, catalog, tmp_path):
     """Fuzz: arbitrary index names (including path-traversal shapes)
     either resolve to the one catalog name or raise DSLError — nothing

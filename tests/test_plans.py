@@ -520,3 +520,28 @@ def test_batch_knn_join_rejects_bad_qids(spark, tmp_path):
     dup = base.withColumn("qid", F.lit(7))
     with pytest.raises(ValueError, match="duplicate"):
         ivf_knn_join_index(spark, idx, dup, 5)
+    # qid magnitude: the residual join's composite LUT key is
+    # qid * 2^32 + cell — a qid past int32 would wrap the int64 key, so
+    # the batch boundary rejects it for EVERY join flavor
+    big = base.withColumn("qid", F.col("qid") + F.lit(1 << 31))
+    with pytest.raises(ValueError, match="out of range"):
+        ivf_knn_join_index(spark, idx, big, 5)
+
+
+def test_batch_knn_join_null_cosine_ranks_last(spark):
+    """A NULL rounded centroid cosine (a null component in a stored
+    centroid vector propagates through dot -> NULL, no ANSI
+    divide-by-zero) must not crash the driver-side cell ranking (r8
+    regressed from the null-tolerant Spark window ordering to a bare
+    -key sort, which TypeErrors on None) — the NULL cell ranks LAST,
+    exactly where the single probe's `desc` (nulls last) puts it."""
+    from esper_tv_spark.operators.similarity import _rank_probe_cells
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [None, 1.0]), (2, [0.6, 0.8])],
+        "cell long, cv array<double>",
+    )
+    pairs, cell_list, cv = _rank_probe_cells(cents, [42], [[1.0, 0.0]], 3, 6)
+    assert [c for _q, c in pairs] == [0, 2, 1]  # NULL-sim cell 1 last
+    assert cell_list == [0, 1, 2]
+    assert cv[1] == [None, 1.0]  # corrupt component preserved, not a crash
