@@ -1131,9 +1131,9 @@ def pq_encode_with_codebooks_blas(
     return vecs.mapInPandas(encode, schema="id long, codes array<int>")
 
 
-def _adc_lut_literals(
+def _adc_lut_values(
     cb: DataFrame, query_vecs: list[list[float]], round_digits: int
-) -> list:
+) -> list[list[list[int]]]:
     """Build the m x k ADC lookup tables for SEVERAL query vectors from a
     persisted codebooks table (subspace, rk, sc) in ONE driver action —
     one projection carrying one scaled-d2 column per query, one collect
@@ -1143,7 +1143,10 @@ def _adc_lut_literals(
     quantize a fixed prefix of a wider corpus (the q81/q88 cross-scale
     stance), and a len-derived width would silently slice wrong.  The d2
     arithmetic stays in SPARK expressions (same F.round semantics the
-    oracles replay).  Returns one literal nested-array Column per query."""
+    oracles replay).  Returns the scaled-bigint table VALUES, one m x k
+    nested list per query — callers choose the carrier (inline literal
+    map vs broadcast LUT table), which therefore CANNOT diverge in
+    values."""
     scale = 10 ** round_digits
     mrow = cb.agg(F.max("subspace"), F.max(F.size("sc"))).collect()[0]
     m, sub = int(mrow[0]) + 1, int(mrow[1])
@@ -1171,15 +1174,27 @@ def _adc_lut_literals(
             (int(r["subspace"]), int(r["rk"])): int(r[f"sd2_{qi}"]) for r in lut_rows
         }
         ks = max(rk for (_j, rk) in lut) + 1
-        out.append(
-            F.array(
-                *[
-                    F.array(*[F.lit(lut[(j, r)]).cast("long") for r in range(ks)])
-                    for j in range(m)
-                ]
-            )
-        )
+        out.append([[lut[(j, r)] for r in range(ks)] for j in range(m)])
     return out
+
+
+def _lut_literal(vals: list[list[int]]):
+    """One m x k LUT as a literal nested-array Column."""
+    return F.array(
+        *[F.array(*[F.lit(x).cast("long") for x in row]) for row in vals]
+    )
+
+
+def _adc_lut_literals(
+    cb: DataFrame, query_vecs: list[list[float]], round_digits: int
+) -> list:
+    """Literal-Column form of `_adc_lut_values` — one nested-array
+    Column per query, inlined into the plan (right shape for a handful
+    of LUTs; past ~16 probed cells per query the batch joins switch to
+    a broadcast LUT table carrying the SAME values)."""
+    return [
+        _lut_literal(v) for v in _adc_lut_values(cb, query_vecs, round_digits)
+    ]
 
 
 def _adc_lut_literal(cb: DataFrame, query_vec: list[float], round_digits: int):
@@ -1689,6 +1704,7 @@ def ivfpq_knn_join_index(
     qvec_col: str = "qvec",
     id_col: str = "vec_id",
     round_digits: int = 6,
+    lut_literal_max_probe: int = 16,
 ) -> DataFrame:
     """BATCH ADC probe of an `ivfpq_build_index` index — q96's
     amortized-scan kNN join applied to the PQ-coded posting lists (the
@@ -1705,10 +1721,22 @@ def ivfpq_knn_join_index(
     expressions the single probe and the oracle use).  All three index
     flavors are supported: raw, OPQ (the collected queries are rotated
     driver-side), and `by_residual` — the residual query r = q -
-    centroid[cell] differs PER PROBED CELL, so the LUT map keys on the
+    centroid[cell] differs PER PROBED CELL, so the LUT keys on the
     composite (qid, cell) pair instead of qid alone: n_q * n_probe LUTs
-    of m*k longs each, still one inline literal map, still zero LUT
-    joins (the FAISS IVFADC batch-serving shape)."""
+    of m*k longs each, zero LUT joins (the FAISS IVFADC batch-serving
+    shape).
+
+    Residual LUT carrier: up to `lut_literal_max_probe` probed cells
+    per query the LUTs ride as an INLINE literal map (zero extra plan
+    nodes); past that the inline shape stops being free — at the
+    n_probe=32 / n_cells~4*sqrt(n) configuration the 2M recall ladder
+    says production serving needs, n_q * 32 * m * k inline longs cost
+    ~24s/query of Catalyst plan COMPILE (r8 measurement) — so the LUTs
+    ride as a COLUMN of the broadcast (qid, cell) pair rows instead:
+    same values from the same `_adc_lut_values` action, same single
+    broadcast hash join (the LUT column is just extra broadcast
+    payload, n_q * n_probe * m * k longs — still KBs), bit-identical
+    output (asserted in tests/test_plans.py)."""
     import os
 
     from pyspark.sql import Window
@@ -1731,32 +1759,47 @@ def ivfpq_knn_join_index(
     )
 
     cb = spark.read.parquet(os.path.join(path, "codebooks"))
-    pair_df = spark.createDataFrame(pairs, f"{qid_col} long, cell long")
     codes = spark.read.parquet(os.path.join(path, "cells")).where(
         F.col("cell").isin(cell_list)
     )
-    cand = codes.join(F.broadcast(pair_df), "cell")
+    pair_schema = f"{qid_col} long, cell long"
     if meta["by_residual"]:
         # one LUT per (qid, cell): the query residual q - centroid[cell]
-        # is what the stored codes quantized against.  Key the literal
-        # map on qid * 2^32 + cell (injective: cells are non-negative
-        # ints < 2^32) — same zero-join stance as the qid-keyed raw map.
+        # is what the stored codes quantized against.
         qv_by_qid = dict(zip(qids, qvecs))
         residuals = [
             [float(a) - float(b) for a, b in zip(qv_by_qid[q], cv_by_cell[c])]
             for q, c in pairs
         ]
-        luts = _adc_lut_literals(cb, residuals, round_digits)
-        key_base = 1 << 32
-        pair_lut = F.map_from_arrays(
-            F.array(*[F.lit(q * key_base + c).cast("long") for q, c in pairs]),
-            F.array(*luts),
-        )
-        lut_col = F.element_at(
-            pair_lut,
-            F.col(qid_col).cast("long") * F.lit(key_base) + F.col("cell").cast("long"),
-        )
+        lut_vals = _adc_lut_values(cb, residuals, round_digits)
+        if n_probe > lut_literal_max_probe:
+            # broadcast LUT TABLE: the per-(qid, cell) tables ride the
+            # pair rows the join already broadcasts — no plan literals,
+            # no extra join, values identical to the literal map's
+            pair_df = spark.createDataFrame(
+                [(q, c, lut_vals[i]) for i, (q, c) in enumerate(pairs)],
+                f"{pair_schema}, __lut array<array<long>>",
+            )
+            cand = codes.join(F.broadcast(pair_df), "cell")
+            lut_col = F.col("__lut")
+        else:
+            # inline literal map keyed on qid * 2^32 + cell (injective:
+            # cells are non-negative ints < 2^32; qids int32-validated)
+            pair_df = spark.createDataFrame(pairs, pair_schema)
+            cand = codes.join(F.broadcast(pair_df), "cell")
+            key_base = 1 << 32
+            pair_lut = F.map_from_arrays(
+                F.array(*[F.lit(q * key_base + c).cast("long") for q, c in pairs]),
+                F.array(*[_lut_literal(v) for v in lut_vals]),
+            )
+            lut_col = F.element_at(
+                pair_lut,
+                F.col(qid_col).cast("long") * F.lit(key_base)
+                + F.col("cell").cast("long"),
+            )
     else:
+        pair_df = spark.createDataFrame(pairs, pair_schema)
+        cand = codes.join(F.broadcast(pair_df), "cell")
         luts = _adc_lut_literals(cb, qvecs, round_digits)
         qid_lut = F.map_from_arrays(
             F.array(*[F.lit(q).cast("long") for q in qids]), F.array(*luts)

@@ -458,6 +458,29 @@ def test_q97_batch_adc_join_matches_single_probes(spark, tmp_path):
             qv = [float(x) for x in emb.where(F.col("vec_id") == qid).first()["embedding"]]
             want = [tuple(r) for r in ivfpq_probe_index(spark, idx, qv, 10, n_probe=3).collect()]
             assert sorted(got[qid], key=lambda t: (t[1], t[0])) == want, (tag, qid)
+        if kw.get("by_residual"):
+            # the broadcast-LUT-TABLE carrier (production shape past
+            # lut_literal_max_probe probed cells) is bit-identical to
+            # the inline literal map, and its plan is still one
+            # broadcast hash join + pruned scan — no extra join node
+            tbl = ivfpq_knn_join_index(
+                spark, idx, queries, 10, n_probe=3, lut_literal_max_probe=0
+            )
+            got_t = {}
+            for r in tbl.collect():
+                got_t.setdefault(r["qid"], []).append((r["vec_id"], r["adist"]))
+            assert got_t == got, tag
+            plan = physical_plan(tbl)
+            # an executed adaptive plan prints Final + Initial sections;
+            # count joins in the FINAL plan only
+            final = plan.split("== Initial Plan ==")[0]
+            assert final.count("BroadcastHashJoin") == 1, tag
+            assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+            assert (
+                "PartitionFilters" in plan
+                and "cell" in plan.split("PartitionFilters")[1][:200]
+            ), tag
 
 
 def test_q99_batch_sq8_join_matches_single_probes(spark, tmp_path):
