@@ -678,6 +678,52 @@ def _rank_probe_cells(
     return pairs, cell_list, cv_by_cell
 
 
+def _rank_probe_cells_blas(
+    cents: DataFrame,
+    qids: list[int],
+    qvecs: list[list[float]],
+    n_probe: int,
+    round_digits: int,
+) -> tuple[list[tuple[int, int]], list[int], dict[int, list[float]]]:
+    """BLAS twin of `_rank_probe_cells` — the fast=True serving rung,
+    same split as lloyd_assign vs lloyd_assign_blas: ONE collect of the
+    n_cells centroid table (cell, cv), then a single GEMM cosine over
+    the whole batch with `_round_half_away` (F.round's tie rule) and the
+    same (sim desc, cell asc) total order via a stable argsort over
+    id-sorted rows.  The expression path evaluates one interpreted
+    fold per (cell, query) — at production batches (n_q ~ 8-64,
+    n_cells ~ 4*sqrt(n)) that is the dominant serving cost; here it is
+    one O(n_cells * dim * n_q) GEMM.  Boundary caveat as all BLAS twins:
+    numpy's pairwise sums differ from the left-to-right fold in the
+    last ulp, so a rounded cosine within ~1e-10 of a rounding boundary
+    could tip — contract entries stay on the expression path; pytest
+    asserts the two paths agree exactly on the test corpora."""
+    import numpy as np
+
+    rows = cents.select("cell", "cv").collect()
+    rows.sort(key=lambda r: r["cell"])
+    cells = np.array([int(r["cell"]) for r in rows], dtype=np.int64)
+    cmat = np.array([[float(x) for x in r["cv"]] for r in rows], dtype=np.float64)
+    qmat = np.array(qvecs, dtype=np.float64)
+    cn = np.sqrt((cmat * cmat).sum(axis=1))
+    qn = np.sqrt((qmat * qmat).sum(axis=1))
+    sims = _round_half_away(
+        (cmat @ qmat.T) / (cn[:, None] * qn[None, :]), round_digits
+    )
+    pairs: list[tuple[int, int]] = []
+    for i, qid in enumerate(qids):
+        # stable sort on -sim: ties keep ascending row index = ascending
+        # cell id (rows sorted by cell above); NaN sorts last, matching
+        # the expression path's nulls-last stance
+        top = np.argsort(-sims[:, i], kind="stable")[:n_probe]
+        pairs.extend((qid, int(cells[j])) for j in top)
+    cell_list = sorted({c for _q, c in pairs})
+    cv_by_cell = {
+        int(cells[j]): [float(x) for x in cmat[j]] for j in range(len(cells))
+    }
+    return pairs, cell_list, cv_by_cell
+
+
 def ivf_knn_join_index(
     spark,
     path: str,
@@ -688,6 +734,7 @@ def ivf_knn_join_index(
     qvec_col: str = "qvec",
     id_col: str = "vec_id",
     round_digits: int = 6,
+    fast: bool = False,
 ) -> DataFrame:
     """BATCH probe of an `ivf_build_index` index — the indexed kNN JOIN:
     every row of `queries` (qid, qvec) gets its top-k from the persisted
@@ -713,14 +760,17 @@ def ivf_knn_join_index(
 
     Output: (qid, id_col, cosine_sim), top-k per qid, ties to the
     smaller id — per-query results bit-identical to `ivf_probe_index`
-    (asserted in tests)."""
+    (asserted in tests).  `fast=True` ranks cells with the BLAS twin
+    (one GEMM; production serving), bit-identical on test corpora —
+    contract entries stay fast=False."""
     import os
 
     from pyspark.sql import Window
 
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     qids, qvecs = _collect_query_batch(queries, qid_col, qvec_col)
-    pairs, cell_list, _cv = _rank_probe_cells(cents, qids, qvecs, n_probe, round_digits)
+    rank_cells = _rank_probe_cells_blas if fast else _rank_probe_cells
+    pairs, cell_list, _cv = rank_cells(cents, qids, qvecs, n_probe, round_digits)
     qv_by_qid = dict(zip(qids, qvecs))
     pair_df = spark.createDataFrame(
         [(q, c, qv_by_qid[q]) for q, c in pairs],
@@ -1194,6 +1244,46 @@ def _adc_lut_literals(
     a broadcast LUT table carrying the SAME values)."""
     return [
         _lut_literal(v) for v in _adc_lut_values(cb, query_vecs, round_digits)
+    ]
+
+
+def _adc_lut_values_blas(
+    cb: DataFrame, query_vecs: list[list[float]], round_digits: int
+) -> list[list[list[int]]]:
+    """BLAS twin of `_adc_lut_values` — the fast=True serving rung: ONE
+    collect of the m*k codebook rows, then the whole batch's LUTs as a
+    single einsum with the expression path's exact two-stage rounding
+    (F.round(d2, digits) then F.round(d2r * scale, 0), both as
+    `_round_half_away`).  The expression path builds one scaled-d2
+    column PER residual — a residual batch at n_probe=32 is n_q * 32
+    interpreted fold columns over the codebook, the second-largest
+    serving cost after plan compile (measured: most of a 63s wall at
+    8 x 32 on the 2M index).  Same last-ulp boundary caveat as every
+    BLAS twin; contract entries stay on the expression path and pytest
+    asserts exact agreement on the test corpora."""
+    import numpy as np
+
+    scale = 10.0 ** round_digits
+    rows = cb.select("subspace", "rk", "sc").collect()
+    m = max(int(r["subspace"]) for r in rows) + 1
+    ks = max(int(r["rk"]) for r in rows) + 1
+    sub = max(len(r["sc"]) for r in rows)
+    sc = np.zeros((m, ks, sub), dtype=np.float64)
+    for r in rows:
+        sc[int(r["subspace"]), int(r["rk"])] = [float(x) for x in r["sc"]]
+    # geometry comes from the STORE (the q81/q88 cross-scale stance):
+    # slice the first m*sub query coords exactly as the expression path
+    qmat = np.array(
+        [[float(x) for x in q[: m * sub]] for q in query_vecs], dtype=np.float64
+    ).reshape(len(query_vecs), m, sub)
+    qq = (qmat * qmat).sum(axis=2)  # n_q x m
+    ss = (sc * sc).sum(axis=2)  # m x ks
+    qs = np.einsum("qjd,jrd->qjr", qmat, sc)  # n_q x m x ks
+    d2 = _round_half_away(qq[:, :, None] - 2.0 * qs + ss[None, :, :], round_digits)
+    vals = _round_half_away(d2 * scale, 0).astype(np.int64)
+    return [
+        [[int(vals[q, j, r]) for r in range(ks)] for j in range(m)]
+        for q in range(len(query_vecs))
     ]
 
 
@@ -1705,6 +1795,7 @@ def ivfpq_knn_join_index(
     id_col: str = "vec_id",
     round_digits: int = 6,
     lut_literal_max_probe: int = 16,
+    fast: bool = False,
 ) -> DataFrame:
     """BATCH ADC probe of an `ivfpq_build_index` index — q96's
     amortized-scan kNN join applied to the PQ-coded posting lists (the
@@ -1736,7 +1827,14 @@ def ivfpq_knn_join_index(
     same values from the same `_adc_lut_values` action, same single
     broadcast hash join (the LUT column is just extra broadcast
     payload, n_q * n_probe * m * k longs — still KBs), bit-identical
-    output (asserted in tests/test_plans.py)."""
+    output (asserted in tests/test_plans.py).
+
+    `fast=True` swaps the driver-action stages (cell ranking, LUT
+    values) for their BLAS twins — same split as the fast=True index
+    BUILDS: production serving uses it (one GEMM instead of
+    n_q * n_cells interpreted folds + n_q * n_probe LUT columns);
+    contract/oracle entries stay fast=False; pytest asserts the two
+    paths are bit-identical on the test corpora."""
     import os
 
     from pyspark.sql import Window
@@ -1754,7 +1852,9 @@ def ivfpq_knn_join_index(
         ]
 
     cents = spark.read.parquet(os.path.join(path, "centroids"))
-    pairs, cell_list, cv_by_cell = _rank_probe_cells(
+    rank_cells = _rank_probe_cells_blas if fast else _rank_probe_cells
+    lut_values = _adc_lut_values_blas if fast else _adc_lut_values
+    pairs, cell_list, cv_by_cell = rank_cells(
         cents, qids, qvecs, n_probe, round_digits
     )
 
@@ -1771,7 +1871,7 @@ def ivfpq_knn_join_index(
             [float(a) - float(b) for a, b in zip(qv_by_qid[q], cv_by_cell[c])]
             for q, c in pairs
         ]
-        lut_vals = _adc_lut_values(cb, residuals, round_digits)
+        lut_vals = lut_values(cb, residuals, round_digits)
         if n_probe > lut_literal_max_probe:
             # broadcast LUT TABLE: the per-(qid, cell) tables ride the
             # pair rows the join already broadcasts — no plan literals,
@@ -1800,7 +1900,7 @@ def ivfpq_knn_join_index(
     else:
         pair_df = spark.createDataFrame(pairs, pair_schema)
         cand = codes.join(F.broadcast(pair_df), "cell")
-        luts = _adc_lut_literals(cb, qvecs, round_digits)
+        luts = [_lut_literal(v) for v in lut_values(cb, qvecs, round_digits)]
         qid_lut = F.map_from_arrays(
             F.array(*[F.lit(q).cast("long") for q in qids]), F.array(*luts)
         )
@@ -2016,6 +2116,7 @@ def ivfsq_knn_join_index(
     qvec_col: str = "qvec",
     id_col: str = "vec_id",
     round_digits: int = 6,
+    fast: bool = False,
 ) -> DataFrame:
     """BATCH probe of an `ivfsq_build_index` index — the amortized-scan
     kNN join (ivf_knn_join_index's shape) over 8-bit scalar-quantized
@@ -2046,8 +2147,11 @@ def ivfsq_knn_join_index(
     qids, qvecs = _collect_query_batch(queries, qid_col, qvec_col)
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     # cell ranking uses the FULL query vector (the single probe's
-    # stance); scoring uses the first `dim` coordinates the codes cover
-    pairs, cell_list, _cv = _rank_probe_cells(cents, qids, qvecs, n_probe, round_digits)
+    # stance); scoring uses the first `dim` coordinates the codes cover.
+    # fast=True -> BLAS ranking twin (production serving; contract
+    # entries stay fast=False)
+    rank_cells = _rank_probe_cells_blas if fast else _rank_probe_cells
+    pairs, cell_list, _cv = rank_cells(cents, qids, qvecs, n_probe, round_digits)
     mn, mx = _sq_bounds(spark, path)
     delta = [(b - a) / 256.0 for a, b in zip(mn, mx)]
     q64_by_qid = {q: [float(x) for x in v[:dim]] for q, v in zip(qids, qvecs)}

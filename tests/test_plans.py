@@ -551,6 +551,63 @@ def test_batch_knn_join_rejects_bad_qids(spark, tmp_path):
         ivf_knn_join_index(spark, idx, big, 5)
 
 
+def test_batch_knn_join_fast_matches_slow(spark, tmp_path):
+    """fast=True serving (BLAS cell ranking + BLAS LUT values) is
+    bit-identical to the expression path across the whole join matrix:
+    ivf, ivfsq, and all four ivfpq flavors x both LUT carriers — the
+    same fast==slow contract the index BUILDS carry."""
+    from pyspark.sql import functions as F
+
+    from esper_tv_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_knn_join_index,
+        ivfpq_build_index,
+        ivfpq_knn_join_index,
+        ivfsq_build_index,
+        ivfsq_knn_join_index,
+        opq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id").isin([0, 7, 13])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    ivf = str(tmp_path / "ivf")
+    ivf_build_index(emb, ivf, n_cells=16)
+    assert rows(ivf_knn_join_index(spark, ivf, queries, 10, n_probe=3, fast=True)) == rows(
+        ivf_knn_join_index(spark, ivf, queries, 10, n_probe=3)
+    )
+
+    sq = str(tmp_path / "ivfsq")
+    ivfsq_build_index(emb, sq, n_cells=16, dim=64)
+    assert rows(ivfsq_knn_join_index(spark, sq, queries, 10, n_probe=3, fast=True)) == rows(
+        ivfsq_knn_join_index(spark, sq, queries, 10, n_probe=3)
+    )
+
+    rot = opq_train(emb, m=8, k=16, dim=64, iters=2, sample_rows=256)
+    for tag, kw in (
+        ("raw", {}),
+        ("opq", {"opq_rotation": rot}),
+        ("res", {"by_residual": True}),
+        ("opq_res", {"opq_rotation": rot, "by_residual": True}),
+    ):
+        idx = str(tmp_path / f"pq_{tag}")
+        ivfpq_build_index(emb, idx, n_cells=16, m=8, k=16, dim=64, **kw)
+        slow = rows(ivfpq_knn_join_index(spark, idx, queries, 10, n_probe=3))
+        for maxp in (16, 0):  # literal map AND broadcast-table carriers
+            got = rows(
+                ivfpq_knn_join_index(
+                    spark, idx, queries, 10, n_probe=3,
+                    lut_literal_max_probe=maxp, fast=True,
+                )
+            )
+            assert got == slow, (tag, maxp)
+
+
 def test_batch_knn_join_null_cosine_ranks_last(spark):
     """A NULL rounded centroid cosine (a null component in a stored
     centroid vector propagates through dot -> NULL, no ANSI
