@@ -435,6 +435,64 @@ def run_query(
         else:
             raise DSLError(f"dedup op not allowed: {op!r}")
 
+    # text stage: the caption-search verbs from the safe surface —
+    # phrase_search / the boolean `&`-grammar / BM25 ranking.  Caption
+    # search is a primary web-UI use-case in the reference
+    # (captions.py:93-103, usage other_queries.py:246-263: the endpoint
+    # the exec() RCE served); this reaches operators/text.py the same
+    # whitelisted way ann_probe reaches similarity.  Query strings are
+    # DATA compiled to contains/position-chain predicates — never code.
+    tx = spec.get("text")
+    if tx is not None:
+        from esper_tv_spark.operators import text as tx_ops
+
+        op = tx.get("op")
+        id_col = tx.get("id_col", "doc_id")
+        text_col = tx.get("text_col", "text")
+        if not isinstance(id_col, str) or not isinstance(text_col, str):
+            raise DSLError("id_col/text_col must be column names")
+        if op == "phrase_search":
+            phrase = tx.get("phrase")
+            if not isinstance(phrase, str) or not phrase.split():
+                raise DSLError("phrase_search needs a non-empty 'phrase' string")
+            df = tx_ops.phrase_search(df, phrase, id_col=id_col, text_col=text_col)
+        elif op == "query_search":
+            q = tx.get("query")
+            if not isinstance(q, str):
+                raise DSLError("query_search needs a 'query' string")
+            try:
+                df = tx_ops.query_search(df, q, id_col=id_col, text_col=text_col)
+            except ValueError as e:
+                # the grammar rejects queries with no non-empty clause
+                # ("", "&", "[]", ...) — surface it as a spec error
+                raise DSLError(f"query_search: {e}") from e
+        elif op == "bm25":
+            terms = tx.get("terms")
+            if (
+                not isinstance(terms, list)
+                or not terms
+                or not all(isinstance(t, str) and t for t in terms)
+            ):
+                raise DSLError("bm25 needs a non-empty 'terms' list of strings")
+
+            def _num(v, what: str, default: float) -> float:
+                if v is None:
+                    return default
+                if isinstance(v, bool) or not isinstance(v, (int, float)) or v < 0:
+                    raise DSLError(f"{what} must be a non-negative number")
+                return float(v)
+
+            df = tx_ops.bm25_scores(
+                df,
+                terms,
+                k1=_num(tx.get("k1"), "k1", 1.2),
+                b=_num(tx.get("b"), "b", 0.75),
+                id_col=id_col,
+                text_col=text_col,
+            )
+        else:
+            raise DSLError(f"text op not allowed: {op!r}")
+
     for out_name, w in spec.get("window", {}).items():
         # {"fn": "row_number", "col"?: expr, "partition_by": [...],
         #  "order_by": [["col", "asc"|"desc"], ...]} — the SURVEY §2.5

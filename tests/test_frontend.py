@@ -541,6 +541,108 @@ def test_dsl_ann_probe_rejected_specs(spark, catalog, tmp_path):
             )
 
 
+def test_dsl_text_verbs_match_library(spark, catalog):
+    """The text stage (phrase_search / query_search / bm25) is
+    bit-identical to the library calls — the caption-search family is
+    the last operator family the safe surface couldn't reach."""
+    from esper_tv_spark.operators import text as tx
+
+    docs = catalog["documents"]
+    # pick a phrase that actually occurs: first two tokens of some doc
+    row = docs.select("text").where(F.length("text") > 20).head()
+    words = [w for w in row[0].split(" ") if w][:2]
+    phrase = " ".join(words)
+
+    got = run_query(
+        catalog,
+        {"table": "documents", "text": {"op": "phrase_search", "phrase": phrase}},
+    )
+    want = tx.phrase_search(docs, phrase)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+
+    q = f"{words[0]} & [{words[1]} | zzzznothing]"
+    got_q = run_query(
+        catalog, {"table": "documents", "text": {"op": "query_search", "query": q}}
+    )
+    want_q = tx.query_search(docs, q)
+    assert sorted(tuple(r) for r in got_q.collect()) == sorted(
+        tuple(r) for r in want_q.collect()
+    )
+
+    got_b = run_query(
+        catalog,
+        {
+            "table": "documents",
+            "text": {"op": "bm25", "terms": words, "k1": 1.5, "b": 0.5},
+            "order_by": [["score", "desc"], ["doc_id", "asc"]],
+            "limit": 10,
+        },
+    )
+    want_b = (
+        tx.bm25_scores(docs, words, k1=1.5, b=0.5)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+    assert [tuple(r) for r in got_b.collect()] == [tuple(r) for r in want_b.collect()]
+
+
+def test_dsl_text_rejected_specs(spark, catalog):
+    """Malformed text specs are DSLErrors — including grammar-level
+    empties that the library raises as ValueError."""
+    bad = [
+        {"op": "phrase_search"},
+        {"op": "phrase_search", "phrase": ""},
+        {"op": "phrase_search", "phrase": "   "},
+        {"op": "phrase_search", "phrase": 7},
+        {"op": "query_search"},
+        {"op": "query_search", "query": 7},
+        {"op": "query_search", "query": ""},
+        {"op": "query_search", "query": "&"},
+        {"op": "query_search", "query": "[]"},
+        {"op": "bm25"},
+        {"op": "bm25", "terms": []},
+        {"op": "bm25", "terms": ["ok", ""]},
+        {"op": "bm25", "terms": ["ok", 3]},
+        {"op": "bm25", "terms": ["ok"], "k1": -1},
+        {"op": "bm25", "terms": ["ok"], "b": True},
+        {"op": "grep"},
+        {"op": "phrase_search", "phrase": "x", "id_col": 5},
+    ]
+    for spec in bad:
+        with pytest.raises(DSLError):
+            run_query(catalog, {"table": "documents", "text": spec})
+
+
+def test_dsl_fuzz_text_queries(spark, catalog):
+    """Fuzz the `&`-grammar surface: ANY query string either compiles
+    (returns a DataFrame) or raises DSLError — no other exception type
+    escapes (the library's ValueError is wrapped)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import DataFrame
+
+    @given(
+        q=st.text(
+            alphabet=st.sampled_from(list("ab &|[]'%_\\\"")), max_size=25
+        )
+    )
+    @settings(max_examples=50, deadline=None)
+    def check(q):
+        try:
+            out = run_query(
+                catalog,
+                {"table": "documents", "text": {"op": "query_search", "query": q}},
+            )
+        except DSLError:
+            return
+        assert isinstance(out, DataFrame)
+
+    check()
+
+
 def test_dsl_ann_probe_kind_whitelist(spark, catalog, tmp_path):
     """Stores that are not probeable ivf/ivfpq/ivfsq indexes are
     REJECTED, not mis-probed: a pq_build_store layout (q88 — codes/ +
