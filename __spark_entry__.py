@@ -2624,6 +2624,123 @@ ORDER BY cosine_sim DESC, cand.vec_id ASC LIMIT 10
 """
 
 
+def _hier_ivf_index_dir(
+    spark: SparkSession, sf_dir: str, n_cells: int = 16, n_groups: int = 4
+) -> str:
+    """Build (once per dataset fingerprint) the TWO-LEVEL deterministic
+    IVF index: same frozen-store pattern as `_ivf_index_dir`, with the
+    coarse quantizer grouped (similarity._write_centroids).  The
+    completeness sentinel stays centroids/_SUCCESS — groups/ is written
+    FIRST, so the sentinel implies a complete two-level layout."""
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _dir_fingerprint(src)
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"esper_tv_hivf_idx_{sf_tag}_{tag}_c{n_cells}g{n_groups}",
+    )
+    if not os.path.exists(os.path.join(idx, "centroids", "_SUCCESS")):
+        _evict_stale_siblings(f"esper_tv_hivf_idx_{sf_tag}_", keep=idx)
+        similarity.ivf_build_index(
+            _t(spark, sf_dir, "embeddings"), idx, n_cells=n_cells, n_groups=n_groups
+        )
+    return idx
+
+
+def q100_hier_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL (hierarchical) coarse-quantizer IVF probe — the 100 TB
+    regime's answer to n_cells = 4*sqrt(n) outgrowing a flat centroid
+    table (~180k centroids at 2e9 vectors: no longer broadcastable, no
+    longer one tiny driver ranking action).  The index groups its
+    centroids under sqrt(n_cells) level-1 centers (the n_groups
+    smallest-cell centroids — lloyd_assign's own rank-init rule applied
+    to the centroid table, so the grouping replays in SQL exactly like
+    the cell assignment); the probe ranks GROUPS first (top-2 of 4 by
+    rounded cosine), reads ONLY the winning groups' centroid partitions
+    (partition-pruned centroid I/O — asserted in tests/test_plans.py),
+    ranks cells among them (top-3 of the surviving ≤8), and scans those
+    cells' posting lists for the exact rerank.  The oracle replays ALL
+    FOUR stages: group assignment, group ranking, restricted cell
+    ranking, and the in-cell rerank — n_probe_groups=2 < n_groups=4, and
+    the query (vec_id=5) is PINNED to one whose winning cells straddle
+    the group boundary at the gate scale (flat top-3 = {5,11,4}, pruned
+    top-3 = {5,11,8} at sf0.01), so the hash only matches if the group
+    pruning itself is replayed — a flat ranking produces a DIFFERENT
+    posting scan and fails.  Reference pattern: face_embeddings.py:74-96
+    (repeated knn against one precomputed store), scaled to the
+    two-level FAISS coarse-quantizer shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).select("embedding").first()[0]]
+    idx = _hier_ivf_index_dir(spark, sf_dir, n_cells=16, n_groups=4)
+    return similarity.ivf_probe_index(spark, idx, qv, 10, n_probe=3, n_probe_groups=2)
+
+
+Q100_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 5),
+c AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS cv FROM e
+      ORDER BY vec_id LIMIT 16),
+g AS (SELECT cell AS grp, cv AS gv FROM c ORDER BY cell LIMIT 4),
+-- level-1 assignment: each cell centroid to its nearest group center
+-- (rounded d2 argmin, ties to the smaller grp — lloyd_assign's rule)
+gd AS (
+  SELECT c.cell, g.grp,
+         round(list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(c.cv, g.gv)
+               + list_dot_product(g.gv, g.gv), 6) AS d2
+  FROM c, g
+),
+gassign AS (
+  SELECT cell, grp,
+         row_number() OVER (PARTITION BY cell ORDER BY d2 ASC, grp ASC) AS rn
+  FROM gd
+),
+-- level-1 probe: top-2 groups by rounded query cosine, ties smaller grp
+gprobe AS (
+  SELECT g.grp FROM g, q
+  ORDER BY round(list_dot_product(g.gv, q.qv)
+                 / (sqrt(list_dot_product(g.gv, g.gv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+           g.grp ASC
+  LIMIT 2
+),
+-- level-2 probe: top-3 cells by rounded query cosine AMONG the winning
+-- groups' centroids only (the pruned centroid scan)
+probe AS (
+  SELECT c.cell FROM c
+  JOIN gassign ON gassign.cell = c.cell AND gassign.rn = 1
+  CROSS JOIN q
+  WHERE gassign.grp IN (SELECT grp FROM gprobe)
+  ORDER BY round(list_dot_product(c.cv, q.qv)
+                 / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+           c.cell ASC
+  LIMIT 3
+),
+-- vector -> cell assignment (identical to Q80's)
+d AS (
+  SELECT e.vec_id, c.cell,
+         round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM e, c
+),
+assign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+  FROM d
+),
+cand AS (
+  SELECT e.vec_id, e.v FROM e
+  JOIN assign ON assign.vec_id = e.vec_id AND assign.rn = 1
+  WHERE assign.cell IN (SELECT cell FROM probe)
+)
+SELECT cand.vec_id,
+       round(list_dot_product(cand.v, q.qv)
+             / (sqrt(list_dot_product(cand.v, cand.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+FROM cand, q
+ORDER BY cosine_sim DESC, cand.vec_id ASC LIMIT 10
+"""
+
+
 def q81_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization code census with deterministic codebooks
     (similarity.pq_assign_deterministic): per (subspace, code), how many
@@ -4446,6 +4563,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_interval_merge_near": q22_interval_merge_near,
     "q34_interview_composite": q34_interview_composite,
     "q80_ivf_ann": q80_ivf_ann,
+    "q100_hier_ivf_ann": q100_hier_ivf_ann,
     "q87_ivf_cell_census": q87_ivf_cell_census,
     "q68_stratified_sample": q68_stratified_sample,
     "q69_chunk_documents": q69_chunk_documents,
@@ -4618,6 +4736,7 @@ _ORACLES: dict[str, str] = {
     "q46_asset_decode_stats": Q46_SQL,
     "q79_label_writeback": _q79_sql(),
     "q80_ivf_ann": Q80_SQL,
+    "q100_hier_ivf_ann": Q100_SQL,
     "q81_pq_codes": Q81_SQL,
     "q87_ivf_cell_census": Q87_SQL,
     "q88_pq_adc_topk": Q88_SQL,

@@ -488,6 +488,135 @@ def _resolve_n_cells(df: DataFrame, n_cells) -> int:
     return n_cells
 
 
+def recommended_groups(n_cells: int) -> int:
+    """Level-1 size for a TWO-LEVEL coarse quantizer: round(sqrt(n_cells)).
+    Why two levels exist at all: n_cells = 4*sqrt(n) means ~180k centroids
+    at 2e9 vectors — a flat centroid table that stops broadcasting and a
+    cell ranking that stops being one tiny driver action.  sqrt(n_cells)
+    groups make BOTH driver-side ranking actions O(sqrt(n_cells)) rows
+    (~430 each at 180k cells) and turn the centroid read itself into a
+    partition-pruned scan.  Same rounding discipline as
+    recommended_cells (engine-replayable from a count)."""
+    import math
+
+    return max(1, int(math.floor(math.sqrt(max(0, n_cells)) + 0.5)))
+
+
+def _resolve_n_groups(n_cells: int, n_groups) -> "int | None":
+    """None -> flat single-level layout; 'auto' -> recommended_groups.
+    n_groups must not exceed n_cells (the rank-init group centers ARE
+    the n_groups smallest-cell centroids — more groups than cells would
+    silently degenerate)."""
+    if n_groups is None:
+        return None
+    if n_groups == "auto":
+        n_groups = recommended_groups(n_cells)
+    if not isinstance(n_groups, int) or isinstance(n_groups, bool) or n_groups <= 0:
+        raise ValueError(f"n_groups must be a positive int, 'auto' or None, got {n_groups!r}")
+    if n_groups > n_cells:
+        raise ValueError(
+            f"n_groups={n_groups} exceeds n_cells={n_cells}: the level-1 "
+            "quantizer is seeded from the n_groups smallest-cell centroids"
+        )
+    return n_groups
+
+
+def _write_centroids(
+    cents_coarse: DataFrame,
+    path: str,
+    n_groups: "int | None",
+    round_digits: int,
+    fast: bool = False,
+) -> None:
+    """Persist an index's coarse-centroid table — flat (the single-level
+    layout every round-1..8 index used) or TWO-LEVEL when `n_groups` is
+    set: `groups/` (grp, gv) holds the level-1 centers (the n_groups
+    smallest-cell centroids — lloyd_assign's rank init applied to the
+    centroid table itself, so the grouping replays in the same SQL as the
+    cell assignment) and `centroids/` is PARTITIONED BY grp, the level-2
+    assignment of every cell centroid to its nearest group center
+    (rounded d2 argmin, ties to the smaller grp — lloyd_assign's exact
+    tie rule, because it IS lloyd_assign run on the centroid table).
+
+    Write order is groups/ FIRST: every builder's completeness sentinel
+    is a table written at-or-after centroids/, so a crash can never leave
+    a complete-looking index with missing/partial groups.  The probe
+    additionally fail-closes on a groups/ dir without _SUCCESS."""
+    import os
+    import shutil
+
+    if n_groups is None:
+        # a flat REBUILD over a previously two-level index must drop the
+        # stale groups/ table — probes detect layout by its presence, and
+        # stale level-1 centers over fresh flat centroids would mis-prune
+        shutil.rmtree(os.path.join(path, "groups"), ignore_errors=True)
+        cents_coarse.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        return
+    assign_fn = lloyd_assign_blas if fast else lloyd_assign
+    grouped = (
+        assign_fn(
+            cents_coarse, k=n_groups, id_col="cell", vec_col="cv",
+            round_digits=round_digits,
+        )
+        .withColumnRenamed("cluster", "grp")
+        .join(cents_coarse, "cell")
+        .select("grp", "cell", "cv")
+    )
+    (
+        cents_coarse.orderBy(F.col("cell").asc())
+        .limit(n_groups)
+        .select(F.col("cell").alias("grp"), F.col("cv").alias("gv"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "groups"))
+    )
+    grouped.write.mode("overwrite").partitionBy("grp").parquet(
+        os.path.join(path, "centroids")
+    )
+
+
+def _probe_centroids(
+    spark,
+    path: str,
+    qids: "list[int]",
+    qvecs: "list[list[float]]",
+    n_probe_groups: int,
+    round_digits: int,
+    fast: bool = False,
+) -> "tuple[DataFrame, dict[int, set[int]] | None]":
+    """The centroid source every probe ranks cells over.  Flat index:
+    (full centroids table, None).  Two-level index (a `groups/` table is
+    present): rank the level-1 group centers for every query — the same
+    ranker the cell level uses (`_rank_probe_cells` / its BLAS twin), so
+    the two levels share one total order (sim desc, id asc, nulls last) —
+    then return the centroid scan PRUNED to the union of winning groups
+    (grp is the partition column: the predicate is partition-pruned I/O,
+    asserted in tests/test_plans.py) plus each query's own winning-group
+    set, so per-query cell ranking never considers another query's
+    groups (batch results stay bit-identical to single probes)."""
+    import os
+
+    cpath = os.path.join(path, "centroids")
+    gpath = os.path.join(path, "groups")
+    if not os.path.isdir(gpath):
+        return spark.read.parquet(cpath), None
+    if not os.path.exists(os.path.join(gpath, "_SUCCESS")):
+        raise ValueError(
+            f"two-level index at {path} has a groups/ table without _SUCCESS "
+            "— a crashed build; rebuild the index (probing a partial group "
+            "table would silently mis-prune)"
+        )
+    groups = spark.read.parquet(gpath).select(
+        F.col("grp").alias("cell"), F.col("gv").alias("cv")
+    )
+    rank = _rank_probe_cells_blas if fast else _rank_probe_cells
+    gpairs, glist, _gv = rank(groups, qids, qvecs, n_probe_groups, round_digits)
+    allowed: dict[int, set[int]] = {}
+    for q, g in gpairs:
+        allowed.setdefault(q, set()).add(g)
+    cents = spark.read.parquet(cpath).where(F.col("grp").isin(glist))
+    return cents, allowed
+
+
 def ivf_build_index(
     df: DataFrame,
     path: str,
@@ -495,6 +624,8 @@ def ivf_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    n_groups: "int | str | None" = None,
+    fast: bool = False,
 ) -> None:
     """Persist the deterministic IVF index: build once, probe many — the
     IVF twin of the SRP split (dedup.build_srp_index /
@@ -521,11 +652,31 @@ def ivf_build_index(
 
     `n_cells='auto'` sizes the coarse quantizer as `recommended_cells`
     (4*sqrt(n)) — see that docstring for the 2M-rehearsal evidence that
-    a constant n_cells collapses recall at scale."""
+    a constant n_cells collapses recall at scale.
+
+    `n_groups` (int / 'auto' = round(sqrt(n_cells)) / None = flat)
+    switches the coarse quantizer to the TWO-LEVEL layout
+    (`_write_centroids`): at n ≳ 1e8, n_cells = 4*sqrt(n) is ~40k-180k
+    centroids — a table that stops broadcasting and a per-probe ranking
+    that stops being one tiny driver action.  Level 1 groups the
+    centroids (sqrt(n_cells) centers); a probe ranks groups first
+    (O(sqrt(n_cells)) rows), then ranks cells over ONLY the winning
+    groups' centroid partitions (partition-pruned I/O), then scans
+    posting lists exactly as the flat index does.  Posting lists,
+    assignment, and probe arithmetic are IDENTICAL to the flat layout —
+    with n_probe_groups = n_groups the probe is bit-identical to flat
+    (asserted in tests); smaller n_probe_groups trades centroid I/O for
+    recall exactly as n_probe does one level down.
+
+    `fast=True` runs the Theta(n*k) coarse assignment as Arrow-batched
+    BLAS (lloyd_assign_blas) — same tie rules, byte-identical on the
+    test corpora; contract builds stay fast=False so the oracle
+    replays."""
     import os
 
     n_cells = _resolve_n_cells(df, n_cells)
-    assigned = lloyd_assign(
+    n_groups = _resolve_n_groups(n_cells, n_groups)
+    assigned = (lloyd_assign_blas if fast else lloyd_assign)(
         df, k=n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
     ).withColumnRenamed("cluster", "cell")
     vecs = df.select(
@@ -538,10 +689,12 @@ def ivf_build_index(
         .partitionBy("cell")
         .parquet(os.path.join(path, "cells"))
     )
-    (
-        _rank_coarse_centroids(df, n_cells, id_col, vec_col, round_digits)
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "centroids"))
+    _write_centroids(
+        _rank_coarse_centroids(df, n_cells, id_col, vec_col, round_digits),
+        path,
+        n_groups,
+        round_digits,
+        fast=fast,
     )
 
 
@@ -553,6 +706,7 @@ def ivf_probe_index(
     n_probe: int = 3,
     id_col: str = "vec_id",
     round_digits: int = 6,
+    n_probe_groups: int = 3,
 ) -> DataFrame:
     """Probe an `ivf_build_index` index: rank the persisted centroids by
     rounded query-cosine (ties to the smaller cell id — the same fold
@@ -564,10 +718,18 @@ def ivf_probe_index(
     Probe-path plan: one TakeOrdered over n_cells centroid rows + one
     TakeOrdered over the pruned cells scan — ≤2 exchanges, no joins, I/O
     = n_probe/n_cells of the corpus (PartitionFilters on the scan,
-    asserted in tests/test_plans.py)."""
+    asserted in tests/test_plans.py).
+
+    Two-level indexes (built with n_groups) rank the level-1 group
+    centers first and read only the `n_probe_groups` winning groups'
+    centroid partitions — one extra O(sqrt(n_cells))-row driver action,
+    and the centroid read itself becomes partition-pruned I/O.  Flat
+    indexes ignore `n_probe_groups`."""
     import os
 
-    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    cents, _allowed = _probe_centroids(
+        spark, path, [0], [list(query_vec)], n_probe_groups, round_digits
+    )
     qlit = lit_vector(query_vec)
     probe_rows = (
         cents.select(
@@ -640,6 +802,7 @@ def _rank_probe_cells(
     qvecs: list[list[float]],
     n_probe: int,
     round_digits: int,
+    allowed: "dict[int, set[int]] | None" = None,
 ) -> tuple[list[tuple[int, int]], list[int], dict[int, list[float]]]:
     """Rank the stored coarse centroids for EVERY query of a collected
     serving batch in ONE Spark action — one rounded-cosine column per
@@ -647,20 +810,32 @@ def _rank_probe_cells(
     cells driver-side under the same (sim desc, cell asc) total order
     the single probes use, so batch results stay bit-identical to them.
     Returns (pairs [(qid, cell)], sorted distinct cell list for
-    partition pruning, cell -> centroid-vector map for residual LUTs)."""
+    partition pruning, cell -> centroid-vector map for residual LUTs).
+
+    `allowed` (two-level indexes: qid -> winning group-id set from
+    `_probe_centroids`) restricts each query's candidate centroids to
+    ITS OWN groups — the scan that produced `cents` is pruned to the
+    union of all queries' groups, and without the per-query mask a
+    query could rank another query's cells above its own."""
+    extra = ["grp"] if allowed is not None else []
     sim_cols = [
         F.round(cosine(F.col("cv"), lit_vector(q)), round_digits).alias(f"__s{i}")
         for i, q in enumerate(qvecs)
     ]
-    cent_rows = cents.select("cell", "cv", *sim_cols).collect()
+    cent_rows = cents.select("cell", "cv", *extra, *sim_cols).collect()
     pairs: list[tuple[int, int]] = []
     neg_inf = float("-inf")
     for i, qid in enumerate(qids):
+        rows_i = (
+            cent_rows
+            if allowed is None
+            else [r for r in cent_rows if int(r["grp"]) in allowed[qid]]
+        )
         # a NULL rounded cosine (zero-norm centroid, zero query vector)
         # must sort LAST, matching the single probe's Spark `desc` order
         # (nulls last) — a raw `-r[__s]` key would TypeError on None
         ranked = sorted(
-            cent_rows,
+            rows_i,
             key=lambda r: (
                 -(r[f"__s{i}"] if r[f"__s{i}"] is not None else neg_inf),
                 r["cell"],
@@ -684,6 +859,7 @@ def _rank_probe_cells_blas(
     qvecs: list[list[float]],
     n_probe: int,
     round_digits: int,
+    allowed: "dict[int, set[int]] | None" = None,
 ) -> tuple[list[tuple[int, int]], list[int], dict[int, list[float]]]:
     """BLAS twin of `_rank_probe_cells` — the fast=True serving rung,
     same split as lloyd_assign vs lloyd_assign_blas: ONE collect of the
@@ -700,9 +876,15 @@ def _rank_probe_cells_blas(
     asserts the two paths agree exactly on the test corpora."""
     import numpy as np
 
-    rows = cents.select("cell", "cv").collect()
+    extra = ["grp"] if allowed is not None else []
+    rows = cents.select("cell", "cv", *extra).collect()
     rows.sort(key=lambda r: r["cell"])
     cells = np.array([int(r["cell"]) for r in rows], dtype=np.int64)
+    grps = (
+        np.array([int(r["grp"]) for r in rows], dtype=np.int64)
+        if allowed is not None
+        else None
+    )
     cmat = np.array([[float(x) for x in r["cv"]] for r in rows], dtype=np.float64)
     qmat = np.array(qvecs, dtype=np.float64)
     cn = np.sqrt((cmat * cmat).sum(axis=1))
@@ -712,10 +894,19 @@ def _rank_probe_cells_blas(
     )
     pairs: list[tuple[int, int]] = []
     for i, qid in enumerate(qids):
+        col = sims[:, i]
+        if grps is not None:
+            # two-level: mask out other queries' groups by pushing them
+            # past every real sim AND past NaN (nulls-last) — drop them
+            # from the candidate index set entirely
+            keep = np.array([g in allowed[qid] for g in grps], dtype=bool)
+            idx = np.nonzero(keep)[0]
+        else:
+            idx = np.arange(len(cells))
         # stable sort on -sim: ties keep ascending row index = ascending
         # cell id (rows sorted by cell above); NaN sorts last, matching
         # the expression path's nulls-last stance
-        top = np.argsort(-sims[:, i], kind="stable")[:n_probe]
+        top = idx[np.argsort(-col[idx], kind="stable")[:n_probe]]
         pairs.extend((qid, int(cells[j])) for j in top)
     cell_list = sorted({c for _q, c in pairs})
     cv_by_cell = {
@@ -735,6 +926,7 @@ def ivf_knn_join_index(
     id_col: str = "vec_id",
     round_digits: int = 6,
     fast: bool = False,
+    n_probe_groups: int = 3,
 ) -> DataFrame:
     """BATCH probe of an `ivf_build_index` index — the indexed kNN JOIN:
     every row of `queries` (qid, qvec) gets its top-k from the persisted
@@ -767,10 +959,14 @@ def ivf_knn_join_index(
 
     from pyspark.sql import Window
 
-    cents = spark.read.parquet(os.path.join(path, "centroids"))
     qids, qvecs = _collect_query_batch(queries, qid_col, qvec_col)
+    cents, allowed = _probe_centroids(
+        spark, path, qids, qvecs, n_probe_groups, round_digits, fast=fast
+    )
     rank_cells = _rank_probe_cells_blas if fast else _rank_probe_cells
-    pairs, cell_list, _cv = rank_cells(cents, qids, qvecs, n_probe, round_digits)
+    pairs, cell_list, _cv = rank_cells(
+        cents, qids, qvecs, n_probe, round_digits, allowed=allowed
+    )
     qv_by_qid = dict(zip(qids, qvecs))
     pair_df = spark.createDataFrame(
         [(q, c, qv_by_qid[q]) for q, c in pairs],
@@ -1454,6 +1650,7 @@ def ivfpq_build_index(
     coarse_centroids: DataFrame | None = None,
     opq_rotation: list[list[float]] | None = None,
     fast: bool = False,
+    n_groups: "int | str | None" = None,
 ) -> None:
     """Persist the combined IVF-PQ index (Jegou, Douze, Schmid 2011,
     "Product Quantization for Nearest Neighbor Search" — the IVFADC
@@ -1534,6 +1731,7 @@ def ivfpq_build_index(
             "as pq_build_store — probe the parquet footer instead)"
         )
     n_cells = _resolve_n_cells(df, n_cells)
+    n_groups = _resolve_n_groups(n_cells, n_groups)
     # meta FIRST: the index-complete sentinel is the LAST table's _SUCCESS,
     # so meta.json present + sentinel present => a complete, self-described
     # index; a crash mid-build leaves no sentinel and forces a rebuild.
@@ -1562,6 +1760,7 @@ def ivfpq_build_index(
                 "k": k,
                 "dim": dim,
                 "opq": opq_rotation is not None,
+                "n_groups": n_groups,
             },
             f,
         )
@@ -1660,7 +1859,7 @@ def ivfpq_build_index(
         .partitionBy("cell")
         .parquet(os.path.join(path, "cells"))
     )
-    cents_coarse.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    _write_centroids(cents_coarse, path, n_groups, round_digits, fast=fast)
     cents.select("subspace", "rk", "code", "sc").write.mode("overwrite").parquet(
         os.path.join(path, "codebooks")
     )
@@ -1706,6 +1905,7 @@ def ivfpq_probe_index(
     n_probe: int = 3,
     id_col: str = "vec_id",
     round_digits: int = 6,
+    n_probe_groups: int = 3,
 ) -> DataFrame:
     """Probe an `ivfpq_build_index` index: rank the persisted coarse
     centroids by rounded query-cosine (ties to the smaller cell — one
@@ -1739,7 +1939,11 @@ def ivfpq_probe_index(
                 np.asarray(query_vec, dtype=np.float64) @ rot, round_digits
             )
         ]
-    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    # two-level indexes rank level-1 groups first (in rotated space —
+    # the whole index lives there) and prune the centroid read
+    cents, _allowed = _probe_centroids(
+        spark, path, [0], [list(query_vec)], n_probe_groups, round_digits
+    )
     qlit = lit_vector(query_vec)
     probe_rows = (
         cents.select(
@@ -1796,6 +2000,7 @@ def ivfpq_knn_join_index(
     round_digits: int = 6,
     lut_literal_max_probe: int = 16,
     fast: bool = False,
+    n_probe_groups: int = 3,
 ) -> DataFrame:
     """BATCH ADC probe of an `ivfpq_build_index` index — q96's
     amortized-scan kNN join applied to the PQ-coded posting lists (the
@@ -1851,11 +2056,13 @@ def ivfpq_knn_join_index(
             for q in qvecs
         ]
 
-    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    cents, allowed = _probe_centroids(
+        spark, path, qids, qvecs, n_probe_groups, round_digits, fast=fast
+    )
     rank_cells = _rank_probe_cells_blas if fast else _rank_probe_cells
     lut_values = _adc_lut_values_blas if fast else _adc_lut_values
     pairs, cell_list, cv_by_cell = rank_cells(
-        cents, qids, qvecs, n_probe, round_digits
+        cents, qids, qvecs, n_probe, round_digits, allowed=allowed
     )
 
     cb = spark.read.parquet(os.path.join(path, "codebooks"))
@@ -1965,6 +2172,7 @@ def ivfsq_build_index(
     vec_col: str = "embedding",
     round_digits: int = 6,
     fast: bool = False,
+    n_groups: "int | str | None" = None,
 ) -> None:
     """Persist the IVF-SQ8 index: posting lists of 8-bit SCALAR-quantized
     codes partitioned by the deterministic Lloyd cell — the FAISS
@@ -1995,6 +2203,7 @@ def ivfsq_build_index(
     if dim is None:
         raise ValueError("ivfsq_build_index: dim is required (fail-closed)")
     n_cells = _resolve_n_cells(df, n_cells)
+    n_groups = _resolve_n_groups(n_cells, n_groups)
     os.makedirs(path, exist_ok=True)
     for stale in (
         os.path.join(path, "centroids", "_SUCCESS"),
@@ -2003,7 +2212,7 @@ def ivfsq_build_index(
         if os.path.exists(stale):
             os.remove(stale)
     with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"kind": "ivfsq", "dim": dim}, f)
+        json.dump({"kind": "ivfsq", "dim": dim, "n_groups": n_groups}, f)
     assigned = (lloyd_assign_blas if fast else lloyd_assign)(
         df, k=n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
     ).withColumnRenamed("cluster", "cell")
@@ -2023,11 +2232,14 @@ def ivfsq_build_index(
         .partitionBy("cell")
         .parquet(os.path.join(path, "cells"))
     )
-    (
-        _rank_coarse_centroids(df, n_cells, id_col, vec_col, round_digits)
-        .select(F.col("cell"), F.col("cv"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "centroids"))
+    _write_centroids(
+        _rank_coarse_centroids(df, n_cells, id_col, vec_col, round_digits).select(
+            F.col("cell"), F.col("cv")
+        ),
+        path,
+        n_groups,
+        round_digits,
+        fast=fast,
     )
 
 
@@ -2049,6 +2261,7 @@ def ivfsq_probe_index(
     n_probe: int = 3,
     id_col: str = "vec_id",
     round_digits: int = 6,
+    n_probe_groups: int = 3,
 ) -> DataFrame:
     """Probe an `ivfsq_build_index` index: rank the stored coarse
     centroids by rounded query-cosine (full-dim), then scan ONLY the
@@ -2066,7 +2279,9 @@ def ivfsq_probe_index(
     with open(os.path.join(path, "meta.json")) as f:
         dim = int(json.load(f)["dim"])
     scale = 10 ** round_digits
-    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    cents, _allowed = _probe_centroids(
+        spark, path, [0], [list(query_vec)], n_probe_groups, round_digits
+    )
     qlit = lit_vector([float(x) for x in query_vec])
     probe = [
         int(r["cell"])
@@ -2117,6 +2332,7 @@ def ivfsq_knn_join_index(
     id_col: str = "vec_id",
     round_digits: int = 6,
     fast: bool = False,
+    n_probe_groups: int = 3,
 ) -> DataFrame:
     """BATCH probe of an `ivfsq_build_index` index — the amortized-scan
     kNN join (ivf_knn_join_index's shape) over 8-bit scalar-quantized
@@ -2145,13 +2361,17 @@ def ivfsq_knn_join_index(
         dim = int(json.load(f)["dim"])
     scale = 10 ** round_digits
     qids, qvecs = _collect_query_batch(queries, qid_col, qvec_col)
-    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    cents, allowed = _probe_centroids(
+        spark, path, qids, qvecs, n_probe_groups, round_digits, fast=fast
+    )
     # cell ranking uses the FULL query vector (the single probe's
     # stance); scoring uses the first `dim` coordinates the codes cover.
     # fast=True -> BLAS ranking twin (production serving; contract
     # entries stay fast=False)
     rank_cells = _rank_probe_cells_blas if fast else _rank_probe_cells
-    pairs, cell_list, _cv = rank_cells(cents, qids, qvecs, n_probe, round_digits)
+    pairs, cell_list, _cv = rank_cells(
+        cents, qids, qvecs, n_probe, round_digits, allowed=allowed
+    )
     mn, mx = _sq_bounds(spark, path)
     delta = [(b - a) / 256.0 for a, b in zip(mn, mx)]
     q64_by_qid = {q: [float(x) for x in v[:dim]] for q, v in zip(qids, qvecs)}

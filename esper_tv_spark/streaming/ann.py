@@ -362,23 +362,34 @@ def ivf_recenter(
 
     Determinism: each element is rounded at `round_digits` and scaled to
     BIGINT before the sum, so partial aggregation order cannot change the
-    mean; the final divide + round returns to double once."""
+    mean; the final divide + round returns to double once.
+
+    TWO-LEVEL indexes (a `groups/` table is present — see
+    similarity._write_centroids): the new centroids get REGROUPED against
+    the same n_groups (level-1 centers are the n_groups smallest-cell NEW
+    centroids, the build's own rank-init rule applied to the recentered
+    table), and `groups/` joins the crash-safe swap — stale level-1
+    centers over recentered cells would silently mis-prune probes."""
     import shutil
 
     scale = float(10 ** round_digits)
     cells_dir = os.path.join(index_path, "cells")
     cents_dir = os.path.join(index_path, "centroids")
+    groups_dir = os.path.join(index_path, "groups")
     # pre-clean leftovers from a crashed prior run — but ONLY when the
     # live dir still exists.  If live is missing, the prior run died
     # inside its swap window (between rename(live, old) and
     # rename(tmp, live)); in that window __rc is the COMPLETE new
-    # generation (the swap loop only starts after both __rc writes
+    # generation (the swap loop only starts after every __rc write
     # finished) and __old is the only other surviving copy — deleting
     # either would destroy the index.  Recover instead: prefer __rc,
     # fall back to __old.  Any cells/cents generation mismatch the
     # recovery leaves behind is corrected by this very run, which
     # recomputes centroids from the posting rows regardless.
-    for d in (cells_dir, cents_dir):
+    dirs = [cells_dir, cents_dir]
+    if any(os.path.exists(groups_dir + s) for s in ("", "__rc", "__old")):
+        dirs.append(groups_dir)
+    for d in dirs:
         if os.path.exists(d):
             for suffix in ("__rc", "__old"):
                 shutil.rmtree(d + suffix, ignore_errors=True)
@@ -391,6 +402,7 @@ def ivf_recenter(
             raise FileNotFoundError(
                 f"ivf_recenter: {d} missing and no __rc/__old to recover from"
             )
+    hier = groups_dir in dirs
     posting = spark.read.parquet(cells_dir)
 
     elem = posting.select(
@@ -420,7 +432,32 @@ def ivf_recenter(
         )
     )
     cents_tmp = cents_dir + "__rc"
-    new_cents.write.mode("overwrite").parquet(cents_tmp)
+    swaps = [(cells_dir, cells_dir + "__rc"), (cents_dir, cents_tmp)]
+    if hier:
+        n_groups = spark.read.parquet(groups_dir).count()
+        groups_tmp = groups_dir + "__rc"
+        (
+            new_cents.orderBy(F.col("cell").asc())
+            .limit(n_groups)
+            .select(F.col("cell").alias("grp"), F.col("cv").alias("gv"))
+            .write.mode("overwrite")
+            .parquet(groups_tmp)
+        )
+        (
+            lloyd_assign(
+                new_cents, k=n_groups, id_col="cell", vec_col="cv",
+                round_digits=round_digits,
+            )
+            .withColumnRenamed("cluster", "grp")
+            .join(new_cents, "cell")
+            .select("grp", "cell", "cv")
+            .write.mode("overwrite")
+            .partitionBy("grp")
+            .parquet(cents_tmp)
+        )
+        swaps.append((groups_dir, groups_tmp))
+    else:
+        new_cents.write.mode("overwrite").parquet(cents_tmp)
 
     fresh = spark.read.parquet(cents_tmp).select(
         F.col("cell").alias("cluster"), F.col("cv").alias("cvec")
@@ -434,7 +471,7 @@ def ivf_recenter(
         .parquet(cells_tmp)
     )
 
-    for live, tmp in ((cells_dir, cells_tmp), (cents_dir, cents_tmp)):
+    for live, tmp in swaps:
         old = live + "__old"
         os.rename(live, old)
         os.rename(tmp, live)

@@ -1,0 +1,321 @@
+"""Two-level (hierarchical) coarse quantizer: build/probe parity vs the
+flat layout, per-query group restriction in the batch joins, partition-
+pruned centroid I/O, crash-safety, and maintenance (recenter / stream
+insert) over grouped indexes.
+
+Why the layer exists (see similarity.recommended_groups): at
+n_cells = 4*sqrt(n), a 2e9-vector corpus carries ~180k coarse centroids —
+a table that stops broadcasting and a per-probe ranking that stops being
+one tiny driver action.  Level 1 groups the centroids under
+sqrt(n_cells) centers; probes rank groups first, then read only the
+winning groups' centroid PARTITIONS.  Reference scale pattern:
+face_embeddings.py:74-96 (a frozen store probed repeatedly)."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as m
+from esper_tv_spark.operators import similarity as sim
+from esper_tv_spark.plans import count_shuffles, physical_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def qv(emb):
+    return [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+# ---------------------------------------------------------------- parity
+
+
+def test_full_group_coverage_is_bit_identical_to_flat(spark, emb, qv, tmp_path):
+    """n_probe_groups = n_groups keeps every centroid a candidate, so the
+    two-level probe must be BIT-identical to the flat index — posting
+    lists, assignment, and rerank arithmetic are shared; only the
+    centroid layout differs.  Asserted for every index family."""
+    cases = [
+        (
+            "ivf",
+            lambda p, **kw: sim.ivf_build_index(emb, p, n_cells=16, **kw),
+            lambda p, **kw: sim.ivf_probe_index(spark, p, qv, 10, n_probe=3, **kw),
+        ),
+        (
+            "ivfpq_res",
+            lambda p, **kw: sim.ivfpq_build_index(
+                emb, p, n_cells=16, m=8, k=16, dim=64, by_residual=True, **kw
+            ),
+            lambda p, **kw: sim.ivfpq_probe_index(spark, p, qv, 10, n_probe=3, **kw),
+        ),
+        (
+            "ivfsq",
+            lambda p, **kw: sim.ivfsq_build_index(emb, p, n_cells=16, dim=64, **kw),
+            lambda p, **kw: sim.ivfsq_probe_index(spark, p, qv, 10, n_probe=3, **kw),
+        ),
+    ]
+    for name, build, probe in cases:
+        flat, hier = str(tmp_path / f"{name}_flat"), str(tmp_path / f"{name}_hier")
+        build(flat)
+        build(hier, n_groups=4)
+        assert os.path.exists(os.path.join(hier, "groups", "_SUCCESS")), name
+        assert _rows(probe(hier, n_probe_groups=4)) == _rows(probe(flat)), name
+
+
+def test_group_pruning_binds_and_matches_restricted_oracle(spark, emb, qv, tmp_path):
+    """With n_probe_groups=1 the pruning must actually CHANGE the probed
+    cell set on this fixture (flat top-3 {0,12,3} vs within-group
+    {0,12,13} — pinned, the data is static), and the pruned ranking must
+    equal a numpy replay of 'rank only the winning group's cells'."""
+    import numpy as np
+
+    hier = str(tmp_path / "hier")
+    sim.ivf_build_index(emb, hier, n_cells=16, n_groups=4)
+    cents, allowed = sim._probe_centroids(spark, hier, [0], [qv], 1, 6)
+    pairs, _cells, _cv = sim._rank_probe_cells(cents, [0], [qv], 3, 6, allowed=allowed)
+    hier3 = [c for _q, c in pairs]
+
+    all_rows = spark.read.parquet(os.path.join(hier, "centroids")).collect()
+    q = np.asarray(qv, dtype=np.float64)
+
+    def cos(r):
+        v = np.asarray([float(x) for x in r["cv"]], dtype=np.float64)
+        return round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6)
+
+    flat3 = [r["cell"] for r in sorted(all_rows, key=lambda r: (-cos(r), r["cell"]))][:3]
+    assert set(flat3) != set(hier3), (flat3, hier3)
+
+    # numpy replay: group centers = cells 0..3's centroids; rank groups,
+    # keep only the winner's cells, re-rank
+    gv = {r["cell"]: r for r in all_rows if r["cell"] < 4}
+    gbest = sorted(gv, key=lambda g: (-cos(gv[g]), g))[0]
+    grp_of = {int(r["cell"]): int(r["grp"]) for r in all_rows}
+    want = [
+        r["cell"]
+        for r in sorted(
+            (r for r in all_rows if grp_of[int(r["cell"])] == gbest),
+            key=lambda r: (-cos(r), r["cell"]),
+        )
+    ][:3]
+    assert hier3 == want
+
+
+def test_batch_joins_match_single_probes_on_pruned_hier(spark, emb, tmp_path):
+    """Per-query group restriction: a 3-query batch over a two-level
+    index must return, per query, exactly the single probe's rows — even
+    though the batch's centroid scan is pruned to the UNION of all
+    queries' groups (without the per-query mask a query could rank
+    another query's cells).  Both rankers (expression / BLAS)."""
+    qrows = emb.where(F.col("vec_id").isin([0, 7, 13])).select(
+        "vec_id", "embedding"
+    ).collect()
+    qmap = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in qrows}
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in qmap.items()], "qid long, qvec array<double>"
+    )
+    cases = [
+        (
+            "ivf",
+            lambda p: sim.ivf_build_index(emb, p, n_cells=16, n_groups=4),
+            lambda p, v, **kw: sim.ivf_probe_index(
+                spark, p, v, 5, n_probe=3, n_probe_groups=2
+            ),
+            lambda p, **kw: sim.ivf_knn_join_index(
+                spark, p, qdf, 5, n_probe=3, n_probe_groups=2, **kw
+            ),
+        ),
+        (
+            "ivfpq_res",
+            lambda p: sim.ivfpq_build_index(
+                emb, p, n_cells=16, m=8, k=16, dim=64, by_residual=True, n_groups=4
+            ),
+            lambda p, v, **kw: sim.ivfpq_probe_index(
+                spark, p, v, 5, n_probe=3, n_probe_groups=2
+            ),
+            lambda p, **kw: sim.ivfpq_knn_join_index(
+                spark, p, qdf, 5, n_probe=3, n_probe_groups=2, **kw
+            ),
+        ),
+        (
+            "ivfsq",
+            lambda p: sim.ivfsq_build_index(emb, p, n_cells=16, dim=64, n_groups=4),
+            lambda p, v, **kw: sim.ivfsq_probe_index(
+                spark, p, v, 5, n_probe=3, n_probe_groups=2
+            ),
+            lambda p, **kw: sim.ivfsq_knn_join_index(
+                spark, p, qdf, 5, n_probe=3, n_probe_groups=2, **kw
+            ),
+        ),
+    ]
+    for name, build, probe, join in cases:
+        idx = str(tmp_path / name)
+        build(idx)
+        for fast in (False, True):
+            got = join(idx, fast=fast)
+            for qid, v in qmap.items():
+                batch_q = _rows(
+                    got.where(F.col("qid") == qid).drop("qid")
+                )
+                assert batch_q == _rows(probe(idx, v)), (name, fast, qid)
+
+
+# ------------------------------------------------------------ plan shape
+
+
+def test_hier_centroid_read_is_partition_pruned(spark, emb, tmp_path):
+    """The winning-group centroid read must reach the scan as a
+    PartitionFilters clause on grp — that is the point of the layer: at
+    180k centroids the ranking reads sqrt-of-the-table, not the table."""
+    hier = str(tmp_path / "hier")
+    sim.ivf_build_index(emb, hier, n_cells=16, n_groups=4)
+    cents, allowed = sim._probe_centroids(spark, hier, [0], [
+        [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    ], 2, 6)
+    assert allowed is not None and len(allowed[0]) <= 2
+    plan = physical_plan(cents)
+    assert "PartitionFilters" in plan
+    assert "grp" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_q100_plan_keeps_flat_probe_invariants(spark):
+    """The contract query's final posting scan keeps q80's plan shape:
+    partition-pruned on cell, no join, ≤2 exchanges — the extra level
+    adds driver actions, never plan nodes."""
+    df = m.queries()["q100_hier_ivf_ann"](spark, SF)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert count_shuffles(df) <= 2
+
+
+# ------------------------------------------------------- validation / fail-closed
+
+
+def test_resolve_n_groups_validation():
+    assert sim._resolve_n_groups(16, None) is None
+    assert sim._resolve_n_groups(16, "auto") == 4
+    assert sim._resolve_n_groups(1024, "auto") == 32
+    assert sim.recommended_groups(180_000) == 424
+    with pytest.raises(ValueError, match="exceeds n_cells"):
+        sim._resolve_n_groups(16, 17)
+    for bad in (0, -1, 2.5, True, "many"):
+        with pytest.raises(ValueError):
+            sim._resolve_n_groups(16, bad)
+
+
+def test_probe_fails_closed_on_partial_groups(spark, emb, qv, tmp_path):
+    """groups/ without _SUCCESS = a crashed build: probing must raise,
+    not silently mis-prune (nor silently fall back to flat — the
+    centroid table is grp-partitioned and the caller asked for a layout
+    the index does not coherently have)."""
+    hier = str(tmp_path / "hier")
+    sim.ivf_build_index(emb, hier, n_cells=16, n_groups=4)
+    os.remove(os.path.join(hier, "groups", "_SUCCESS"))
+    with pytest.raises(ValueError, match="_SUCCESS"):
+        sim.ivf_probe_index(spark, hier, qv, 5, n_probe=3, n_probe_groups=2).collect()
+
+
+def test_flat_rebuild_drops_stale_groups(spark, emb, qv, tmp_path):
+    """Rebuilding an index FLAT over a previously two-level path must
+    remove groups/ — stale level-1 centers over flat centroids would
+    mis-prune every probe."""
+    idx = str(tmp_path / "idx")
+    sim.ivf_build_index(emb, idx, n_cells=16, n_groups=4)
+    assert os.path.isdir(os.path.join(idx, "groups"))
+    sim.ivf_build_index(emb, idx, n_cells=16)
+    assert not os.path.exists(os.path.join(idx, "groups"))
+    flat = str(tmp_path / "flat")
+    sim.ivf_build_index(emb, flat, n_cells=16)
+    assert _rows(sim.ivf_probe_index(spark, idx, qv, 10, n_probe=3)) == _rows(
+        sim.ivf_probe_index(spark, flat, qv, 10, n_probe=3)
+    )
+
+
+def test_fast_hier_build_matches_expression_build(spark, emb, tmp_path):
+    """fast=True grouping (lloyd_assign_blas over the centroid table)
+    must produce value-identical groups/ and centroids/ tables — the
+    same contract as the flat builders' fast/slow split."""
+    slow, fast = str(tmp_path / "slow"), str(tmp_path / "fast")
+    sim.ivf_build_index(emb, slow, n_cells=16, n_groups=4)
+    sim.ivf_build_index(emb, fast, n_cells=16, n_groups=4, fast=True)
+
+    def table(idx, sub, cols):
+        return sorted(
+            tuple(
+                tuple(r[c]) if isinstance(r[c], list) else r[c] for c in cols
+            )
+            for r in spark.read.parquet(os.path.join(idx, sub)).collect()
+        )
+
+    assert table(slow, "groups", ["grp", "gv"]) == table(fast, "groups", ["grp", "gv"])
+    assert table(slow, "centroids", ["grp", "cell", "cv"]) == table(
+        fast, "centroids", ["grp", "cell", "cv"]
+    )
+
+
+# ------------------------------------------------------------ maintenance
+
+
+def test_recenter_preserves_grouping(spark, emb, qv, tmp_path):
+    """ivf_recenter over a two-level index must regroup the NEW centroids
+    and swap groups/ too — and the result must equal recentering the
+    equivalent flat index (full group coverage), since posting rows and
+    centroid math are identical."""
+    from esper_tv_spark.streaming.ann import ivf_recenter
+
+    hier, flat = str(tmp_path / "hier"), str(tmp_path / "flat")
+    sim.ivf_build_index(emb, hier, n_cells=16, n_groups=4)
+    sim.ivf_build_index(emb, flat, n_cells=16)
+    ivf_recenter(spark, hier)
+    ivf_recenter(spark, flat)
+    assert os.path.exists(os.path.join(hier, "groups", "_SUCCESS"))
+    grouped = spark.read.parquet(os.path.join(hier, "centroids"))
+    assert "grp" in grouped.columns
+    assert spark.read.parquet(os.path.join(hier, "groups")).count() == 4
+    assert _rows(
+        sim.ivf_probe_index(spark, hier, qv, 10, n_probe=3, n_probe_groups=4)
+    ) == _rows(sim.ivf_probe_index(spark, flat, qv, 10, n_probe=3))
+
+
+def test_stream_insert_into_hier_index(spark, emb, qv, tmp_path):
+    """Stream-inserting into a two-level index assigns against the stored
+    (grp-partitioned) centroids unchanged — the extra column is carried
+    by the read, never the assignment — and a subsequent probe sees the
+    new vectors exactly as a full rebuild would (stream==batch).  Uses
+    the foreachBatch body's own helpers (`_stored_centroids` /
+    `_posting_rows`) directly — the streaming wrapper adds only the
+    checkpointed trigger, covered in test_streaming_ann."""
+    from esper_tv_spark.streaming.ann import _posting_rows, _stored_centroids
+
+    base = emb.where(F.col("vec_id") < 150)
+    tail = emb.where(F.col("vec_id") >= 150)
+    hier = str(tmp_path / "hier")
+    sim.ivf_build_index(base, hier, n_cells=16, n_groups=4)
+    cents = _stored_centroids(spark, hier)
+    (
+        _posting_rows(tail, cents, "vec_id", "embedding", 6)
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(hier, "cells"))
+    )
+    full = str(tmp_path / "full")
+    sim.ivf_build_index(emb, full, n_cells=16, n_groups=4)
+    assert _rows(
+        sim.ivf_probe_index(spark, hier, qv, 10, n_probe=3, n_probe_groups=2)
+    ) == _rows(sim.ivf_probe_index(spark, full, qv, 10, n_probe=3, n_probe_groups=2))

@@ -96,11 +96,37 @@ def bare_spark():
     return b.getOrCreate()
 
 
+def _oracle_cache_key(sf_dir: str, sql: str) -> str:
+    """Cache key for a DuckDB oracle RESULT: sha256 of the oracle SQL text
+    + a stat fingerprint (relpath, size, mtime_ns) of every file under the
+    data dir.  The oracle is a pure function of (SQL, data), so replaying
+    it on unchanged inputs is pure cost — at sf100 the q98 residual replay
+    alone is ~18 min.  Any data regeneration or SQL edit changes the key
+    and forces a live replay; the SPARK side always runs live."""
+    import hashlib
+    import os
+
+    h = hashlib.sha256(sql.encode())
+    for root, _dirs, files in sorted(os.walk(sf_dir)):
+        for fn in sorted(files):
+            st = os.stat(os.path.join(root, fn))
+            rel = os.path.relpath(os.path.join(root, fn), sf_dir)
+            h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:32]
+
+
 def main():
     import os
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # Opt-in oracle-RESULT cache (SPARK_CHECK_ORACLE_CACHE=<dir>): used by
+    # the sf100 spot gate, where heavy index-replay oracles dominate the
+    # wall; a second consecutive gate run replays from cache.  Driver-
+    # replica runs leave it unset — the driver always replays live.
+    cache_dir = os.environ.get("SPARK_CHECK_ORACLE_CACHE")
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
     # point oracle generation at the corpus under test: q51's plane count
     # is derived from the embeddings parquet footer at oracle-build time
     # (cross-scale gates get a matching oracle with no hand regeneration)
@@ -140,10 +166,21 @@ def main():
             print(f"ROWS-ONLY {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
-            d_canon = canon(d_cols, d_rows)
+            cache_path = None
+            d_canon = None
+            if cache_dir:
+                key = _oracle_cache_key(sf_dir, oracles[name])
+                cache_path = os.path.join(cache_dir, f"{name}_{key}.pkl")
+                if os.path.exists(cache_path):
+                    d_canon = pd.read_pickle(cache_path)
+                    print(f"  (oracle cache hit: {os.path.basename(cache_path)})")
+            if d_canon is None:
+                cur = con.execute(oracles[name])
+                d_cols = [d[0] for d in cur.description]
+                d_rows = cur.fetchall()
+                d_canon = canon(d_cols, d_rows)
+                if cache_path:
+                    d_canon.to_pickle(cache_path)
         except Exception as e:
             print(f"FAIL {name}: duckdb/canon error: {type(e).__name__}: {e}")
             n_fail += 1

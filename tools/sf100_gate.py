@@ -46,6 +46,10 @@ FEASIBLE = [
     # the q94 rotation-replay kind, which is what made q94 infeasible)
     "q98_ivfpq_residual_knn_join",
     "q99_ivfsq_knn_join",
+    # round-9: the two-level coarse-quantizer probe — its oracle adds two
+    # tiny CTEs (group assignment over n_cells rows, group ranking over
+    # n_groups rows) to q80's replay, so sf100 feasibility is q80's
+    "q100_hier_ivf_ann",
     # regression classes (caught real bugs at this scale in r4)
     "q01_pricing_summary",
     "q16_events_hourly",
@@ -61,6 +65,13 @@ FEASIBLE = [
 def main() -> int:
     env = dict(os.environ)
     env.setdefault("SPARK_CHECK_DRIVER_MEMORY", "24g")
+    # oracle-RESULT cache: a second consecutive sf100 gate run replays the
+    # heavy DuckDB oracles (q98's residual replay alone is ~18 min) from
+    # cache, keyed on (oracle SQL, data-stat fingerprint) — see
+    # tools/check.py.  The Spark side always runs live.
+    env.setdefault(
+        "SPARK_CHECK_ORACLE_CACHE", os.path.join(REPO, ".scale", "oracle_cache")
+    )
     sf100 = os.path.join(REPO, ".scale", "sf100")
     if not os.path.isdir(sf100):
         print("no .scale/sf100 — build it first: python tools/make_scale.py 1000 .scale/sf100 --embed-dim 256")
