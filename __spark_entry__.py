@@ -2741,6 +2741,107 @@ ORDER BY cosine_sim DESC, cand.vec_id ASC LIMIT 10
 """
 
 
+def q101_hier_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed BATCH kNN join over the TWO-LEVEL index — q96's
+    amortized-scan serving join on q100's hierarchical coarse quantizer:
+    one driver action ranks the level-1 GROUPS for the whole batch (the
+    same `_rank_probe_cells` machinery one level up), the centroid read
+    is pruned to the UNION of all queries' winning groups, and each
+    query's cell ranking is RESTRICTED to its own winning groups (the
+    per-query mask — without it a query could rank another query's
+    cells above its own, and batch results would diverge from single
+    probes).  Batch qids (0, 5, 7) include q100's pinned
+    boundary-straddling query, so the oracle — which replays group
+    assignment, PER-QUERY group ranking, restricted per-query cell
+    ranking, in-cell cosine, and the per-qid top-k window — fails
+    against any implementation that skips the group restriction.
+    Per-query results bit-identical to q100-style single probes
+    (asserted in tests/test_hierarchical.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _hier_ivf_index_dir(spark, sf_dir, n_cells=16, n_groups=4)
+    queries = emb.where(F.col("vec_id").isin([0, 5, 7])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.ivf_knn_join_index(
+        spark, idx, queries, 10, n_probe=3, n_probe_groups=2
+    )
+    return out.orderBy("qid", F.col("cosine_sim").desc(), "vec_id")
+
+
+Q101_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 5, 7)),
+c AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS cv FROM e
+      ORDER BY vec_id LIMIT 16),
+g AS (SELECT cell AS grp, cv AS gv FROM c ORDER BY cell LIMIT 4),
+gd AS (
+  SELECT c.cell, g.grp,
+         round(list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(c.cv, g.gv)
+               + list_dot_product(g.gv, g.gv), 6) AS d2
+  FROM c, g
+),
+gassign AS (
+  SELECT cell, grp,
+         row_number() OVER (PARTITION BY cell ORDER BY d2 ASC, grp ASC) AS rn
+  FROM gd
+),
+-- per-QUERY level-1 ranking: each query's top-2 groups
+gpr AS (
+  SELECT qs.qid, g.grp,
+         row_number() OVER (
+           PARTITION BY qs.qid
+           ORDER BY round(list_dot_product(g.gv, qs.qv)
+                          / (sqrt(list_dot_product(g.gv, g.gv)) * sqrt(list_dot_product(qs.qv, qs.qv))), 6) DESC,
+                    g.grp ASC
+         ) AS rn
+  FROM qs, g
+),
+-- per-query cell ranking RESTRICTED to that query's winning groups
+pr AS (
+  SELECT qs.qid, c.cell,
+         row_number() OVER (
+           PARTITION BY qs.qid
+           ORDER BY round(list_dot_product(c.cv, qs.qv)
+                          / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(qs.qv, qs.qv))), 6) DESC,
+                    c.cell ASC
+         ) AS rn
+  FROM qs
+  JOIN gpr ON gpr.qid = qs.qid AND gpr.rn <= 2
+  JOIN gassign ga ON ga.grp = gpr.grp AND ga.rn = 1
+  JOIN c ON c.cell = ga.cell
+),
+d AS (
+  SELECT e.vec_id, c.cell,
+         round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM e, c
+),
+assign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+  FROM d
+),
+cand AS (
+  SELECT p.qid, a.vec_id
+  FROM assign a JOIN pr p ON a.cell = p.cell AND p.rn <= 3
+  WHERE a.rn = 1
+),
+scored AS (
+  SELECT cand.qid, cand.vec_id,
+         round(list_dot_product(e.v, qs.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qs.qv, qs.qv))), 6) AS cosine_sim
+  FROM cand JOIN e ON e.vec_id = cand.vec_id JOIN qs ON qs.qid = cand.qid
+),
+top AS (
+  SELECT qid, vec_id, cosine_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, cosine_sim FROM top WHERE rn <= 10
+ORDER BY qid, cosine_sim DESC, vec_id
+"""
+
+
 def q81_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization code census with deterministic codebooks
     (similarity.pq_assign_deterministic): per (subspace, code), how many
@@ -4564,6 +4665,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_interview_composite": q34_interview_composite,
     "q80_ivf_ann": q80_ivf_ann,
     "q100_hier_ivf_ann": q100_hier_ivf_ann,
+    "q101_hier_ivf_knn_join": q101_hier_ivf_knn_join,
     "q87_ivf_cell_census": q87_ivf_cell_census,
     "q68_stratified_sample": q68_stratified_sample,
     "q69_chunk_documents": q69_chunk_documents,
@@ -4737,6 +4839,7 @@ _ORACLES: dict[str, str] = {
     "q79_label_writeback": _q79_sql(),
     "q80_ivf_ann": Q80_SQL,
     "q100_hier_ivf_ann": Q100_SQL,
+    "q101_hier_ivf_knn_join": Q101_SQL,
     "q81_pq_codes": Q81_SQL,
     "q87_ivf_cell_census": Q87_SQL,
     "q88_pq_adc_topk": Q88_SQL,

@@ -79,6 +79,8 @@ HEADLINE = [
     # join (query slice as a broadcast column, no LUTs at all)
     "q98_ivfpq_residual_knn_join",
     "q99_ivfsq_knn_join",
+    "q100_hier_ivf_ann",
+    "q101_hier_ivf_knn_join",
     # q93 (Carter-Wegman minhash) is DEMOTED from the headline loop
     # (round-6 VERDICT #5): it lost its own bake-off to q28's classic
     # signature (3.2s/round re-proving a negative); it remains a full

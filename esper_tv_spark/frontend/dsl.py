@@ -288,6 +288,12 @@ def run_query(
             n_probe = sim.get("n_probe", 3)
             if not _int(n_probe) or n_probe <= 0:
                 raise DSLError("'n_probe' must be a positive int")
+            # two-level indexes (a groups/ table) rank level-1 group
+            # centers first and prune the centroid read; flat indexes
+            # ignore the knob (same default as the library probes)
+            n_probe_groups = sim.get("n_probe_groups", 3)
+            if not _int(n_probe_groups) or n_probe_groups <= 0:
+                raise DSLError("'n_probe_groups' must be a positive int")
             # kind WHITELIST — fail closed on anything that is not a
             # probeable ivf/ivfpq/ivfsq store.  Defaulting unknown metas
             # to ivfpq would silently mis-probe e.g. a pq_build_store
@@ -346,7 +352,10 @@ def run_query(
                     "ivfpq": sim_ops.ivfpq_knn_join_index,
                     "ivfsq": sim_ops.ivfsq_knn_join_index,
                 }[kind]
-                df = join_fn(spark, path, queries, k, n_probe=n_probe, id_col=id_col)
+                df = join_fn(
+                    spark, path, queries, k, n_probe=n_probe, id_col=id_col,
+                    n_probe_groups=n_probe_groups,
+                )
             else:
                 if "query" in sim:
                     q = _vec(sim["query"], "'query'")
@@ -365,7 +374,10 @@ def run_query(
                     "ivfpq": sim_ops.ivfpq_probe_index,
                     "ivfsq": sim_ops.ivfsq_probe_index,
                 }[kind]
-                df = probe_fn(spark, path, q, k, n_probe=n_probe, id_col=id_col)
+                df = probe_fn(
+                    spark, path, q, k, n_probe=n_probe, id_col=id_col,
+                    n_probe_groups=n_probe_groups,
+                )
         else:
             raise DSLError(f"similarity op not allowed: {op!r}")
 

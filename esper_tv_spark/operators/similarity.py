@@ -521,6 +521,51 @@ def _resolve_n_groups(n_cells: int, n_groups) -> "int | None":
     return n_groups
 
 
+def _assign_pruned(
+    df: DataFrame,
+    cents_coarse: DataFrame,
+    n_groups: "int | None",
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+    g_probe: int,
+    fast: bool,
+) -> DataFrame:
+    """Builder plumbing for `assign_via_groups`: derive the same grouping
+    `_write_centroids` will persist (deterministic — both run
+    lloyd_assign over the id-sorted centroid table with the rank-init
+    group centers, so they CANNOT disagree) and route the corpus
+    assignment through `lloyd_assign_pruned_blas`.  Returns
+    (id_col, cell).  Fail-closed: the pruned path without a grouped
+    layout or without fast=True would be a silent semantics change."""
+    if n_groups is None:
+        raise ValueError("assign_via_groups=True requires n_groups")
+    if not fast:
+        raise ValueError(
+            "assign_via_groups=True requires fast=True — the pruned "
+            "assignment is the production BLAS path; oracle-gated "
+            "contract builds use the exact assignment"
+        )
+    grouped = (
+        lloyd_assign_blas(
+            cents_coarse, k=n_groups, id_col="cell", vec_col="cv",
+            round_digits=round_digits,
+        )
+        .withColumnRenamed("cluster", "grp")
+        .join(cents_coarse, "cell")
+        .select(F.col("cell").alias("cluster"), F.col("cv").alias("cvec"), "grp")
+    )
+    gdf = (
+        cents_coarse.orderBy(F.col("cell").asc())
+        .limit(n_groups)
+        .select(F.col("cell").alias("grp"), F.col("cv").alias("gvec"))
+    )
+    return lloyd_assign_pruned_blas(
+        df, grouped, gdf, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits, g_probe=g_probe,
+    ).withColumnRenamed("cluster", "cell")
+
+
 def _write_centroids(
     cents_coarse: DataFrame,
     path: str,
@@ -626,6 +671,8 @@ def ivf_build_index(
     round_digits: int = 6,
     n_groups: "int | str | None" = None,
     fast: bool = False,
+    assign_via_groups: bool = False,
+    assign_g_probe: int = 1,
 ) -> None:
     """Persist the deterministic IVF index: build once, probe many — the
     IVF twin of the SRP split (dedup.build_srp_index /
@@ -671,14 +718,29 @@ def ivf_build_index(
     `fast=True` runs the Theta(n*k) coarse assignment as Arrow-batched
     BLAS (lloyd_assign_blas) — same tie rules, byte-identical on the
     test corpora; contract builds stay fast=False so the oracle
-    replays."""
+    replays.
+
+    `assign_via_groups=True` (requires n_groups + fast) routes the
+    build assignment through the level-1 groups too
+    (`lloyd_assign_pruned_blas`): Θ(n·√n_cells) instead of Θ(n·n_cells)
+    scored pairs — the knob that keeps a 180k-cell build feasible.
+    Approximate for assign_g_probe < n_groups (agreement measured at
+    2M in the rehearsal); exact and bit-identical at
+    assign_g_probe = n_groups (asserted in tests)."""
     import os
 
     n_cells = _resolve_n_cells(df, n_cells)
     n_groups = _resolve_n_groups(n_cells, n_groups)
-    assigned = (lloyd_assign_blas if fast else lloyd_assign)(
-        df, k=n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
-    ).withColumnRenamed("cluster", "cell")
+    if assign_via_groups:
+        cents_coarse = _rank_coarse_centroids(df, n_cells, id_col, vec_col, round_digits)
+        assigned = _assign_pruned(
+            df, cents_coarse, n_groups, id_col, vec_col, round_digits,
+            assign_g_probe, fast,
+        )
+    else:
+        assigned = (lloyd_assign_blas if fast else lloyd_assign)(
+            df, k=n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+        ).withColumnRenamed("cluster", "cell")
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
@@ -1651,6 +1713,8 @@ def ivfpq_build_index(
     opq_rotation: list[list[float]] | None = None,
     fast: bool = False,
     n_groups: "int | str | None" = None,
+    assign_via_groups: bool = False,
+    assign_g_probe: int = 1,
 ) -> None:
     """Persist the combined IVF-PQ index (Jegou, Douze, Schmid 2011,
     "Product Quantization for Nearest Neighbor Search" — the IVFADC
@@ -1806,20 +1870,32 @@ def ivfpq_build_index(
                 F.col("cv").cast("array<double>"), lambda x: F.round(x, round_digits)
             ).alias("cv"),
         )
-        assigned = assign_fn(
-            df,
-            centroids=cents_coarse.select(
-                F.col("cell").alias("cluster"), F.col("cv").alias("cvec")
-            ),
-            id_col=id_col,
-            vec_col=vec_col,
-            round_digits=round_digits,
-        ).withColumnRenamed("cluster", "cell")
+        if assign_via_groups:
+            assigned = _assign_pruned(
+                df, cents_coarse, n_groups, id_col, vec_col, round_digits,
+                assign_g_probe, fast,
+            )
+        else:
+            assigned = assign_fn(
+                df,
+                centroids=cents_coarse.select(
+                    F.col("cell").alias("cluster"), F.col("cv").alias("cvec")
+                ),
+                id_col=id_col,
+                vec_col=vec_col,
+                round_digits=round_digits,
+            ).withColumnRenamed("cluster", "cell")
     else:
-        assigned = assign_fn(
-            df, k=n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
-        ).withColumnRenamed("cluster", "cell")
         cents_coarse = _rank_coarse_centroids(df, n_cells, id_col, vec_col, round_digits)
+        if assign_via_groups:
+            assigned = _assign_pruned(
+                df, cents_coarse, n_groups, id_col, vec_col, round_digits,
+                assign_g_probe, fast,
+            )
+        else:
+            assigned = assign_fn(
+                df, k=n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+            ).withColumnRenamed("cluster", "cell")
     if by_residual:
         enc_in = residual_vectors(df, assigned, cents_coarse, id_col, vec_col)
         # On the RANK-BASED path the n_cells smallest ids ARE the coarse
@@ -2173,6 +2249,8 @@ def ivfsq_build_index(
     round_digits: int = 6,
     fast: bool = False,
     n_groups: "int | str | None" = None,
+    assign_via_groups: bool = False,
+    assign_g_probe: int = 1,
 ) -> None:
     """Persist the IVF-SQ8 index: posting lists of 8-bit SCALAR-quantized
     codes partitioned by the deterministic Lloyd cell — the FAISS
@@ -2213,9 +2291,18 @@ def ivfsq_build_index(
             os.remove(stale)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump({"kind": "ivfsq", "dim": dim, "n_groups": n_groups}, f)
-    assigned = (lloyd_assign_blas if fast else lloyd_assign)(
-        df, k=n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
-    ).withColumnRenamed("cluster", "cell")
+    if assign_via_groups:
+        assigned = _assign_pruned(
+            df,
+            _rank_coarse_centroids(df, n_cells, id_col, vec_col, round_digits).select(
+                "cell", "cv"
+            ),
+            n_groups, id_col, vec_col, round_digits, assign_g_probe, fast,
+        )
+    else:
+        assigned = (lloyd_assign_blas if fast else lloyd_assign)(
+            df, k=n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+        ).withColumnRenamed("cluster", "cell")
     sq = sq_fit(df, dim, id_col=id_col, vec_col=vec_col)
     sq.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "sq"))
     bounds = sorted(sq.collect(), key=lambda r: r["pos"])
@@ -2672,6 +2759,113 @@ def lloyd_assign_blas(
 
     schema = f"{id_col} long, cluster long" + (", __rank int" if n_probe > 1 else "")
     return vecs.mapInPandas(assign, schema=schema)
+
+
+def lloyd_assign_pruned_blas(
+    df: DataFrame,
+    centroids: DataFrame,
+    groups: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    g_probe: int = 1,
+) -> DataFrame:
+    """TWO-LEVEL Lloyd assignment — the BUILD-side half of the
+    hierarchical coarse quantizer.  Exact assignment is Θ(n·n_cells)
+    scored pairs: at n = 2e9 and n_cells = 4√n ≈ 180k that is ~9e16
+    flops for ONE build pass — the real reason a flat quantizer stops
+    scaling before the probe path ever notices.  This path ranks each
+    vector against the √n_cells level-1 GROUP centers first, then takes
+    the exact (rounded d2 asc, cluster asc) argmin over only the
+    winning `g_probe` groups' cells: Θ(n·(√n_cells + g·√n_cells)) —
+    ~400× less work at 180k cells — which is how FAISS-scale systems
+    actually build IVF indexes (the quantizer lookup is itself
+    approximate).
+
+    Semantics: with `g_probe = n_groups` the candidate set is every
+    cell and the result is BIT-IDENTICAL to `lloyd_assign_blas`
+    (asserted in tests); smaller g_probe is an approximation whose
+    agreement rate is a measured property of the corpus (rehearsal row
+    at 2M), not a promise — the assignment stays deterministic (group
+    ranking ties to the smaller grp, cell argmin ties to the smaller
+    cluster, both under half-away rounding).
+
+    `centroids` is (cluster, cvec, grp) — each cell centroid labeled
+    with its level-1 group; `groups` is (grp, gvec).  Both are
+    driver-sized (n_cells ≤ ~200k rows of metadata) and broadcast."""
+    import numpy as np
+
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    cent_rows = centroids.select(
+        "cluster", F.col("cvec").cast("array<double>").alias("__c"), "grp"
+    ).collect()
+    cent_rows.sort(key=lambda r: r["cluster"])
+    grp_rows = groups.select(
+        "grp", F.col("gvec").cast("array<double>").alias("__g")
+    ).collect()
+    grp_rows.sort(key=lambda r: r["grp"])
+    gids = np.array([r["grp"] for r in grp_rows], dtype=np.int64)
+    gmat = _round_half_away(
+        np.array([r["__g"] for r in grp_rows], dtype=np.float64), round_digits
+    )
+    gsq = (gmat * gmat).sum(axis=1)
+    cids = np.array([r["cluster"] for r in cent_rows], dtype=np.int64)
+    cmat = _round_half_away(
+        np.array([r["__c"] for r in cent_rows], dtype=np.float64), round_digits
+    )
+    csq = (cmat * cmat).sum(axis=1)
+    cgrp = np.array([r["grp"] for r in cent_rows], dtype=np.int64)
+    # grp id -> positions of its cells in the id-sorted centroid arrays
+    cells_of = {int(g): np.nonzero(cgrp == g)[0] for g in gids}
+    bc = df.sparkSession.sparkContext.broadcast(
+        (gids, gmat, gsq, cids, cmat, csq, cells_of)
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        b_gids, b_gmat, b_gsq, b_cids, b_cmat, b_csq, b_cells_of = bc.value
+        p = min(g_probe, len(b_gids))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            xsq = (x * x).sum(axis=1)
+            gd2 = _round_half_away(
+                xsq[:, None] - 2.0 * (x @ b_gmat.T) + b_gsq[None, :], round_digits
+            )
+            # per-row winning groups: stable argsort = (d2 asc, grp asc)
+            top_g = np.argsort(gd2, axis=1, kind="stable")[:, :p]
+            best_d2 = np.full(len(x), np.inf)
+            best_cl = np.full(len(x), np.iinfo(np.int64).max, dtype=np.int64)
+            for gi in range(len(b_gids)):
+                # rows whose winning-group set contains group gi
+                mask = (top_g == gi).any(axis=1)
+                if not mask.any():
+                    continue
+                pos = b_cells_of[int(b_gids[gi])]
+                if len(pos) == 0:
+                    continue
+                xm = x[mask]
+                d2 = _round_half_away(
+                    xsq[mask][:, None] - 2.0 * (xm @ b_cmat[pos].T)
+                    + b_csq[pos][None, :],
+                    round_digits,
+                )
+                j = d2.argmin(axis=1)  # first occurrence = smallest cell id
+                dj = d2[np.arange(len(xm)), j]
+                cj = b_cids[pos][j]
+                rows = np.nonzero(mask)[0]
+                # (d2 asc, cluster asc) across groups too
+                better = (dj < best_d2[rows]) | (
+                    (dj == best_d2[rows]) & (cj < best_cl[rows])
+                )
+                upd = rows[better]
+                best_d2[upd] = dj[better]
+                best_cl[upd] = cj[better]
+            yield pd.DataFrame({id_col: pdf[id_col], "cluster": best_cl})
+
+    return vecs.mapInPandas(assign, schema=f"{id_col} long, cluster long")
 
 
 def logreg_score(

@@ -506,6 +506,75 @@ def test_dsl_ann_probe_matches_library(spark, catalog, tmp_path):
     assert got_b == want_b
 
 
+def test_dsl_ann_probe_two_level_index(spark, catalog, tmp_path):
+    """A TWO-LEVEL index (n_groups) behind the catalog serves the same
+    spec surface: the n_probe_groups knob passes through to single
+    probes and batches bit-for-bit, flat indexes ignore it, and a
+    malformed value is a DSLError."""
+    import pytest
+
+    from esper_tv_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_knn_join_index,
+        ivf_probe_index,
+    )
+
+    emb = catalog["embeddings"]
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    idx = str(tmp_path / "hivf")
+    ivf_build_index(emb, idx, n_cells=8, n_groups=4)
+    cat = {"faces_hier": idx}
+    spec = {
+        "table": "embeddings",
+        "similarity": {
+            "op": "ann_probe", "index": "faces_hier", "query_id": 0, "k": 5,
+            "n_probe_groups": 2,
+        },
+    }
+    got = [tuple(r) for r in run_query(catalog, spec, index_catalog=cat).collect()]
+    want = [
+        tuple(r)
+        for r in ivf_probe_index(spark, idx, q, 5, n_probe=3, n_probe_groups=2).collect()
+    ]
+    assert got == want
+
+    spec_b = {
+        "table": "embeddings",
+        "similarity": {
+            "op": "ann_probe", "index": "faces_hier", "query_ids": [0, 7], "k": 5,
+            "n_probe_groups": 2,
+        },
+        "order_by": [["qid", "asc"], ["cosine_sim", "desc"], ["vec_id", "asc"]],
+    }
+    queries = emb.where(F.col("vec_id").isin([0, 7])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got_b = [tuple(r) for r in run_query(catalog, spec_b, index_catalog=cat).collect()]
+    want_b = [
+        tuple(r)
+        for r in ivf_knn_join_index(
+            spark, idx, queries, 5, n_probe=3, n_probe_groups=2
+        )
+        .orderBy(F.col("qid").asc(), F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .collect()
+    ]
+    assert got_b == want_b
+
+    for bad in (0, -1, True, "x"):
+        with pytest.raises(DSLError):
+            run_query(
+                catalog,
+                {
+                    "table": "embeddings",
+                    "similarity": {
+                        "op": "ann_probe", "index": "faces_hier", "query_id": 0,
+                        "k": 5, "n_probe_groups": bad,
+                    },
+                },
+                index_catalog=cat,
+            )
+
+
 def test_dsl_ann_probe_rejected_specs(spark, catalog, tmp_path):
     """Index access is name-keyed only: unknown names, raw paths, and
     malformed params are DSLErrors — and without an index_catalog the

@@ -269,6 +269,80 @@ def test_fast_hier_build_matches_expression_build(spark, emb, tmp_path):
     )
 
 
+def test_pruned_assignment_exact_at_full_group_coverage(spark, emb, tmp_path):
+    """assign_via_groups (the Θ(n·√n_cells) build-side pruned
+    assignment) must be BIT-IDENTICAL to the exact BLAS assignment when
+    assign_g_probe = n_groups — the candidate set is every cell, so
+    only the evaluation order differs and the (d2 asc, cell asc)
+    argmin cannot.  At assign_g_probe=1 it is an approximation; on THIS
+    isotropic fixture agreement is ~0.52 (no cluster structure — the
+    nearest cell is near-random across groups), which is the honest
+    floor; the clustered-2M rehearsal row carries the production
+    number.  Missing n_groups / fast=False fail loudly."""
+    def cells(idx):
+        return sorted(
+            (int(r["id"]), int(r["cell"]))
+            for r in spark.read.parquet(os.path.join(idx, "cells"))
+            .select("id", "cell")
+            .collect()
+        )
+
+    exact, full, p1 = (str(tmp_path / n) for n in ("exact", "full", "p1"))
+    sim.ivf_build_index(emb, exact, n_cells=16, n_groups=4, fast=True)
+    sim.ivf_build_index(
+        emb, full, n_cells=16, n_groups=4, fast=True,
+        assign_via_groups=True, assign_g_probe=4,
+    )
+    sim.ivf_build_index(
+        emb, p1, n_cells=16, n_groups=4, fast=True,
+        assign_via_groups=True, assign_g_probe=1,
+    )
+    ce, cf, c1 = cells(exact), cells(full), cells(p1)
+    assert ce == cf
+    agree = sum(1 for a, b in zip(ce, c1) if a == b) / len(ce)
+    assert 0.0 < agree <= 1.0
+    with pytest.raises(ValueError, match="requires n_groups"):
+        sim.ivf_build_index(
+            emb, str(tmp_path / "x1"), n_cells=16, fast=True, assign_via_groups=True
+        )
+    with pytest.raises(ValueError, match="requires fast"):
+        sim.ivf_build_index(
+            emb, str(tmp_path / "x2"), n_cells=16, n_groups=4, assign_via_groups=True
+        )
+
+
+def test_pruned_assignment_exact_for_pq_and_sq_builders(spark, emb, tmp_path):
+    """Same full-coverage exactness through the other two builders (the
+    pruned assignment slots in before the PQ/SQ encode, which must be
+    untouched by it)."""
+    def cells(idx):
+        return sorted(
+            (int(r["id"]), int(r["cell"]), tuple(r["codes"]))
+            for r in spark.read.parquet(os.path.join(idx, "cells"))
+            .select("id", "cell", "codes")
+            .collect()
+        )
+
+    for name, build in (
+        (
+            "ivfpq",
+            lambda p, **kw: sim.ivfpq_build_index(
+                emb, p, n_cells=16, m=8, k=16, dim=64, n_groups=4, fast=True, **kw
+            ),
+        ),
+        (
+            "ivfsq",
+            lambda p, **kw: sim.ivfsq_build_index(
+                emb, p, n_cells=16, dim=64, n_groups=4, fast=True, **kw
+            ),
+        ),
+    ):
+        exact, full = str(tmp_path / f"{name}_e"), str(tmp_path / f"{name}_f")
+        build(exact)
+        build(full, assign_via_groups=True, assign_g_probe=4)
+        assert cells(exact) == cells(full), name
+
+
 # ------------------------------------------------------------ maintenance
 
 

@@ -1,0 +1,471 @@
+"""Round-9 ANN scale rehearsals — the three evidence rows VERDICT r8
+asked for, each appended to .scale/rehearsal_<tag>.jsonl:
+
+  hier2m    — two-level coarse quantizer at 2M x 256 (clustered_2m,
+              n_cells='auto' ~ 5727, n_groups='auto' ~ 76):
+              (a) full-coverage parity — hier probe cells == flat cells
+                  for an 8-query batch (the bit-parity guarantee, now
+                  witnessed at the scale the layer exists for);
+              (b) pruned-group cell agreement + walls — at
+                  n_probe_groups=8 (10.5% of groups) how often the
+                  hier cell choice matches flat top-32, and what the
+                  centroid-ranking driver action costs flat (5.7k-row
+                  table) vs hier (76-row groups + pruned partitions);
+              (c) recall@10 vs exact L2 over 50 queries, flat vs hier.
+  autoladder — n_cells='auto' recall ladder row (VERDICT #5): the r8
+              sized ladder hand-pinned n_cells=1024 (the generative
+              truth); 'auto' picks 4*sqrt(2.05M) ~ 5727.  Measures
+              residual / opq+residual (trained KMeans coarse, the
+              ladder's protocol) and sq8 at auto sizing with n_probe
+              scaled to the SAME 3.1% scan fraction (178/5727), so the
+              row isolates coarse-resolution, not scan volume.
+  maint     — serving-maintenance interleaving at sf1 (VERDICT #4): the
+              pytest interleaving sequence (build -> batch join ->
+              stream-insert -> join sees new vectors -> compact -> join
+              bit-identical) re-run at 205k x 256 with WALLS and
+              fragment censuses recorded, so fragment growth vs probe
+              latency is measured, not assumed.
+
+Usage: python tools/rehearse_ann.py [--tag r9] [--steps hier2m,autoladder,maint]
+Prereqs: .scale/clustered_2m (make_scale.py --clustered --n=2050000
+--embed-dim=256 --clusters=1024 --anisotropy=1.0) and .scale/sf1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+C2M = os.path.join(REPO, ".scale", "clustered_2m")
+SF1 = os.path.join(REPO, ".scale", "sf1")
+TOPK = 10
+
+
+def load_matrix(emb_path: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    col = t["embedding"].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = flat.reshape(len(col), -1)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def exact_truth(ids, mat, q_idx):
+    truth = {}
+    for qi in q_idx:
+        d2 = ((mat - mat[qi]) ** 2).sum(axis=1)
+        truth[int(ids[qi])] = set(ids[np.argsort(d2, kind="stable")[:TOPK]].tolist())
+    return truth
+
+
+def step_hier2m(spark, emit):
+    from esper_tv_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    emb_path = os.path.join(C2M, "embeddings.parquet")
+    ids, mat = load_matrix(emb_path)
+    df = spark.read.parquet(emb_path).select("vec_id", "embedding")
+    n = len(ids)
+    n_cells = sim.recommended_cells(n)
+    n_groups = sim.recommended_groups(n_cells)
+
+    flat_idx = os.path.join(C2M, "ivfsq_flat")
+    hier_idx = os.path.join(C2M, "ivfsq_hier")
+    dim = mat.shape[1]
+    t0 = time.time()
+    sim.ivfsq_build_index(df, flat_idx, n_cells=n_cells, dim=dim, fast=True)
+    flat_build = time.time() - t0
+    t0 = time.time()
+    sim.ivfsq_build_index(
+        df, hier_idx, n_cells=n_cells, dim=dim, fast=True, n_groups=n_groups
+    )
+    hier_build = time.time() - t0
+
+    # 8-query serving batch, deterministic draw
+    stride = n // 8
+    q_idx8 = np.arange(0, n, stride)[:8]
+    qids = [int(ids[i]) for i in q_idx8]
+    qvecs = [[float(x) for x in mat[i]] for i in q_idx8]
+    n_probe = 32
+
+    def rank(idx_path, n_probe_groups):
+        t0 = time.time()
+        cents, allowed = sim._probe_centroids(
+            spark, idx_path, qids, qvecs, n_probe_groups, 6, fast=True
+        )
+        pairs, cells, _cv = sim._rank_probe_cells_blas(
+            cents, qids, qvecs, n_probe, 6, allowed=allowed
+        )
+        wall = time.time() - t0
+        by_q = {}
+        for q, c in pairs:
+            by_q.setdefault(q, []).append(c)
+        return by_q, wall
+
+    flat_cells, flat_rank_wall = rank(flat_idx, 0)
+    full_cells, full_rank_wall = rank(hier_idx, n_groups)
+    pruned_cells, pruned_rank_wall = rank(hier_idx, 8)
+    assert full_cells == flat_cells, "full-coverage hier != flat cell choice"
+    agree = sum(
+        len(set(pruned_cells[q]) & set(flat_cells[q])) for q in qids
+    ) / float(len(qids) * n_probe)
+    emit(
+        {
+            "step": "hier2m_parity",
+            "n": n,
+            "n_cells": n_cells,
+            "n_groups": n_groups,
+            "flat_build_s": round(flat_build, 1),
+            "hier_build_s": round(hier_build, 1),
+            "full_coverage_cells_identical": True,
+            "pruned_groups": 8,
+            "pruned_cell_agreement_vs_flat": round(agree, 4),
+            "rank_wall_flat_s": round(flat_rank_wall, 2),
+            "rank_wall_hier_full_s": round(full_rank_wall, 2),
+            "rank_wall_hier_pruned_s": round(pruned_rank_wall, 2),
+        }
+    )
+
+    # recall@10 vs exact, 50 queries, flat vs hier(8 groups)
+    stride = n // 50
+    q_idx = np.arange(0, n, stride)[:50]
+    truth = exact_truth(ids, mat, q_idx)
+    out = {}
+    for name, idx_path, kw in (
+        ("flat", flat_idx, {}),
+        ("hier_g8", hier_idx, {"n_probe_groups": 8}),
+    ):
+        hits = 0
+        t0 = time.time()
+        for qi in q_idx:
+            got = {
+                r["vec_id"]
+                for r in sim.ivfsq_probe_index(
+                    spark, idx_path, [float(x) for x in mat[qi]], TOPK,
+                    n_probe=n_probe, **kw,
+                ).collect()
+            }
+            hits += len(got & truth[int(ids[qi])])
+        out[name] = {
+            "recall": round(hits / (TOPK * len(q_idx)), 4),
+            "probe_s_per_q": round((time.time() - t0) / len(q_idx), 2),
+        }
+    emit({"step": "hier2m_recall", "n_probe": n_probe, **out})
+
+
+def step_autoladder(spark, emit):
+    from esper_tv_spark.operators import similarity as sim
+
+    emb_path = os.path.join(C2M, "embeddings.parquet")
+    ids, mat = load_matrix(emb_path)
+    df = spark.read.parquet(emb_path).select("vec_id", "embedding")
+    n, dim = mat.shape
+    n_cells = sim.recommended_cells(n)  # 'auto'
+    # scan fraction matched to the r8 sized row (32/1024 = 3.125%)
+    n_probe = max(1, round(n_cells * 32 / 1024))
+    stride = n // 50
+    q_idx = np.arange(0, n, stride)[:50]
+    truth = exact_truth(ids, mat, q_idx)
+
+    # trained coarse quantizer, the ladder's protocol.  pyspark.ml KMeans
+    # at k=5727 over 2M x 256: maxIter capped at 8 (the sized ladder's
+    # 1024-cell fit converged in fewer; the wall is recorded honestly)
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    feat = df.withColumn(
+        "__features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(k=n_cells, seed=42, maxIter=8, featuresCol="__features").fit(feat)
+    centers = [c.tolist() for c in model.clusterCenters()]
+    kmeans_wall = time.time() - t0
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "cell long, cv array<double>"
+    )
+    emit({"step": "autoladder_kmeans", "k": n_cells, "maxIter": 8,
+          "wall_s": round(kmeans_wall, 1)})
+
+    m_sub, k_codes = 16, 16
+    rot = sim.opq_train(df, m=m_sub, k=k_codes, dim=dim)
+    out = {}
+    for name, kw in (
+        ("residual", {"by_residual": True}),
+        ("opq+residual", {"opq_rotation": rot, "by_residual": True}),
+    ):
+        idx = os.path.join(C2M, f"auto_ivfpq_{name.replace('+', '_')}")
+        t0 = time.time()
+        sim.ivfpq_build_index(
+            df, idx, n_cells=n_cells, m=m_sub, k=k_codes, dim=dim,
+            coarse_centroids=cdf, fast=True, **kw,
+        )
+        build_s = time.time() - t0
+        hits = 0
+        t0 = time.time()
+        for qi in q_idx:
+            got = {
+                r["vec_id"]
+                for r in sim.ivfpq_probe_index(
+                    spark, idx, [float(x) for x in mat[qi]], TOPK, n_probe=n_probe
+                ).collect()
+            }
+            hits += len(got & truth[int(ids[qi])])
+        out[name] = {
+            "recall": round(hits / (TOPK * len(q_idx)), 4),
+            "build_s": round(build_s, 1),
+            "probe_s_per_q": round((time.time() - t0) / len(q_idx), 2),
+        }
+        emit({"step": "autoladder_row", "variant": name,
+              "n_cells": n_cells, "n_probe": n_probe, **out[name]})
+        shutil.rmtree(idx, ignore_errors=True)
+
+    idx = os.path.join(C2M, "auto_ivfsq")
+    t0 = time.time()
+    sim.ivfsq_build_index(df, idx, n_cells=n_cells, dim=dim, fast=True)
+    build_s = time.time() - t0
+    hits = 0
+    t0 = time.time()
+    for qi in q_idx:
+        got = {
+            r["vec_id"]
+            for r in sim.ivfsq_probe_index(
+                spark, idx, [float(x) for x in mat[qi]], TOPK, n_probe=n_probe
+            ).collect()
+        }
+        hits += len(got & truth[int(ids[qi])])
+    emit({"step": "autoladder_row", "variant": "sq8",
+          "n_cells": n_cells, "n_probe": n_probe,
+          "recall": round(hits / (TOPK * len(q_idx)), 4),
+          "build_s": round(build_s, 1),
+          "probe_s_per_q": round((time.time() - t0) / len(q_idx), 2)})
+    shutil.rmtree(idx, ignore_errors=True)
+
+
+def step_prunedassign(spark, emit):
+    """assign_via_groups at 2M: build-side pruned assignment (the
+    Θ(n·√n_cells) path) vs the exact BLAS assignment — agreement
+    fraction, build walls, and downstream probe recall, on the
+    CLUSTERED fixture where the approximation has structure to exploit
+    (the isotropic floor is ~0.52, pinned in pytest)."""
+    from esper_tv_spark.operators import similarity as sim
+
+    emb_path = os.path.join(C2M, "embeddings.parquet")
+    ids, mat = load_matrix(emb_path)
+    df = spark.read.parquet(emb_path).select("vec_id", "embedding")
+    n, dim = mat.shape
+    n_cells = sim.recommended_cells(n)
+    n_groups = sim.recommended_groups(n_cells)
+
+    def cells_of(idx):
+        rows = spark.read.parquet(os.path.join(idx, "cells")).select("id", "cell").collect()
+        return {int(r["id"]): int(r["cell"]) for r in rows}
+
+    exact_idx = os.path.join(C2M, "pa_exact")
+    t0 = time.time()
+    sim.ivfsq_build_index(
+        df, exact_idx, n_cells=n_cells, dim=dim, fast=True, n_groups=n_groups
+    )
+    exact_s = time.time() - t0
+    exact_cells = cells_of(exact_idx)
+
+    stride = n // 50
+    q_idx = np.arange(0, n, stride)[:50]
+    truth = exact_truth(ids, mat, q_idx)
+
+    def recall(idx):
+        hits = 0
+        for qi in q_idx:
+            got = {
+                r["vec_id"]
+                for r in sim.ivfsq_probe_index(
+                    spark, idx, [float(x) for x in mat[qi]], TOPK,
+                    n_probe=32, n_probe_groups=8,
+                ).collect()
+            }
+            hits += len(got & truth[int(ids[qi])])
+        return round(hits / (TOPK * len(q_idx)), 4)
+
+    exact_recall = recall(exact_idx)
+    for g_probe in (1, 2):
+        idx = os.path.join(C2M, f"pa_g{g_probe}")
+        t0 = time.time()
+        sim.ivfsq_build_index(
+            df, idx, n_cells=n_cells, dim=dim, fast=True, n_groups=n_groups,
+            assign_via_groups=True, assign_g_probe=g_probe,
+        )
+        wall = time.time() - t0
+        got = cells_of(idx)
+        agree = sum(1 for i, c in exact_cells.items() if got.get(i) == c) / len(
+            exact_cells
+        )
+        emit(
+            {
+                "step": "pruned_assign_2m",
+                "n": n,
+                "n_cells": n_cells,
+                "n_groups": n_groups,
+                "g_probe": g_probe,
+                "exact_build_s": round(exact_s, 1),
+                "pruned_build_s": round(wall, 1),
+                "assignment_agreement": round(agree, 4),
+                "recall_exact_assign": exact_recall,
+                "recall_pruned_assign": recall(idx),
+            }
+        )
+        shutil.rmtree(idx, ignore_errors=True)
+    shutil.rmtree(exact_idx, ignore_errors=True)
+
+
+def step_maint(spark, emit, sf_dir=None, tag="sf1"):
+    from pyspark.sql import functions as F
+
+    from esper_tv_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_knn_join_index,
+    )
+    from esper_tv_spark.streaming.ann import (
+        _posting_rows,
+        _stored_centroids,
+        compact_posting_lists,
+        posting_fragment_census,
+    )
+
+    sf_dir = sf_dir or SF1
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    cut = emb.approxQuantile("vec_id", [0.9], 0.0)[0]
+    base = emb.where(F.col("vec_id") < cut)
+    tail = emb.where(F.col("vec_id") >= cut)
+    idx = os.path.join(sf_dir, "ivf_maint")
+    shutil.rmtree(idx, ignore_errors=True)
+
+    t0 = time.time()
+    ivf_build_index(base, idx, n_cells=32, fast=True)
+    build_s = time.time() - t0
+
+    qrows = emb.orderBy(F.col("vec_id").asc()).limit(8).collect()
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        "qid long, qvec array<double>",
+    )
+
+    def join_wall():
+        # warm wall (second of two runs): the first run on a fresh index
+        # pays codegen/JIT warmup that swamps the fragment-count signal
+        # at these scales
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            rows = sorted(
+                (int(r["qid"]), int(r["vec_id"]), float(r["cosine_sim"]))
+                for r in ivf_knn_join_index(
+                    spark, idx, queries, TOPK, n_probe=3, fast=True
+                ).collect()
+            )
+            walls.append(time.time() - t0)
+        return rows, walls[-1]
+
+    r0, w0 = join_wall()
+    frag0 = posting_fragment_census(idx)
+
+    # stream-insert the tail in 8 micro-batch-sized appends (the
+    # foreachBatch body, driven directly — walls are the insert cost,
+    # not the trigger scheduler's)
+    t0 = time.time()
+    cents = _stored_centroids(spark, idx)
+    for i in range(8):
+        batch = tail.where(F.col("vec_id") % 8 == i)
+        (
+            _posting_rows(batch, cents, "vec_id", "embedding", 6)
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(os.path.join(idx, "cells"))
+        )
+    insert_s = time.time() - t0
+    frag1 = posting_fragment_census(idx)
+
+    r1, w1 = join_wall()
+    tail_ids = {int(r["vec_id"]) for r in tail.select("vec_id").collect()}
+    sees_tail = any(v in tail_ids for _q, v, _s in r1)
+
+    t0 = time.time()
+    stats = compact_posting_lists(spark, idx, min_fragments=2)
+    compact_s = time.time() - t0
+    frag2 = posting_fragment_census(idx)
+    r2, w2 = join_wall()
+
+    emit(
+        {
+            "step": f"serving_maintenance_{tag}",
+            "n_vectors": n,
+            "build_s": round(build_s, 1),
+            "join_wall_fresh_s": round(w0, 2),
+            "insert_8_batches_s": round(insert_s, 1),
+            "fragments_before": sum(frag0.values()),
+            "fragments_after_insert": sum(frag1.values()),
+            "join_wall_fragmented_s": round(w1, 2),
+            "join_sees_inserted_tail": sees_tail,
+            "compact_s": round(compact_s, 1),
+            "compact_stats": stats,
+            "fragments_after_compact": sum(frag2.values()),
+            "join_wall_compacted_s": round(w2, 2),
+            "join_bit_identical_across_compaction": r1 == r2,
+        }
+    )
+    assert r1 == r2, "compaction changed serving results"
+    assert sees_tail, "inserted vectors invisible to the serving join"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tag", default="r9")
+    ap.add_argument("--steps", default="hier2m,autoladder,maint")
+    args = ap.parse_args()
+    steps = set(args.steps.split(","))
+    out_path = os.path.join(REPO, ".scale", f"rehearsal_{args.tag}.jsonl")
+
+    def emit(row: dict) -> None:
+        row["ts"] = time.strftime("%H:%M:%S")
+        with open(out_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        print(row, flush=True)
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    from esper_tv_spark import get_spark
+
+    spark = get_spark(f"rehearse-ann-{args.tag}")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "hier2m" in steps:
+        step_hier2m(spark, emit)
+        spark.catalog.clearCache()
+    if "autoladder" in steps:
+        step_autoladder(spark, emit)
+        spark.catalog.clearCache()
+    if "prunedassign" in steps:
+        step_prunedassign(spark, emit)
+        spark.catalog.clearCache()
+    if "maint" in steps:
+        step_maint(spark, emit)
+    if "maint10" in steps:
+        step_maint(spark, emit, sf_dir=os.path.join(REPO, ".scale", "sf10"), tag="sf10")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -46,10 +46,12 @@ FEASIBLE = [
     # the q94 rotation-replay kind, which is what made q94 infeasible)
     "q98_ivfpq_residual_knn_join",
     "q99_ivfsq_knn_join",
-    # round-9: the two-level coarse-quantizer probe — its oracle adds two
-    # tiny CTEs (group assignment over n_cells rows, group ranking over
-    # n_groups rows) to q80's replay, so sf100 feasibility is q80's
+    # round-9: the two-level coarse-quantizer probe and its batch join —
+    # their oracles add tiny CTEs (group assignment over n_cells rows,
+    # per-query group ranking over n_groups rows) to the q80/q96
+    # replays, so sf100 feasibility is q80's/q96's
     "q100_hier_ivf_ann",
+    "q101_hier_ivf_knn_join",
     # regression classes (caught real bugs at this scale in r4)
     "q01_pricing_summary",
     "q16_events_hourly",
