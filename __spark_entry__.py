@@ -2842,6 +2842,91 @@ ORDER BY qid, cosine_sim DESC, vec_id
 """
 
 
+def _tomb_ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per dataset fingerprint) an IVF index carrying LOGICAL
+    deletes: ids 0, 3, 12 tombstoned via streaming.ann.ann_delete.  The
+    cache sentinel requires BOTH centroids/_SUCCESS and the tombstone
+    table's _SUCCESS — a crash between build and delete must rebuild,
+    not serve an undeleted index."""
+    import tempfile
+
+    from esper_tv_spark.streaming.ann import ann_delete
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _dir_fingerprint(src)
+    idx = os.path.join(
+        tempfile.gettempdir(), f"esper_tv_tivf_idx_{sf_tag}_{tag}_c16"
+    )
+    done = all(
+        os.path.exists(os.path.join(idx, d, "_SUCCESS"))
+        for d in ("centroids", "tombstones")
+    )
+    if not done:
+        _evict_stale_siblings(f"esper_tv_tivf_idx_{sf_tag}_", keep=idx)
+        similarity.ivf_build_index(_t(spark, sf_dir, "embeddings"), idx, n_cells=16)
+        ann_delete(spark, idx, [0, 3, 12])
+    return idx
+
+
+def q102_ivf_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over an index with LOGICAL DELETES — the lifecycle op
+    the insert/compact/recenter trio was missing.  A delete at 100 TB
+    cannot rewrite posting lists (the id's cell is unknown without a
+    full scan), so `ann_delete` appends to a tombstones/ table and
+    every probe anti-joins the broadcast tombstone set;
+    `compact_posting_lists(purge=True)` later drops the rows physically
+    and retires the table (bit-identical probes before/after, asserted
+    in tests).  Deleted ids here are 0, 3, 12 — id 0 IS the query
+    vector, so the probe's own top-1 row is tombstoned at every scale
+    and the hash only matches if the anti-join actually ran.  Build
+    state (centroids, assignment) is intentionally untouched by logical
+    deletes, and the oracle replays exactly that: full-corpus
+    assignment + probe selection, with only the candidate rows
+    filtered."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    idx = _tomb_ivf_index_dir(spark, sf_dir)
+    return similarity.ivf_probe_index(spark, idx, qv, 10, n_probe=3)
+
+
+Q102_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+c AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS cv FROM e
+      ORDER BY vec_id LIMIT 16),
+d AS (
+  SELECT e.vec_id, c.cell,
+         round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM e, c
+),
+assign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+  FROM d
+),
+probe AS (
+  SELECT c.cell FROM c, q
+  ORDER BY round(list_dot_product(c.cv, q.qv)
+                 / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+           c.cell ASC
+  LIMIT 3
+),
+cand AS (
+  SELECT e.vec_id, e.v FROM e
+  JOIN assign ON assign.vec_id = e.vec_id AND assign.rn = 1
+  WHERE assign.cell IN (SELECT cell FROM probe)
+    AND e.vec_id NOT IN (0, 3, 12)
+)
+SELECT cand.vec_id,
+       round(list_dot_product(cand.v, q.qv)
+             / (sqrt(list_dot_product(cand.v, cand.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+FROM cand, q
+ORDER BY cosine_sim DESC, cand.vec_id ASC LIMIT 10
+"""
+
+
 def q81_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization code census with deterministic codebooks
     (similarity.pq_assign_deterministic): per (subspace, code), how many
@@ -4666,6 +4751,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_ivf_ann": q80_ivf_ann,
     "q100_hier_ivf_ann": q100_hier_ivf_ann,
     "q101_hier_ivf_knn_join": q101_hier_ivf_knn_join,
+    "q102_ivf_delete_probe": q102_ivf_delete_probe,
     "q87_ivf_cell_census": q87_ivf_cell_census,
     "q68_stratified_sample": q68_stratified_sample,
     "q69_chunk_documents": q69_chunk_documents,
@@ -4840,6 +4926,7 @@ _ORACLES: dict[str, str] = {
     "q80_ivf_ann": Q80_SQL,
     "q100_hier_ivf_ann": Q100_SQL,
     "q101_hier_ivf_knn_join": Q101_SQL,
+    "q102_ivf_delete_probe": Q102_SQL,
     "q81_pq_codes": Q81_SQL,
     "q87_ivf_cell_census": Q87_SQL,
     "q88_pq_adc_topk": Q88_SQL,

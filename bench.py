@@ -81,6 +81,7 @@ HEADLINE = [
     "q99_ivfsq_knn_join",
     "q100_hier_ivf_ann",
     "q101_hier_ivf_knn_join",
+    "q102_ivf_delete_probe",
     # q93 (Carter-Wegman minhash) is DEMOTED from the headline loop
     # (round-6 VERDICT #5): it lost its own bake-off to q28's classic
     # signature (3.2s/round re-proving a negative); it remains a full

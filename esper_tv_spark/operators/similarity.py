@@ -744,9 +744,16 @@ def ivf_build_index(
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    # repartition ON the partition column before the partitioned write:
+    # without it every map task writes a file into every cell dir —
+    # n_tasks * n_cells files (183k at 2M/auto-sizing, measured: the
+    # write crawls on file creation).  With it each cell lands wholly in
+    # one task = ONE file per cell; one corpus shuffle buys a posting
+    # layout that is already compact (the r9 rehearsal's stage-9 lesson).
     (
         assigned.select(F.col(id_col).alias("id"), "cell")
         .join(vecs, "id")
+        .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(path, "cells"))
@@ -802,8 +809,12 @@ def ivf_probe_index(
         .collect()
     )
     probe = [int(r["cell"]) for r in probe_rows]
-    cells = spark.read.parquet(os.path.join(path, "cells")).where(
-        F.col("cell").isin(probe)
+    cells = _apply_tombstones(
+        spark,
+        path,
+        spark.read.parquet(os.path.join(path, "cells")).where(
+            F.col("cell").isin(probe)
+        ),
     )
     sim = F.round(
         dot(F.col("v"), qlit) / (F.col("norm") * F.sqrt(dot(qlit, qlit))), round_digits
@@ -812,6 +823,31 @@ def ivf_probe_index(
         cells.select(F.col("id").alias(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def _apply_tombstones(spark, path: str, posting: DataFrame) -> DataFrame:
+    """Filter a posting-list scan against the index's tombstone table
+    (streaming.ann.ann_delete): logically-deleted ids must not surface
+    from any probe.  A delete at 100 TB cannot rewrite posting lists —
+    the id's cell is unknown without a full scan — so deletes are O(1)
+    appends to `tombstones/` and every probe anti-joins against it
+    (broadcast: the tombstone set is bounded by compaction's purge).
+    No tombstone table -> the scan is returned untouched, so the
+    zero-join plan shape of tombstone-free indexes (every contract
+    index) is preserved."""
+    import os
+
+    tpath = os.path.join(path, "tombstones")
+    if not os.path.isdir(tpath):
+        return posting
+    tomb = (
+        spark.read.parquet(tpath)
+        .select(F.col("id").alias("__tomb_id"))
+        .distinct()
+    )
+    return posting.join(
+        F.broadcast(tomb), posting["id"] == F.col("__tomb_id"), "left_anti"
     )
 
 
@@ -1034,8 +1070,12 @@ def ivf_knn_join_index(
         [(q, c, qv_by_qid[q]) for q, c in pairs],
         f"{qid_col} long, cell long, __qv array<double>",
     )
-    cells = spark.read.parquet(os.path.join(path, "cells")).where(
-        F.col("cell").isin(cell_list)
+    cells = _apply_tombstones(
+        spark,
+        path,
+        spark.read.parquet(os.path.join(path, "cells")).where(
+            F.col("cell").isin(cell_list)
+        ),
     )
     cand = cells.join(F.broadcast(pair_df), "cell")
     sim = F.round(
@@ -1928,9 +1968,12 @@ def ivfpq_build_index(
             df, m=m, k=k, id_col=id_col, vec_col=vec_col,
             round_digits=round_digits, dim=dim,
         )
+    # repartition on `cell` first — see ivf_build_index: n_tasks*n_cells
+    # files otherwise (the write, not the math, dominates at auto sizing)
     (
         assigned.select(F.col(id_col).alias("id"), "cell")
         .join(packed, "id")
+        .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(path, "cells"))
@@ -2048,8 +2091,12 @@ def ivfpq_probe_index(
         lut_col = F.element_at(cell_lut, F.col("cell").cast("long"))
     else:
         lut_col = _adc_lut_literal(cb, query_vec, round_digits)
-    codes = spark.read.parquet(os.path.join(path, "cells")).where(
-        F.col("cell").isin(probe)
+    codes = _apply_tombstones(
+        spark,
+        path,
+        spark.read.parquet(os.path.join(path, "cells")).where(
+            F.col("cell").isin(probe)
+        ),
     )
     ssum = F.aggregate(
         F.zip_with(lut_col, F.col("codes"), lambda row, c: F.element_at(row, c + 1)),
@@ -2142,8 +2189,12 @@ def ivfpq_knn_join_index(
     )
 
     cb = spark.read.parquet(os.path.join(path, "codebooks"))
-    codes = spark.read.parquet(os.path.join(path, "cells")).where(
-        F.col("cell").isin(cell_list)
+    codes = _apply_tombstones(
+        spark,
+        path,
+        spark.read.parquet(os.path.join(path, "cells")).where(
+            F.col("cell").isin(cell_list)
+        ),
     )
     pair_schema = f"{qid_col} long, cell long"
     if meta["by_residual"]:
@@ -2312,9 +2363,12 @@ def ivfsq_build_index(
     codes = df.select(
         F.col(id_col).alias("id"), _sq_encode_expr(v64, mn, mx).alias("codes")
     )
+    # repartition on `cell` first — see ivf_build_index: n_tasks*n_cells
+    # files otherwise (the write, not the math, dominates at auto sizing)
     (
         assigned.select(F.col(id_col).alias("id"), "cell")
         .join(codes, "id")
+        .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(path, "cells"))
@@ -2382,8 +2436,12 @@ def ivfsq_probe_index(
     mn, mx = _sq_bounds(spark, path)
     q64 = [float(x) for x in query_vec[:dim]]
     delta = [(b - a) / 256.0 for a, b in zip(mn, mx)]
-    codes = spark.read.parquet(os.path.join(path, "cells")).where(
-        F.col("cell").isin(probe)
+    codes = _apply_tombstones(
+        spark,
+        path,
+        spark.read.parquet(os.path.join(path, "cells")).where(
+            F.col("cell").isin(probe)
+        ),
     )
     # op-for-op the oracle's tree: t=(c+0.5)*delta; xhat=mn+t; err=q-xhat
     z1 = F.zip_with(
@@ -2466,8 +2524,12 @@ def ivfsq_knn_join_index(
         [(q, c, q64_by_qid[q]) for q, c in pairs],
         f"{qid_col} long, cell long, __qv array<double>",
     )
-    codes = spark.read.parquet(os.path.join(path, "cells")).where(
-        F.col("cell").isin(cell_list)
+    codes = _apply_tombstones(
+        spark,
+        path,
+        spark.read.parquet(os.path.join(path, "cells")).where(
+            F.col("cell").isin(cell_list)
+        ),
     )
     cand = codes.join(F.broadcast(pair_df), "cell")
     z1 = F.zip_with(

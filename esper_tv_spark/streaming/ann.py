@@ -239,6 +239,36 @@ def ivfsq_stream_insert(
     )
 
 
+def ann_delete(spark: SparkSession, index_path: str, ids: "list[int]") -> int:
+    """LOGICAL delete from a persisted index (ivf / ivfpq / ivfsq): append
+    the ids to a `tombstones/` table — O(ids), no posting-list I/O.  A
+    physical delete at 100 TB is a full-corpus rewrite (an id's cell is
+    unknown without scanning), so production ANN systems tombstone and
+    let maintenance reclaim: every probe anti-joins the (broadcast,
+    deduplicated) tombstone set (similarity._apply_tombstones), and
+    `compact_posting_lists(purge=True)` physically drops the rows and
+    clears the table.
+
+    Contract: vector ids are unique and never reused — re-inserting a
+    tombstoned id would stay hidden until a purge (the same id-space
+    assumption every builder makes).  Duplicate ids in `ids` or across
+    calls are harmless (the anti-join deduplicates)."""
+    vals = []
+    for i in ids:
+        if isinstance(i, bool) or not isinstance(i, int):
+            raise ValueError(f"ann_delete: id {i!r} is not an int")
+        vals.append((i,))
+    if not vals:
+        raise ValueError("ann_delete: empty id list")
+    (
+        spark.createDataFrame(vals, "id long")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(os.path.join(index_path, "tombstones"))
+    )
+    return len(vals)
+
+
 def posting_fragment_census(index_path: str) -> dict[int, int]:
     """cell -> parquet fragment count for a persisted index's posting
     lists — the small-files health metric every streaming-insert
@@ -262,7 +292,8 @@ def posting_fragment_census(index_path: str) -> dict[int, int]:
 
 
 def compact_posting_lists(
-    spark: SparkSession, index_path: str, min_fragments: int = 2
+    spark: SparkSession, index_path: str, min_fragments: int = 2,
+    purge: bool = False,
 ) -> dict:
     """Compact fragmented posting-list partitions down to ONE parquet
     file per cell — the maintenance op that closes the streaming-insert
@@ -285,11 +316,28 @@ def compact_posting_lists(
     Compaction never changes CONTENT — probe results are bit-identical
     before and after (asserted in tests/test_streaming_ann.py).
 
+    `purge=True` additionally applies the index's `tombstones/` table
+    (ann_delete) PHYSICALLY: every cell is rewritten with the
+    tombstoned ids dropped (a tombstoned id's cell is unknown, so a
+    purge is by definition a full rewrite — that is why deletes are
+    logical in the first place), and the tombstone table is removed
+    AFTER the swap.  Crash between swap and removal is safe: the
+    tombstones re-apply to already-purged postings as a no-op
+    anti-join.  Probe results are bit-identical before/after a purge
+    (the anti-join was already hiding the rows — asserted in tests).
+
     Returns {"cells_total", "cells_compacted", "fragments_before",
-    "fragments_after"}."""
+    "fragments_after"} (+ "purged_ids" when purging)."""
     import shutil
 
     cells_dir = os.path.join(index_path, "cells")
+    tomb_dir = os.path.join(index_path, "tombstones")
+    tomb_ids: "list[int]" = []
+    if purge and os.path.isdir(tomb_dir):
+        tomb_ids = [
+            int(r["id"])
+            for r in spark.read.parquet(tomb_dir).select("id").distinct().collect()
+        ]
     # recovery preamble — identical contract to ivf_recenter's: only
     # clean __rc/__old when live exists; otherwise they ARE the index.
     if os.path.exists(cells_dir):
@@ -306,20 +354,36 @@ def compact_posting_lists(
             "to recover from"
         )
     census = posting_fragment_census(index_path)
-    hot = sorted(c for c, n in census.items() if n >= min_fragments)
+    if tomb_ids:
+        # a purge rewrites EVERY cell (the tombstoned ids' cells are
+        # unknown) — min_fragments no longer gates
+        hot = sorted(census)
+    else:
+        hot = sorted(c for c, n in census.items() if n >= min_fragments)
     stats = {
         "cells_total": len(census),
         "cells_compacted": len(hot),
         "fragments_before": sum(census.values()),
     }
+    if tomb_ids:
+        stats["purged_ids"] = len(tomb_ids)
     if not hot:
         stats["fragments_after"] = stats["fragments_before"]
         return stats
 
     tmp = cells_dir + "__rc"
+    rewrite = spark.read.parquet(cells_dir).where(F.col("cell").isin(hot))
+    if tomb_ids:
+        tomb = (
+            spark.read.parquet(tomb_dir)
+            .select(F.col("id").alias("__tomb_id"))
+            .distinct()
+        )
+        rewrite = rewrite.join(
+            F.broadcast(tomb), rewrite["id"] == F.col("__tomb_id"), "left_anti"
+        )
     (
-        spark.read.parquet(cells_dir)
-        .where(F.col("cell").isin(hot))
+        rewrite
         .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
@@ -346,6 +410,11 @@ def compact_posting_lists(
     os.rename(cells_dir, old)
     os.rename(tmp, cells_dir)
     shutil.rmtree(old)
+    if tomb_ids:
+        # AFTER the swap: a crash here leaves tombstones over purged
+        # postings — the anti-join re-applies as a no-op, never loses a
+        # delete
+        shutil.rmtree(tomb_dir, ignore_errors=True)
     stats["fragments_after"] = sum(posting_fragment_census(index_path).values())
     return stats
 
@@ -404,6 +473,20 @@ def ivf_recenter(
             )
     hier = groups_dir in dirs
     posting = spark.read.parquet(cells_dir)
+    # recenter is a full rewrite: apply (and then retire) any logical
+    # deletes — keeping tombstoned vectors would bake them into the new
+    # centroid means AND resurrect them in the rewritten posting lists
+    tomb_dir = os.path.join(index_path, "tombstones")
+    had_tombstones = os.path.isdir(tomb_dir)
+    if had_tombstones:
+        tomb = (
+            spark.read.parquet(tomb_dir)
+            .select(F.col("id").alias("__tomb_id"))
+            .distinct()
+        )
+        posting = posting.join(
+            F.broadcast(tomb), posting["id"] == F.col("__tomb_id"), "left_anti"
+        )
 
     elem = posting.select(
         "cell", "id", F.posexplode(F.col("v")).alias("pos", "x")
@@ -476,3 +559,7 @@ def ivf_recenter(
         os.rename(live, old)
         os.rename(tmp, live)
         shutil.rmtree(old)
+    if had_tombstones:
+        # after the swap, same contract as compact(purge=True): a crash
+        # before this line re-applies the tombstones as a no-op
+        shutil.rmtree(tomb_dir, ignore_errors=True)

@@ -542,3 +542,148 @@ def test_serving_survives_insert_and_compaction_interleaving(spark, tmp_path):
     compact_posting_lists(spark, idx, min_fragments=2)
     assert topk() == after_insert
     assert max(posting_fragment_census(idx).values()) == 1
+
+
+# ---------------------------------------------------------- logical deletes
+
+
+def test_ann_delete_hides_ids_from_every_probe_path(spark, tmp_path):
+    """Tombstoned ids must vanish from single probes AND batch joins on
+    all three index layouts — the anti-join is applied at the posting
+    scan, so every serving path inherits it.  Undeleted rows are
+    untouched (the probe minus the deleted ids equals the pre-delete
+    probe minus those same rows)."""
+    from esper_tv_spark.operators.similarity import (
+        ivf_knn_join_index,
+        ivfpq_build_index,
+        ivfpq_probe_index,
+        ivfsq_build_index,
+        ivfsq_probe_index,
+    )
+    from esper_tv_spark.streaming.ann import ann_delete
+
+    emb = _emb(spark)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    cases = [
+        (
+            "ivf",
+            lambda p: ivf_build_index(emb, p, n_cells=8),
+            lambda p: ivf_probe_index(spark, p, qv, 10, n_probe=3),
+        ),
+        (
+            "ivfpq",
+            lambda p: ivfpq_build_index(emb, p, n_cells=8, m=8, k=16, dim=64),
+            lambda p: ivfpq_probe_index(spark, p, qv, 10, n_probe=3),
+        ),
+        (
+            "ivfsq",
+            lambda p: ivfsq_build_index(emb, p, n_cells=8, dim=64),
+            lambda p: ivfsq_probe_index(spark, p, qv, 10, n_probe=3),
+        ),
+    ]
+    for name, build, probe in cases:
+        idx = str(tmp_path / name)
+        build(idx)
+        before = [tuple(r) for r in probe(idx).collect()]
+        victims = {int(before[0][0]), int(before[2][0])}
+        ann_delete(spark, idx, sorted(victims))
+        after = [tuple(r) for r in probe(idx).collect()]
+        got_ids = {int(r[0]) for r in after}
+        assert not (victims & got_ids), name
+        # survivors keep their rows and order
+        survivors = [r for r in before if int(r[0]) not in victims]
+        assert after[: len(survivors)] == survivors, name
+
+    # batch join path (ivf): per-query rows drop the tombstoned ids too
+    queries = emb.where(F.col("vec_id").isin([0, 7])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = ivf_knn_join_index(spark, str(tmp_path / "ivf"), queries, 10, n_probe=3)
+    got = {int(r["vec_id"]) for r in out.collect()}
+    deleted_ivf = {
+        int(r["id"])
+        for r in spark.read.parquet(str(tmp_path / "ivf" / "tombstones")).collect()
+    }
+    assert not (deleted_ivf & got)
+
+
+def test_purge_applies_tombstones_physically_and_retires_them(spark, tmp_path):
+    """compact_posting_lists(purge=True) must rewrite every cell with
+    the tombstoned rows dropped, remove the tombstone table, and leave
+    probe results bit-identical to the logical-delete view."""
+    from esper_tv_spark.streaming.ann import ann_delete, compact_posting_lists
+
+    emb = _emb(spark)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    idx = str(tmp_path / "ivf_purge")
+    ivf_build_index(emb, idx, n_cells=8)
+    n_before = spark.read.parquet(os.path.join(idx, "cells")).count()
+    ann_delete(spark, idx, [0, 7, 13])
+    logical = [tuple(r) for r in ivf_probe_index(spark, idx, qv, 10, n_probe=3).collect()]
+    stats = compact_posting_lists(spark, idx, purge=True)
+    assert stats["purged_ids"] == 3
+    assert not os.path.exists(os.path.join(idx, "tombstones"))
+    assert spark.read.parquet(os.path.join(idx, "cells")).count() == n_before - 3
+    physical = [tuple(r) for r in ivf_probe_index(spark, idx, qv, 10, n_probe=3).collect()]
+    assert physical == logical
+    # purge is idempotent: a second purge with no tombstones is a
+    # fragment-only compaction
+    stats2 = compact_posting_lists(spark, idx, purge=True)
+    assert "purged_ids" not in stats2
+
+
+def test_recenter_applies_and_retires_tombstones(spark, tmp_path):
+    """ivf_recenter is a full rewrite: tombstoned vectors must neither
+    survive in the rewritten posting lists nor contribute to the new
+    centroid means — recentering after a delete equals recentering an
+    index that never contained the deleted rows."""
+    from esper_tv_spark.streaming.ann import ann_delete
+
+    emb = _emb(spark)
+    with_del = str(tmp_path / "with_del")
+    never_had = str(tmp_path / "never_had")
+    ivf_build_index(emb, with_del, n_cells=8)
+    ann_delete(spark, with_del, [50, 60])
+    ivf_recenter(spark, with_del)
+    assert not os.path.exists(os.path.join(with_del, "tombstones"))
+
+    ivf_build_index(emb, never_had, n_cells=8)
+    # drop the same rows physically, then recenter — the two indexes must
+    # agree on centroids AND postings
+    import shutil
+
+    from esper_tv_spark.streaming.ann import compact_posting_lists
+
+    ann_delete(spark, never_had, [50, 60])
+    compact_posting_lists(spark, never_had, purge=True)
+    ivf_recenter(spark, never_had)
+
+    def snap(idx):
+        cents = sorted(
+            (int(r["cell"]), tuple(r["cv"]))
+            for r in spark.read.parquet(os.path.join(idx, "centroids")).collect()
+        )
+        cells = sorted(
+            (int(r["id"]), int(r["cell"]))
+            for r in spark.read.parquet(os.path.join(idx, "cells"))
+            .select("id", "cell")
+            .collect()
+        )
+        return cents, cells
+
+    assert snap(with_del) == snap(never_had)
+
+
+def test_ann_delete_validation(spark, tmp_path):
+    import pytest
+
+    from esper_tv_spark.streaming.ann import ann_delete
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf_val")
+    ivf_build_index(emb, idx, n_cells=8)
+    with pytest.raises(ValueError, match="empty"):
+        ann_delete(spark, idx, [])
+    for bad in ([1.5], [True], ["x"]):
+        with pytest.raises(ValueError, match="not an int"):
+            ann_delete(spark, idx, bad)

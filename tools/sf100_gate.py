@@ -52,6 +52,8 @@ FEASIBLE = [
     # replays, so sf100 feasibility is q80's/q96's
     "q100_hier_ivf_ann",
     "q101_hier_ivf_knn_join",
+    # round-9: logical-delete probe — q80's oracle + a NOT IN literal
+    "q102_ivf_delete_probe",
     # regression classes (caught real bugs at this scale in r4)
     "q01_pricing_summary",
     "q16_events_hourly",
