@@ -343,6 +343,39 @@ def test_pruned_assignment_exact_for_pq_and_sq_builders(spark, emb, tmp_path):
         assert cells(exact) == cells(full), name
 
 
+def test_hier_tombstones_fast_batch_compose(spark, emb, tmp_path):
+    """The round-9 features compose: a TWO-LEVEL index with LOGICAL
+    DELETES served by the fast=True batch join returns, per query,
+    exactly the hier single probe's rows — with every tombstoned id
+    absent from both."""
+    from esper_tv_spark.streaming.ann import ann_delete
+
+    idx = str(tmp_path / "hier_tomb")
+    sim.ivf_build_index(emb, idx, n_cells=16, n_groups=4)
+    qrows = emb.where(F.col("vec_id").isin([0, 7])).select("vec_id", "embedding").collect()
+    qmap = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in qrows}
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in qmap.items()], "qid long, qvec array<double>"
+    )
+    before = {
+        q: _rows(sim.ivf_probe_index(spark, idx, v, 5, n_probe=3, n_probe_groups=2))
+        for q, v in qmap.items()
+    }
+    victims = sorted({int(rows[0][0]) for rows in before.values()})
+    ann_delete(spark, idx, victims)
+    out = sim.ivf_knn_join_index(
+        spark, idx, qdf, 5, n_probe=3, n_probe_groups=2, fast=True
+    )
+    got_ids = {int(r["vec_id"]) for r in out.collect()}
+    assert not (set(victims) & got_ids)
+    for q, v in qmap.items():
+        batch_q = _rows(out.where(F.col("qid") == q).drop("qid"))
+        single = _rows(
+            sim.ivf_probe_index(spark, idx, v, 5, n_probe=3, n_probe_groups=2)
+        )
+        assert batch_q == single, q
+
+
 # ------------------------------------------------------------ maintenance
 
 

@@ -179,25 +179,30 @@ def step_autoladder(spark, emit):
     q_idx = np.arange(0, n, stride)[:50]
     truth = exact_truth(ids, mat, q_idx)
 
-    # trained coarse quantizer, the ladder's protocol.  pyspark.ml KMeans
-    # at k=5727 over 2M x 256: maxIter capped at 8 (the sized ladder's
-    # 1024-cell fit converged in fewer; the wall is recorded honestly)
+    # trained coarse quantizer, the ladder's protocol — trained on a
+    # SAMPLE (the standard practice for IVF quantizers at scale: the
+    # quantizer needs the density shape, not every point; full-corpus
+    # KMeans at k=5727 is ~2.4e13 flops of training for no recall the
+    # sample doesn't already buy).  Sample size and iters recorded.
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import functions as F
 
+    sample_rows = 120_000
+    frac = min(1.0, sample_rows / float(n))
+    max_iter = 5
     t0 = time.time()
-    feat = df.withColumn(
+    feat = df.sample(fraction=frac, seed=42).withColumn(
         "__features", array_to_vector(F.col("embedding").cast("array<double>"))
     )
-    model = KMeans(k=n_cells, seed=42, maxIter=8, featuresCol="__features").fit(feat)
+    model = KMeans(k=n_cells, seed=42, maxIter=max_iter, featuresCol="__features").fit(feat)
     centers = [c.tolist() for c in model.clusterCenters()]
     kmeans_wall = time.time() - t0
     cdf = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centers)], "cell long, cv array<double>"
     )
-    emit({"step": "autoladder_kmeans", "k": n_cells, "maxIter": 8,
-          "wall_s": round(kmeans_wall, 1)})
+    emit({"step": "autoladder_kmeans", "k": n_cells, "maxIter": max_iter,
+          "train_fraction": round(frac, 4), "wall_s": round(kmeans_wall, 1)})
 
     m_sub, k_codes = 16, 16
     rot = sim.opq_train(df, m=m_sub, k=k_codes, dim=dim)
