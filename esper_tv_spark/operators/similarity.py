@@ -809,13 +809,7 @@ def ivf_probe_index(
         .collect()
     )
     probe = [int(r["cell"]) for r in probe_rows]
-    cells = _apply_tombstones(
-        spark,
-        path,
-        spark.read.parquet(os.path.join(path, "cells")).where(
-            F.col("cell").isin(probe)
-        ),
-    )
+    cells = _apply_tombstones(spark, path, _read_cells(spark, path, probe))
     sim = F.round(
         dot(F.col("v"), qlit) / (F.col("norm") * F.sqrt(dot(qlit, qlit))), round_digits
     )
@@ -823,6 +817,37 @@ def ivf_probe_index(
         cells.select(F.col("id").alias(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def _read_cells(spark, path: str, cell_list) -> DataFrame:
+    """Read ONLY the probed cells' posting-list directories.  The naive
+    `read.parquet(cells/).where(cell IN ...)` prunes the SCAN to
+    n_probe partitions but pays file-LISTING for all n_cells partition
+    dirs on every probe — one listing task per directory, 5,728 tasks
+    per probe at the 2M auto-sized rehearsal, where metadata (not I/O)
+    dominated the probe wall.  Listing must scale with what the probe
+    READS: enumerate the n_probe `cell=<c>/` dirs directly under a
+    basePath (so the partition column survives) and keep the isin
+    predicate (same PartitionFilters clause in the plan, now over an
+    already-restricted listing).  Missing dirs (a cell emptied by a
+    purge, or never populated) are skipped — same semantics as pruning
+    them."""
+    import os
+
+    cdir = os.path.join(path, "cells")
+    cells = [int(c) for c in cell_list]
+    dirs = [
+        d for c in cells if os.path.isdir(d := os.path.join(cdir, f"cell={c}"))
+    ]
+    if not dirs:
+        # every probed cell is absent: preserve the empty-result schema
+        # via the full-table read (rare — only a fully-purged probe set)
+        return spark.read.parquet(cdir).where(F.col("cell").isin(cells))
+    return (
+        spark.read.option("basePath", cdir)
+        .parquet(*dirs)
+        .where(F.col("cell").isin(cells))
     )
 
 
@@ -1070,13 +1095,7 @@ def ivf_knn_join_index(
         [(q, c, qv_by_qid[q]) for q, c in pairs],
         f"{qid_col} long, cell long, __qv array<double>",
     )
-    cells = _apply_tombstones(
-        spark,
-        path,
-        spark.read.parquet(os.path.join(path, "cells")).where(
-            F.col("cell").isin(cell_list)
-        ),
-    )
+    cells = _apply_tombstones(spark, path, _read_cells(spark, path, cell_list))
     cand = cells.join(F.broadcast(pair_df), "cell")
     sim = F.round(
         dot(F.col("v"), F.col("__qv"))
@@ -2091,13 +2110,7 @@ def ivfpq_probe_index(
         lut_col = F.element_at(cell_lut, F.col("cell").cast("long"))
     else:
         lut_col = _adc_lut_literal(cb, query_vec, round_digits)
-    codes = _apply_tombstones(
-        spark,
-        path,
-        spark.read.parquet(os.path.join(path, "cells")).where(
-            F.col("cell").isin(probe)
-        ),
-    )
+    codes = _apply_tombstones(spark, path, _read_cells(spark, path, probe))
     ssum = F.aggregate(
         F.zip_with(lut_col, F.col("codes"), lambda row, c: F.element_at(row, c + 1)),
         F.lit(0).cast("long"),
@@ -2189,13 +2202,7 @@ def ivfpq_knn_join_index(
     )
 
     cb = spark.read.parquet(os.path.join(path, "codebooks"))
-    codes = _apply_tombstones(
-        spark,
-        path,
-        spark.read.parquet(os.path.join(path, "cells")).where(
-            F.col("cell").isin(cell_list)
-        ),
-    )
+    codes = _apply_tombstones(spark, path, _read_cells(spark, path, cell_list))
     pair_schema = f"{qid_col} long, cell long"
     if meta["by_residual"]:
         # one LUT per (qid, cell): the query residual q - centroid[cell]
@@ -2436,13 +2443,7 @@ def ivfsq_probe_index(
     mn, mx = _sq_bounds(spark, path)
     q64 = [float(x) for x in query_vec[:dim]]
     delta = [(b - a) / 256.0 for a, b in zip(mn, mx)]
-    codes = _apply_tombstones(
-        spark,
-        path,
-        spark.read.parquet(os.path.join(path, "cells")).where(
-            F.col("cell").isin(probe)
-        ),
-    )
+    codes = _apply_tombstones(spark, path, _read_cells(spark, path, probe))
     # op-for-op the oracle's tree: t=(c+0.5)*delta; xhat=mn+t; err=q-xhat
     z1 = F.zip_with(
         F.col("codes"),
@@ -2524,13 +2525,7 @@ def ivfsq_knn_join_index(
         [(q, c, q64_by_qid[q]) for q, c in pairs],
         f"{qid_col} long, cell long, __qv array<double>",
     )
-    codes = _apply_tombstones(
-        spark,
-        path,
-        spark.read.parquet(os.path.join(path, "cells")).where(
-            F.col("cell").isin(cell_list)
-        ),
-    )
+    codes = _apply_tombstones(spark, path, _read_cells(spark, path, cell_list))
     cand = codes.join(F.broadcast(pair_df), "cell")
     z1 = F.zip_with(
         F.col("codes"),
