@@ -219,19 +219,28 @@ def interval_join(
         s_col = F.col(f"{prefix}{start}")
         e_col = F.col(f"{prefix}{end}")
         lo_bucket = F.floor(s_col / F.lit(band))
-        # tight upper bucket for pure overlap: ceil(e/W) - 1 == the bucket
-        # holding sup of the half-open span — correct for FRACTIONAL
-        # coordinates too (the previous floor((e-1)/W) assumed integer
-        # coordinates: a partner starting inside (e-1, e) fell in a bucket
-        # this interval never exploded into, silently dropping the pair —
-        # caught by the skewed-interval fixture, whose starts are doubles;
-        # for integers the two expressions are identical).  `reach`
-        # extends the e side inclusively (gap <= reach); greatest(..)
-        # keeps empty intervals in their own single bucket.
+        # Upper bucket = floor(e/W): the FLOAT-SAFE bound.  Every bucket
+        # assignment in this join is the same computed map
+        # g(x) = floor(x/W); IEEE division and floor are MONOTONE, so for
+        # any pair point x with s <= x <= e, g(s) <= g(x) <= g(e) holds
+        # unconditionally and the emit bucket g(max(a_s, b_s)) is always
+        # inside both sides' exploded ranges.  Two prior "tighter" bounds
+        # were both unsound: floor((e-1)/W) assumed INTEGER coordinates
+        # (a partner starting inside (e-1, e) was dropped — caught by the
+        # r8 skewed-interval fixture, 17,940 pairs short), and the r8 fix
+        # ceil(e/W)-1 assumed EXACT arithmetic — it excludes the boundary
+        # bucket when e/W is an integer, but IEEE rounding can COLLAPSE a
+        # contained point x < e onto that same quotient (hypothesis found
+        # b_start = -5e-324, where x/W underflows to -0.0 == e/W, so
+        # g(x) = 0 landed outside [g(s), ceil(e/W)-1 = -1]).  floor(e/W)
+        # costs at most one extra exploded bucket per interval whose end
+        # sits exactly on a bucket boundary; emit_once dedups any pair
+        # found in two shared buckets.  `reach` extends the e side
+        # inclusively (gap <= reach).
         if extend:
             hi_bucket = F.floor((e_col + F.lit(extend)) / F.lit(band))
         else:
-            hi_bucket = F.greatest(F.ceil(e_col / F.lit(band)) - F.lit(1), lo_bucket)
+            hi_bucket = F.floor(e_col / F.lit(band))
         return df.withColumn(
             "__band", F.explode(F.sequence(lo_bucket, hi_bucket))
         )
