@@ -4753,6 +4753,36 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q101_hier_ivf_knn_join": q101_hier_ivf_knn_join,
     "q102_ivf_delete_probe": q102_ivf_delete_probe,
     "q87_ivf_cell_census": q87_ivf_cell_census,
+    "q88_pq_adc_topk": q88_pq_adc_topk,
+    "q54_stride_sample": q54_stride_sample,
+    "q61_median_price": q61_median_price,
+    "q62_grouping_sets": q62_grouping_sets,
+    "q70_asof_join": q70_asof_join,
+    "q72_repetition_stats": q72_repetition_stats,
+    "q73_pii_redact": q73_pii_redact,
+    "q74_count_min_heavy_hitters": q74_count_min_heavy_hitters,
+    "q75_bm25_search": q75_bm25_search,
+    "q76_corpus_mix": q76_corpus_mix,
+    "q82_asof_forward": q82_asof_forward,
+    "q83_kmv_distinct": q83_kmv_distinct,
+    "q63_sentiment_rank": q63_sentiment_rank,
+    "q84_png_decode_stats": q84_png_decode_stats,
+    "q79_label_writeback": q79_label_writeback,
+    "q46_asset_decode_stats": q46_asset_decode_stats,
+    "q64_pos_tags": q64_pos_tags,
+    "q29_simhash": q29_simhash,
+    "q32_label_centroids": q32_label_centroids,
+    "q33_embedding_norms": q33_embedding_norms,
+    "q38_knn_join": q38_knn_join,
+    "q57_knn_predict": q57_knn_predict,
+    "q48_kmeans_clusters": q48_kmeans_clusters,
+    "q65_nearest_centroid": q65_nearest_centroid,
+    "q47_ann_topk": q47_ann_topk,
+    "q55_panel_scene_graph": q55_panel_scene_graph,
+    "q20_interval_minus": q20_interval_minus,
+    "q66_coverage_sweep": q66_coverage_sweep,
+    # ---- position 50 cutoff: rows below hold a prior-round green
+    # ---- record on code paths unchanged since (rule enforced above)
     "q68_stratified_sample": q68_stratified_sample,
     "q69_chunk_documents": q69_chunk_documents,
     "q24_word_counts": q24_word_counts,
@@ -4761,7 +4791,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_winnow_pairs": q60_winnow_pairs,
     "q71_dedup_groups": q71_dedup_groups,
     "q81_pq_codes": q81_pq_codes,
-    "q88_pq_adc_topk": q88_pq_adc_topk,
     "q89_wav_decode_stats": q89_wav_decode_stats,
     "q90_avi_decode_stats": q90_avi_decode_stats,
     "q91_video_frame_sample": q91_video_frame_sample,
@@ -4784,21 +4813,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_hourly_profile": q42_hourly_profile,
     "q43_latest_event_per_user": q43_latest_event_per_user,
     "q53_point_in_interval": q53_point_in_interval,
-    # ---- position 50 cutoff: rows below hold a prior-round green
-    # ---- record on code paths unchanged since (rule enforced above)
-    "q46_asset_decode_stats": q46_asset_decode_stats,
-    "q64_pos_tags": q64_pos_tags,
-    "q29_simhash": q29_simhash,
-    "q32_label_centroids": q32_label_centroids,
-    "q33_embedding_norms": q33_embedding_norms,
-    "q38_knn_join": q38_knn_join,
-    "q57_knn_predict": q57_knn_predict,
-    "q48_kmeans_clusters": q48_kmeans_clusters,
-    "q65_nearest_centroid": q65_nearest_centroid,
-    "q47_ann_topk": q47_ann_topk,
-    "q55_panel_scene_graph": q55_panel_scene_graph,
-    "q20_interval_minus": q20_interval_minus,
-    "q66_coverage_sweep": q66_coverage_sweep,
     "q77_bootstrap_validation": q77_bootstrap_validation,
     "q02_top_revenue_orders": q02_top_revenue_orders,
     "q04_late_ship_priority": q04_late_ship_priority,
@@ -4821,20 +4835,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_bpe_token_counts": q59_bpe_token_counts,
     "q86_jpeg_decode_stats": q86_jpeg_decode_stats,
     "q67_decontaminate": q67_decontaminate,
-    "q54_stride_sample": q54_stride_sample,
-    "q61_median_price": q61_median_price,
-    "q62_grouping_sets": q62_grouping_sets,
-    "q70_asof_join": q70_asof_join,
-    "q72_repetition_stats": q72_repetition_stats,
-    "q73_pii_redact": q73_pii_redact,
-    "q74_count_min_heavy_hitters": q74_count_min_heavy_hitters,
-    "q75_bm25_search": q75_bm25_search,
-    "q76_corpus_mix": q76_corpus_mix,
-    "q82_asof_forward": q82_asof_forward,
-    "q83_kmv_distinct": q83_kmv_distinct,
-    "q63_sentiment_rank": q63_sentiment_rank,
-    "q84_png_decode_stats": q84_png_decode_stats,
-    "q79_label_writeback": q79_label_writeback,
 }
 
 _ORACLES: dict[str, str] = {
