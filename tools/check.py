@@ -139,7 +139,9 @@ def main():
     # oracle engine and give it a disk spill dir; genuinely-infeasible
     # oracles then fail their own query with an out-of-memory error and
     # the gate keeps going.
-    con.execute("SET memory_limit = '48GB'")
+    con.execute(
+        f"SET memory_limit = '{os.environ.get('SPARK_CHECK_DUCKDB_MEM', '48GB')}'"
+    )
     os.makedirs("/tmp/duckdb_spill", exist_ok=True)
     con.execute("SET temp_directory = '/tmp/duckdb_spill'")
     for t in TABLES:
