@@ -1404,7 +1404,10 @@ def _dir_fingerprint(path: str) -> str:
 def _evict_stale_siblings(prefix: str, keep: str) -> None:
     """Best-effort cleanup of fingerprint-keyed cache dirs from prior data
     generations: without it, every testdata regeneration leaves a dead
-    index/labels copy in the temp dir forever."""
+    index/labels copy in the temp dir forever.  `keep` is a PREFIX —
+    every sibling of the current data generation survives (several
+    configs of one index family share a fingerprint: q100's rank-init
+    and q103's trained-groups layouts), only stale generations go."""
     import shutil
     import tempfile
 
@@ -1412,7 +1415,7 @@ def _evict_stale_siblings(prefix: str, keep: str) -> None:
     try:
         for name in os.listdir(tmp):
             full = os.path.join(tmp, name)
-            if name.startswith(prefix) and full != keep and os.path.isdir(full):
+            if name.startswith(prefix) and not full.startswith(keep) and os.path.isdir(full):
                 shutil.rmtree(full, ignore_errors=True)
     except OSError:
         pass
@@ -2625,26 +2628,36 @@ ORDER BY cosine_sim DESC, cand.vec_id ASC LIMIT 10
 
 
 def _hier_ivf_index_dir(
-    spark: SparkSession, sf_dir: str, n_cells: int = 16, n_groups: int = 4
+    spark: SparkSession, sf_dir: str, n_cells: int = 16, n_groups: int = 4,
+    train_iters: int = 0,
 ) -> str:
     """Build (once per dataset fingerprint) the TWO-LEVEL deterministic
     IVF index: same frozen-store pattern as `_ivf_index_dir`, with the
     coarse quantizer grouped (similarity._write_centroids).  The
     completeness sentinel stays centroids/_SUCCESS — groups/ is written
-    FIRST, so the sentinel implies a complete two-level layout."""
+    FIRST, so the sentinel implies a complete two-level layout.
+    `train_iters>0` trains the level-1 group centers (lloyd_train) —
+    the q103 layout; 0 keeps the rank-init grouping (q100/q101)."""
     import tempfile
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     tag = _dir_fingerprint(src)
+    suffix = f"t{train_iters}" if train_iters else ""
     idx = os.path.join(
         tempfile.gettempdir(),
-        f"esper_tv_hivf_idx_{sf_tag}_{tag}_c{n_cells}g{n_groups}",
+        f"esper_tv_hivf_idx_{sf_tag}_{tag}_c{n_cells}g{n_groups}{suffix}",
     )
     if not os.path.exists(os.path.join(idx, "centroids", "_SUCCESS")):
-        _evict_stale_siblings(f"esper_tv_hivf_idx_{sf_tag}_", keep=idx)
+        _evict_stale_siblings(
+            f"esper_tv_hivf_idx_{sf_tag}_",
+            keep=os.path.join(
+                tempfile.gettempdir(), f"esper_tv_hivf_idx_{sf_tag}_{tag}"
+            ),
+        )
         similarity.ivf_build_index(
-            _t(spark, sf_dir, "embeddings"), idx, n_cells=n_cells, n_groups=n_groups
+            _t(spark, sf_dir, "embeddings"), idx, n_cells=n_cells,
+            n_groups=n_groups, group_train_iters=train_iters,
         )
     return idx
 
@@ -2717,6 +2730,251 @@ probe AS (
   LIMIT 3
 ),
 -- vector -> cell assignment (identical to Q80's)
+d AS (
+  SELECT e.vec_id, c.cell,
+         round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM e, c
+),
+assign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+  FROM d
+),
+cand AS (
+  SELECT e.vec_id, e.v FROM e
+  JOIN assign ON assign.vec_id = e.vec_id AND assign.rn = 1
+  WHERE assign.cell IN (SELECT cell FROM probe)
+)
+SELECT cand.vec_id,
+       round(list_dot_product(cand.v, q.qv)
+             / (sqrt(list_dot_product(cand.v, cand.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+FROM cand, q
+ORDER BY cosine_sim DESC, cand.vec_id ASC LIMIT 10
+"""
+
+
+def _retired_ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per dataset fingerprint) an IVF index whose HOTTEST
+    cell for query vec_id=7 has been fully deleted, purged, and RETIRED
+    (streaming.ann.compact_posting_lists(purge=True,
+    retire_empty_cells=True)): the victim is the top-1 ranked cell by
+    the probe's own rounded-cosine order, so the retirement demonstrably
+    changes which cells a pruned probe scans at every scale.  The
+    mutation chain is atomic w.r.t. the cache: the _Q104_DONE marker is
+    written LAST, and an incomplete dir is rebuilt from scratch."""
+    import shutil
+    import tempfile
+
+    from esper_tv_spark.streaming.ann import ann_delete, compact_posting_lists
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _dir_fingerprint(src)
+    idx = os.path.join(
+        tempfile.gettempdir(), f"esper_tv_rivf_idx_{sf_tag}_{tag}_c16"
+    )
+    if not os.path.exists(os.path.join(idx, "_Q104_DONE")):
+        _evict_stale_siblings(f"esper_tv_rivf_idx_{sf_tag}_", keep=idx)
+        shutil.rmtree(idx, ignore_errors=True)
+        emb = _t(spark, sf_dir, "embeddings")
+        similarity.ivf_build_index(emb, idx, n_cells=16)
+        qv = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 7).select("embedding").first()[0]
+        ]
+        cents, _allowed = similarity._probe_centroids(spark, idx, [0], [qv], 1, 6)
+        pairs, _cells, _cv = similarity._rank_probe_cells(cents, [0], [qv], 1, 6)
+        victim = int(pairs[0][1])
+        victim_ids = [
+            int(r["id"])
+            for r in spark.read.parquet(
+                os.path.join(idx, "cells", f"cell={victim}")
+            ).select("id").collect()
+        ]
+        ann_delete(spark, idx, victim_ids)
+        compact_posting_lists(spark, idx, purge=True, retire_empty_cells=True)
+        with open(os.path.join(idx, "_Q104_DONE"), "w") as f:
+            f.write(str(victim))
+    return idx
+
+
+def q104_retired_cell_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe over an index whose hottest cell was deleted, purged, and
+    RETIRED (census-driven centroid retirement — streaming/ann.py
+    `_retire_empty_cells`): after a purge empties a cell, its centroid
+    must leave the ranking surface, else every probe near that region
+    wastes a top-n_probe slot on a cell that cannot answer.  The victim
+    is query vec_id=7's OWN top-1 cell, so without retirement the probe
+    would spend rank 1 on a dead cell and return candidates from only
+    two live cells; with it, three live cells answer.  The oracle
+    replays the full lifecycle relationally: assignment -> victim
+    selection (the same rounded-cosine rank-1 rule) -> the deleted id
+    set (the victim's members) -> the LIVE cell census (cells with >= 1
+    surviving vector) -> ranking restricted to live cells -> rerank
+    over surviving candidates.  The hash only matches if the dead
+    centroid was actually dropped from the ranking.  Reference shape:
+    index maintenance on face_embeddings.py:74-96's frozen store."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).select("embedding").first()[0]]
+    idx = _retired_ivf_index_dir(spark, sf_dir)
+    return similarity.ivf_probe_index(spark, idx, qv, 10, n_probe=3)
+
+
+Q104_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+c AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS cv FROM e
+      ORDER BY vec_id LIMIT 16),
+d AS (
+  SELECT e.vec_id, c.cell,
+         round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM e, c
+),
+assign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+  FROM d
+),
+-- the victim: the probe's own top-1 cell for the query (rounded cosine
+-- desc, ties to the smaller cell — the retirement target the entry picks)
+victim AS (
+  SELECT c.cell FROM c, q
+  ORDER BY round(list_dot_product(c.cv, q.qv)
+                 / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+           c.cell ASC
+  LIMIT 1
+),
+deleted AS (
+  SELECT vec_id FROM assign WHERE rn = 1 AND cell IN (SELECT cell FROM victim)
+),
+-- census-driven retirement: a cell is LIVE iff >= 1 vector survives
+live AS (
+  SELECT DISTINCT cell FROM assign
+  WHERE rn = 1 AND vec_id NOT IN (SELECT vec_id FROM deleted)
+),
+probe AS (
+  SELECT c.cell FROM c JOIN live USING (cell) CROSS JOIN q
+  ORDER BY round(list_dot_product(c.cv, q.qv)
+                 / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+           c.cell ASC
+  LIMIT 3
+),
+cand AS (
+  SELECT e.vec_id, e.v FROM e
+  JOIN assign ON assign.vec_id = e.vec_id AND assign.rn = 1
+  WHERE assign.cell IN (SELECT cell FROM probe)
+    AND e.vec_id NOT IN (SELECT vec_id FROM deleted)
+)
+SELECT cand.vec_id,
+       round(list_dot_product(cand.v, q.qv)
+             / (sqrt(list_dot_product(cand.v, cand.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+FROM cand, q
+ORDER BY cosine_sim DESC, cand.vec_id ASC LIMIT 10
+"""
+
+
+def q103_trained_groups_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical IVF probe with TRAINED level-1 group centers — q100's
+    layout, with the group centers refined by TWO full deterministic
+    Lloyd iterations over the centroid table (similarity.lloyd_train)
+    instead of frozen rank-init seeds.  The r9 2M rehearsal priced
+    rank-init grouping at ~.17 recall@10 lost at 10% group coverage;
+    trained centers are the build-time-only fix, and this contract pins
+    their arithmetic: the oracle UNROLLS both iterations (assign cells
+    to centers -> exact scaled-bigint coordinate means -> reassign), so
+    any drift in the training (tie rule, mean rounding, empty-group
+    convention) changes the grouping, the pruned probe's cell set, and
+    the hash.  Query vec_id=41 is pinned because its pruned top-3 cells
+    DIFFER between trained and rank-init groupings at the gate scales
+    (sf0.001 and sf0.01, verified) — a builder that ignores
+    group_train_iters fails this gate.  Reference shape: the iterative
+    half of face_embeddings.py:99-109's kmeans applied to the FAISS
+    two-level coarse-quantizer layout."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 41).select("embedding").first()[0]]
+    idx = _hier_ivf_index_dir(spark, sf_dir, n_cells=16, n_groups=4, train_iters=2)
+    return similarity.ivf_probe_index(spark, idx, qv, 10, n_probe=3, n_probe_groups=2)
+
+
+Q103_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 41),
+c AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS cv FROM e
+      ORDER BY vec_id LIMIT 16),
+-- seed: rank-init (the 4 smallest-cell centroids), then 2 unrolled Lloyd
+-- iterations: assign cells to centers (rounded d2 argmin, ties smaller
+-- grp), recompute centers as EXACT scaled-bigint coordinate means
+-- (integer sums are order-independent), empty groups keep their center
+g0 AS (SELECT cell AS grp, cv AS gv FROM c ORDER BY cell LIMIT 4),
+a1 AS (
+  SELECT cell, grp FROM (
+    SELECT c.cell, g.grp,
+           row_number() OVER (PARTITION BY c.cell ORDER BY
+             round(list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(c.cv, g.gv)
+                   + list_dot_product(g.gv, g.gv), 6) ASC, g.grp ASC) AS rn
+    FROM c, g0 g) WHERE rn = 1
+),
+m1 AS (
+  SELECT a1.grp, generate_subscripts(c.cv, 1) AS pos, unnest(c.cv) AS val
+  FROM a1 JOIN c USING (cell)
+),
+s1 AS (
+  SELECT grp, pos,
+         round(CAST(sum(CAST(round(val * 1000000) AS BIGINT)) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean
+  FROM m1 GROUP BY grp, pos
+),
+l1 AS (SELECT grp, list(mean ORDER BY pos) AS gv FROM s1 GROUP BY grp),
+g1 AS (SELECT g0.grp, coalesce(l1.gv, g0.gv) AS gv FROM g0 LEFT JOIN l1 USING (grp)),
+a2 AS (
+  SELECT cell, grp FROM (
+    SELECT c.cell, g.grp,
+           row_number() OVER (PARTITION BY c.cell ORDER BY
+             round(list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(c.cv, g.gv)
+                   + list_dot_product(g.gv, g.gv), 6) ASC, g.grp ASC) AS rn
+    FROM c, g1 g) WHERE rn = 1
+),
+m2 AS (
+  SELECT a2.grp, generate_subscripts(c.cv, 1) AS pos, unnest(c.cv) AS val
+  FROM a2 JOIN c USING (cell)
+),
+s2 AS (
+  SELECT grp, pos,
+         round(CAST(sum(CAST(round(val * 1000000) AS BIGINT)) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean
+  FROM m2 GROUP BY grp, pos
+),
+l2 AS (SELECT grp, list(mean ORDER BY pos) AS gv FROM s2 GROUP BY grp),
+g2 AS (SELECT g1.grp, coalesce(l2.gv, g1.gv) AS gv FROM g1 LEFT JOIN l2 USING (grp)),
+-- final grouping: the persisted cell->group partitioning uses g2
+gassign AS (
+  SELECT cell, grp FROM (
+    SELECT c.cell, g.grp,
+           row_number() OVER (PARTITION BY c.cell ORDER BY
+             round(list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(c.cv, g.gv)
+                   + list_dot_product(g.gv, g.gv), 6) ASC, g.grp ASC) AS rn
+    FROM c, g2 g) WHERE rn = 1
+),
+-- level-1 probe: top-2 TRAINED group centers by rounded query cosine
+gprobe AS (
+  SELECT g.grp FROM g2 g, q
+  ORDER BY round(list_dot_product(g.gv, q.qv)
+                 / (sqrt(list_dot_product(g.gv, g.gv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+           g.grp ASC
+  LIMIT 2
+),
+probe AS (
+  SELECT c.cell FROM c
+  JOIN gassign ON gassign.cell = c.cell
+  CROSS JOIN q
+  WHERE gassign.grp IN (SELECT grp FROM gprobe)
+  ORDER BY round(list_dot_product(c.cv, q.qv)
+                 / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+           c.cell ASC
+  LIMIT 3
+),
 d AS (
   SELECT e.vec_id, c.cell,
          round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
@@ -3771,6 +4029,40 @@ ORDER BY qid, adist ASC, vec_id
 """
 
 
+def q105_lut_table_adc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched residual ADC kNN join at PRODUCTION probe depth, served
+    through the broadcast-LUT-TABLE carrier: past `lut_literal_max_probe`
+    probed cells per query, the per-(qid, cell) LUTs ride as a column of
+    the broadcast pair rows instead of inline plan literals (at the
+    n_probe=32 / n_cells=4*sqrt(n) configuration the 2M recall ladder
+    says production needs, the inline map costs ~24s/query of Catalyst
+    plan COMPILE — r8 measurement; the table carrier was 2.6x end-to-end
+    at 2M x 8q x 32probe).  q98 gates the literal carrier at contract
+    n_probe=3; THIS query pins the table carrier itself under the oracle
+    hash: same index, same query batch, n_probe=12 with the literal
+    threshold forced down to 8, so the carrier switch is exercised at
+    gate scale every round.  The oracle is q98's replay verbatim with
+    the probe rank widened to 12 — the carrier is an execution detail
+    the results must be invariant to, and the hash proves it against an
+    independent engine rather than only against our own literal path
+    (tests/test_plans.py keeps the bit-parity assert too).  Reference
+    shape: batch serving of face_embeddings.py:74-96 knn."""
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _q98_index_dir(spark, sf_dir)
+    queries = emb.where(F.col("vec_id").isin([0, 7, 13])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.ivfpq_knn_join_index(
+        spark, idx, queries, 10, n_probe=12, lut_literal_max_probe=8
+    )
+    return out.orderBy("qid", F.col("adist").asc(), "vec_id")
+
+
+# q98's replay with the probe rank widened to the table-carrier depth —
+# string-derived so the two oracles can never drift apart structurally
+Q105_SQL = Q98_SQL.replace("p.rn <= 3", "p.rn <= 12")
+
+
 def q99_ivfsq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched kNN join over the persisted IVF-SQ8 index
     (similarity.ivfsq_knn_join_index): q96's amortized-scan serving
@@ -4752,6 +5044,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q100_hier_ivf_ann": q100_hier_ivf_ann,
     "q101_hier_ivf_knn_join": q101_hier_ivf_knn_join,
     "q102_ivf_delete_probe": q102_ivf_delete_probe,
+    "q103_trained_groups_ann": q103_trained_groups_ann,
+    "q104_retired_cell_probe": q104_retired_cell_probe,
+    "q105_lut_table_adc_join": q105_lut_table_adc_join,
     "q87_ivf_cell_census": q87_ivf_cell_census,
     "q88_pq_adc_topk": q88_pq_adc_topk,
     "q54_stride_sample": q54_stride_sample,
@@ -4927,6 +5222,9 @@ _ORACLES: dict[str, str] = {
     "q100_hier_ivf_ann": Q100_SQL,
     "q101_hier_ivf_knn_join": Q101_SQL,
     "q102_ivf_delete_probe": Q102_SQL,
+    "q103_trained_groups_ann": Q103_SQL,
+    "q104_retired_cell_probe": Q104_SQL,
+    "q105_lut_table_adc_join": Q105_SQL,
     "q81_pq_codes": Q81_SQL,
     "q87_ivf_cell_census": Q87_SQL,
     "q88_pq_adc_topk": Q88_SQL,

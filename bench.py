@@ -82,6 +82,9 @@ HEADLINE = [
     "q100_hier_ivf_ann",
     "q101_hier_ivf_knn_join",
     "q102_ivf_delete_probe",
+    "q103_trained_groups_ann",
+    "q104_retired_cell_probe",
+    "q105_lut_table_adc_join",
     # q93 (Carter-Wegman minhash) is DEMOTED from the headline loop
     # (round-6 VERDICT #5): it lost its own bake-off to q28's classic
     # signature (3.2s/round re-proving a negative); it remains a full

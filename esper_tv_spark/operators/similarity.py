@@ -521,6 +521,39 @@ def _resolve_n_groups(n_cells: int, n_groups) -> "int | None":
     return n_groups
 
 
+def _group_centers(
+    cents_coarse: DataFrame,
+    n_groups: int,
+    round_digits: int,
+    group_train_iters: int = 0,
+    fast: bool = False,
+) -> DataFrame:
+    """The (grp, gv) level-1 group centers over a coarse-centroid table.
+
+    `group_train_iters=0` (the default, every pre-r9 index's layout):
+    rank-init — the n_groups smallest-cell centroids, lloyd_assign's own
+    seed rule applied to the centroid table, so the grouping replays in
+    SQL exactly like the cell assignment.
+
+    `group_train_iters>0`: `lloyd_train` runs that many full Lloyd
+    iterations over the centroid table from the same seed — trained
+    centers cut the recall cost of pruned-group probing (the 2M
+    rehearsal priced rank-init at ~.17 recall@10 lost at 10% group
+    coverage) while staying SQL-replayable (the oracle unrolls the
+    iterations as CTEs).  Group labels remain the seed cell ids in both
+    modes, so tie rules and the partition-column domain are unchanged."""
+    if group_train_iters:
+        return lloyd_train(
+            cents_coarse, k=n_groups, iters=group_train_iters,
+            id_col="cell", vec_col="cv", round_digits=round_digits, fast=fast,
+        ).select(F.col("cluster").alias("grp"), F.col("cvec").alias("gv"))
+    return (
+        cents_coarse.orderBy(F.col("cell").asc())
+        .limit(n_groups)
+        .select(F.col("cell").alias("grp"), F.col("cv").alias("gv"))
+    )
+
+
 def _assign_pruned(
     df: DataFrame,
     cents_coarse: DataFrame,
@@ -530,12 +563,13 @@ def _assign_pruned(
     round_digits: int,
     g_probe: int,
     fast: bool,
+    group_train_iters: int = 0,
 ) -> DataFrame:
     """Builder plumbing for `assign_via_groups`: derive the same grouping
     `_write_centroids` will persist (deterministic — both run
-    lloyd_assign over the id-sorted centroid table with the rank-init
-    group centers, so they CANNOT disagree) and route the corpus
-    assignment through `lloyd_assign_pruned_blas`.  Returns
+    lloyd_assign over the id-sorted centroid table with the SAME group
+    centers from `_group_centers`, so they CANNOT disagree) and route
+    the corpus assignment through `lloyd_assign_pruned_blas`.  Returns
     (id_col, cell).  Fail-closed: the pruned path without a grouped
     layout or without fast=True would be a silent semantics change."""
     if n_groups is None:
@@ -546,19 +580,20 @@ def _assign_pruned(
             "assignment is the production BLAS path; oracle-gated "
             "contract builds use the exact assignment"
         )
+    gdf = _group_centers(
+        cents_coarse, n_groups, round_digits, group_train_iters, fast=True
+    ).select("grp", F.col("gv").alias("gvec"))
     grouped = (
         lloyd_assign_blas(
-            cents_coarse, k=n_groups, id_col="cell", vec_col="cv",
-            round_digits=round_digits,
+            cents_coarse,
+            centroids=gdf.select(
+                F.col("grp").alias("cluster"), F.col("gvec").alias("cvec")
+            ),
+            id_col="cell", vec_col="cv", round_digits=round_digits,
         )
         .withColumnRenamed("cluster", "grp")
         .join(cents_coarse, "cell")
         .select(F.col("cell").alias("cluster"), F.col("cv").alias("cvec"), "grp")
-    )
-    gdf = (
-        cents_coarse.orderBy(F.col("cell").asc())
-        .limit(n_groups)
-        .select(F.col("cell").alias("grp"), F.col("cv").alias("gvec"))
     )
     return lloyd_assign_pruned_blas(
         df, grouped, gdf, id_col=id_col, vec_col=vec_col,
@@ -572,16 +607,17 @@ def _write_centroids(
     n_groups: "int | None",
     round_digits: int,
     fast: bool = False,
+    group_train_iters: int = 0,
 ) -> None:
     """Persist an index's coarse-centroid table — flat (the single-level
     layout every round-1..8 index used) or TWO-LEVEL when `n_groups` is
-    set: `groups/` (grp, gv) holds the level-1 centers (the n_groups
-    smallest-cell centroids — lloyd_assign's rank init applied to the
-    centroid table itself, so the grouping replays in the same SQL as the
-    cell assignment) and `centroids/` is PARTITIONED BY grp, the level-2
-    assignment of every cell centroid to its nearest group center
-    (rounded d2 argmin, ties to the smaller grp — lloyd_assign's exact
-    tie rule, because it IS lloyd_assign run on the centroid table).
+    set: `groups/` (grp, gv) holds the level-1 centers (`_group_centers`:
+    rank-init, or `group_train_iters` Lloyd iterations over the centroid
+    table — both replay in SQL) and `centroids/` is PARTITIONED BY grp,
+    the level-2 assignment of every cell centroid to its nearest group
+    center (rounded d2 argmin, ties to the smaller grp — lloyd_assign's
+    exact tie rule, because it IS lloyd_assign run on the centroid
+    table).
 
     Write order is groups/ FIRST: every builder's completeness sentinel
     is a table written at-or-after centroids/, so a crash can never leave
@@ -598,22 +634,20 @@ def _write_centroids(
         cents_coarse.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
         return
     assign_fn = lloyd_assign_blas if fast else lloyd_assign
+    gdf = _group_centers(cents_coarse, n_groups, round_digits, group_train_iters, fast)
     grouped = (
         assign_fn(
-            cents_coarse, k=n_groups, id_col="cell", vec_col="cv",
-            round_digits=round_digits,
+            cents_coarse,
+            centroids=gdf.select(
+                F.col("grp").alias("cluster"), F.col("gv").alias("cvec")
+            ),
+            id_col="cell", vec_col="cv", round_digits=round_digits,
         )
         .withColumnRenamed("cluster", "grp")
         .join(cents_coarse, "cell")
         .select("grp", "cell", "cv")
     )
-    (
-        cents_coarse.orderBy(F.col("cell").asc())
-        .limit(n_groups)
-        .select(F.col("cell").alias("grp"), F.col("cv").alias("gv"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "groups"))
-    )
+    gdf.write.mode("overwrite").parquet(os.path.join(path, "groups"))
     grouped.write.mode("overwrite").partitionBy("grp").parquet(
         os.path.join(path, "centroids")
     )
@@ -673,6 +707,7 @@ def ivf_build_index(
     fast: bool = False,
     assign_via_groups: bool = False,
     assign_g_probe: int = 1,
+    group_train_iters: int = 0,
 ) -> None:
     """Persist the deterministic IVF index: build once, probe many — the
     IVF twin of the SRP split (dedup.build_srp_index /
@@ -735,7 +770,7 @@ def ivf_build_index(
         cents_coarse = _rank_coarse_centroids(df, n_cells, id_col, vec_col, round_digits)
         assigned = _assign_pruned(
             df, cents_coarse, n_groups, id_col, vec_col, round_digits,
-            assign_g_probe, fast,
+            assign_g_probe, fast, group_train_iters,
         )
     else:
         assigned = (lloyd_assign_blas if fast else lloyd_assign)(
@@ -764,6 +799,7 @@ def ivf_build_index(
         n_groups,
         round_digits,
         fast=fast,
+        group_train_iters=group_train_iters,
     )
 
 
@@ -1774,6 +1810,7 @@ def ivfpq_build_index(
     n_groups: "int | str | None" = None,
     assign_via_groups: bool = False,
     assign_g_probe: int = 1,
+    group_train_iters: int = 0,
 ) -> None:
     """Persist the combined IVF-PQ index (Jegou, Douze, Schmid 2011,
     "Product Quantization for Nearest Neighbor Search" — the IVFADC
@@ -1884,6 +1921,7 @@ def ivfpq_build_index(
                 "dim": dim,
                 "opq": opq_rotation is not None,
                 "n_groups": n_groups,
+                "group_train_iters": group_train_iters,
             },
             f,
         )
@@ -1932,7 +1970,7 @@ def ivfpq_build_index(
         if assign_via_groups:
             assigned = _assign_pruned(
                 df, cents_coarse, n_groups, id_col, vec_col, round_digits,
-                assign_g_probe, fast,
+                assign_g_probe, fast, group_train_iters,
             )
         else:
             assigned = assign_fn(
@@ -1949,7 +1987,7 @@ def ivfpq_build_index(
         if assign_via_groups:
             assigned = _assign_pruned(
                 df, cents_coarse, n_groups, id_col, vec_col, round_digits,
-                assign_g_probe, fast,
+                assign_g_probe, fast, group_train_iters,
             )
         else:
             assigned = assign_fn(
@@ -1997,7 +2035,10 @@ def ivfpq_build_index(
         .partitionBy("cell")
         .parquet(os.path.join(path, "cells"))
     )
-    _write_centroids(cents_coarse, path, n_groups, round_digits, fast=fast)
+    _write_centroids(
+        cents_coarse, path, n_groups, round_digits, fast=fast,
+        group_train_iters=group_train_iters,
+    )
     cents.select("subspace", "rk", "code", "sc").write.mode("overwrite").parquet(
         os.path.join(path, "codebooks")
     )
@@ -2309,6 +2350,7 @@ def ivfsq_build_index(
     n_groups: "int | str | None" = None,
     assign_via_groups: bool = False,
     assign_g_probe: int = 1,
+    group_train_iters: int = 0,
 ) -> None:
     """Persist the IVF-SQ8 index: posting lists of 8-bit SCALAR-quantized
     codes partitioned by the deterministic Lloyd cell — the FAISS
@@ -2348,7 +2390,15 @@ def ivfsq_build_index(
         if os.path.exists(stale):
             os.remove(stale)
     with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"kind": "ivfsq", "dim": dim, "n_groups": n_groups}, f)
+        json.dump(
+            {
+                "kind": "ivfsq",
+                "dim": dim,
+                "n_groups": n_groups,
+                "group_train_iters": group_train_iters,
+            },
+            f,
+        )
     if assign_via_groups:
         assigned = _assign_pruned(
             df,
@@ -2356,6 +2406,7 @@ def ivfsq_build_index(
                 "cell", "cv"
             ),
             n_groups, id_col, vec_col, round_digits, assign_g_probe, fast,
+            group_train_iters,
         )
     else:
         assigned = (lloyd_assign_blas if fast else lloyd_assign)(
@@ -2388,6 +2439,7 @@ def ivfsq_build_index(
         n_groups,
         round_digits,
         fast=fast,
+        group_train_iters=group_train_iters,
     )
 
 
@@ -2816,6 +2868,108 @@ def lloyd_assign_blas(
 
     schema = f"{id_col} long, cluster long" + (", __rank int" if n_probe > 1 else "")
     return vecs.mapInPandas(assign, schema=schema)
+
+
+def lloyd_train(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    fast: bool = False,
+) -> DataFrame:
+    """Deterministic k-means TRAINING — `iters` full Lloyd iterations
+    (assign, then recompute centers as coordinate means) from the
+    rank-init seed (the k smallest-id vectors, `lloyd_assign`'s rule),
+    returning the trained (cluster, cvec) centroid table.  Cluster
+    labels are the SEED ids, stable across iterations, so downstream
+    consumers (cell->group partitioning, probe ranking tie rules) see
+    the same label space as the rank-init layout.
+
+    Engine-replayable by construction — each iteration is two relational
+    steps a SQL oracle unrolls as CTEs:
+
+    1. assignment: `lloyd_assign` with the current centers (rounded d2
+       argmin, ties to the smaller cluster id);
+    2. means: per (cluster, coordinate) the mean is computed as an EXACT
+       scaled-bigint sum (round(val * 10^round_digits) as long — integer
+       addition is associative, so Spark's partition order and DuckDB's
+       scan order cannot disagree; the functions/aggregates.py:38
+       discipline) divided once in double and rounded at round_digits.
+       A cluster that captures no points keeps its previous center
+       (LEFT JOIN + coalesce — the classic empty-cell convention).
+
+    Between iterations the k centers are collected to the driver and
+    re-literalized: k is driver-sized by contract (this trains LEVEL-1
+    GROUP centers over a centroid table — k = sqrt(n_cells) ~ 430 at
+    180k cells), and literal centers keep each iteration's plan flat
+    instead of stacking k Lloyd plans into one lineage.
+
+    `fast=True` routes the assignment through `lloyd_assign_blas` (the
+    production Arrow/BLAS path, same tie rules — pytest asserts the two
+    produce identical centers on the test corpora); the mean step is
+    identical relational code on both paths.
+
+    Motivation (rehearsal r9, .scale lesson): rank-init group centers
+    cost ~.17 recall@10 at 10% group coverage on the clustered 2M
+    fixture vs flat ranking; trained centers recover most of it at
+    probe time for a build-time-only cost.  Reference shape: the
+    iterative half of face_embeddings.py:99-109's kmeans, made
+    hash-replayable."""
+    if iters < 0:
+        raise ValueError(f"lloyd_train: iters must be >= 0, got {iters}")
+    spark = df.sparkSession
+    scale = float(10 ** round_digits)
+    pts = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    seeds = (
+        pts.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col).alias("cluster"),
+            F.transform("__v", lambda x: F.round(x, round_digits)).alias("cvec"),
+        )
+    )
+    centers = [
+        (int(r["cluster"]), [float(x) for x in r["cvec"]]) for r in seeds.collect()
+    ]
+    centers.sort(key=lambda t: t[0])
+    assign_fn = lloyd_assign_blas if fast else lloyd_assign
+    for _ in range(iters):
+        cdf = spark.createDataFrame(centers, "cluster long, cvec array<double>")
+        assigned = assign_fn(
+            pts, centroids=cdf, id_col=id_col, vec_col="__v",
+            round_digits=round_digits,
+        )
+        means = (
+            assigned.join(pts, id_col)
+            .select("cluster", F.posexplode(F.col("__v")).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.round(F.col("val") * F.lit(scale)).cast("long")).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .withColumn(
+                "mean",
+                F.round(
+                    F.col("__s").cast("double")
+                    / (F.col("__n").cast("double") * F.lit(scale)),
+                    round_digits,
+                ),
+            )
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+                    lambda s: s["mean"],
+                ).alias("cvec")
+            )
+        )
+        got = {
+            int(r["cluster"]): [float(x) for x in r["cvec"]] for r in means.collect()
+        }
+        centers = [(cid, got.get(cid, vec)) for cid, vec in centers]
+    return spark.createDataFrame(centers, "cluster long, cvec array<double>")
 
 
 def lloyd_assign_pruned_blas(

@@ -291,9 +291,80 @@ def posting_fragment_census(index_path: str) -> dict[int, int]:
     return census
 
 
+def _retire_empty_cells(spark: SparkSession, index_path: str) -> int:
+    """Remove centroid rows whose cells hold ZERO live posting rows — the
+    census-driven retirement pass `compact_posting_lists` runs when
+    `retire_empty_cells=True`.  A purge that empties a cell leaves its
+    centroid ranked by every probe: a dead cell in the top-n_probe is a
+    wasted probe slot (the posting read skips missing dirs, so the probe
+    silently returns fewer candidates than it paid for).  Retirement
+    makes the quantizer's live surface match the corpus: probes rank
+    only cells that can answer.
+
+    Scope and contract:
+    - detection is the fragment census (a dead cell has no `cell=<c>/`
+      dir — a purge's repartitioned write emits no dir for an emptied
+      cell), so retirement is idempotent and also catches cells emptied
+      by PRIOR purges;
+    - only `centroids/` is rewritten (two-level layout preserved:
+      partitionBy grp).  `groups/` is quantizer STRUCTURE, not corpus
+      state — level-1 centers stay, and a group whose cells all died
+      simply stops winning cell ranks;
+    - retirement is permanent until `ivf_recenter`/rebuild: stream
+      inserts assign against the remaining centroids, so a retired
+      cell's id space cannot be resurrected (same id-uniqueness
+      contract as ann_delete);
+    - crash-safe: the rewrite joins the same write-aside two-rename
+      discipline; a crash before the swap leaves dead centroids ranked
+      (correct, just wasteful) and the next retirement pass fixes it.
+
+    Returns the number of retired cells (0 when none).  Raises on a
+    fully-dead index — an empty centroid table would make every probe
+    rank zero cells, which should be a loud lifecycle error, not an
+    empty result."""
+    import shutil
+
+    cents_dir = os.path.join(index_path, "centroids")
+    # crash recovery for a PRIOR retirement's swap window
+    if os.path.exists(cents_dir):
+        for suffix in ("__rt", "__rtold"):
+            shutil.rmtree(cents_dir + suffix, ignore_errors=True)
+    elif os.path.exists(cents_dir + "__rt"):
+        os.rename(cents_dir + "__rt", cents_dir)
+        shutil.rmtree(cents_dir + "__rtold", ignore_errors=True)
+    elif os.path.exists(cents_dir + "__rtold"):
+        os.rename(cents_dir + "__rtold", cents_dir)
+    live = set(posting_fragment_census(index_path))
+    cents = spark.read.parquet(cents_dir)
+    persisted = sorted(int(r["cell"]) for r in cents.select("cell").collect())
+    dead = sorted(set(persisted) - live)
+    if not dead:
+        return 0
+    if len(dead) == len(persisted):
+        raise ValueError(
+            f"_retire_empty_cells: every cell of {index_path} is empty — "
+            "refusing to write an empty centroid table (rebuild or drop "
+            "the index instead)"
+        )
+    keep = cents.where(~F.col("cell").isin([int(c) for c in dead]))
+    hier = os.path.isdir(os.path.join(index_path, "groups"))
+    tmp = cents_dir + "__rt"
+    if hier:
+        keep.select("grp", "cell", "cv").write.mode("overwrite").partitionBy(
+            "grp"
+        ).parquet(tmp)
+    else:
+        keep.select("cell", "cv").write.mode("overwrite").parquet(tmp)
+    old = cents_dir + "__rtold"
+    os.rename(cents_dir, old)
+    os.rename(tmp, cents_dir)
+    shutil.rmtree(old)
+    return len(dead)
+
+
 def compact_posting_lists(
     spark: SparkSession, index_path: str, min_fragments: int = 2,
-    purge: bool = False,
+    purge: bool = False, retire_empty_cells: bool = False,
 ) -> dict:
     """Compact fragmented posting-list partitions down to ONE parquet
     file per cell — the maintenance op that closes the streaming-insert
@@ -326,8 +397,17 @@ def compact_posting_lists(
     anti-join.  Probe results are bit-identical before/after a purge
     (the anti-join was already hiding the rows — asserted in tests).
 
+    `retire_empty_cells=True` additionally runs `_retire_empty_cells`
+    AFTER the swap: centroids of cells left with zero live rows are
+    dropped from the ranking surface (see that docstring for scope and
+    the probe-slot argument).  Off by default — retirement legitimately
+    CHANGES probe results (a freed slot admits the next live cell), so
+    the bit-identical-across-purge contract (q102) holds only without
+    it.
+
     Returns {"cells_total", "cells_compacted", "fragments_before",
-    "fragments_after"} (+ "purged_ids" when purging)."""
+    "fragments_after"} (+ "purged_ids" when purging, + "cells_retired"
+    when retiring)."""
     import shutil
 
     cells_dir = os.path.join(index_path, "cells")
@@ -369,6 +449,8 @@ def compact_posting_lists(
         stats["purged_ids"] = len(tomb_ids)
     if not hot:
         stats["fragments_after"] = stats["fragments_before"]
+        if retire_empty_cells:
+            stats["cells_retired"] = _retire_empty_cells(spark, index_path)
         return stats
 
     tmp = cells_dir + "__rc"
@@ -415,12 +497,15 @@ def compact_posting_lists(
         # postings — the anti-join re-applies as a no-op, never loses a
         # delete
         shutil.rmtree(tomb_dir, ignore_errors=True)
+    if retire_empty_cells:
+        stats["cells_retired"] = _retire_empty_cells(spark, index_path)
     stats["fragments_after"] = sum(posting_fragment_census(index_path).values())
     return stats
 
 
 def ivf_recenter(
-    spark: SparkSession, index_path: str, round_digits: int = 6
+    spark: SparkSession, index_path: str, round_digits: int = 6,
+    group_train_iters: int = 0,
 ) -> None:
     """One Lloyd iteration as offline compaction: recompute each cell's
     centroid as the deterministic elementwise mean of its posting
@@ -435,10 +520,12 @@ def ivf_recenter(
 
     TWO-LEVEL indexes (a `groups/` table is present — see
     similarity._write_centroids): the new centroids get REGROUPED against
-    the same n_groups (level-1 centers are the n_groups smallest-cell NEW
-    centroids, the build's own rank-init rule applied to the recentered
-    table), and `groups/` joins the crash-safe swap — stale level-1
-    centers over recentered cells would silently mis-prune probes."""
+    the same n_groups via `_group_centers` — pass the index's
+    `group_train_iters` (recorded in ivfpq/ivfsq meta.json; raw IVF
+    callers state it) to keep a TRAINED grouping trained across the
+    rewrite, else the regroup silently reverts to rank-init seeds — and
+    `groups/` joins the crash-safe swap: stale level-1 centers over
+    recentered cells would silently mis-prune probes."""
     import shutil
 
     scale = float(10 ** round_digits)
@@ -517,19 +604,19 @@ def ivf_recenter(
     cents_tmp = cents_dir + "__rc"
     swaps = [(cells_dir, cells_dir + "__rc"), (cents_dir, cents_tmp)]
     if hier:
+        from esper_tv_spark.operators.similarity import _group_centers
+
         n_groups = spark.read.parquet(groups_dir).count()
         groups_tmp = groups_dir + "__rc"
-        (
-            new_cents.orderBy(F.col("cell").asc())
-            .limit(n_groups)
-            .select(F.col("cell").alias("grp"), F.col("cv").alias("gv"))
-            .write.mode("overwrite")
-            .parquet(groups_tmp)
-        )
+        gdf = _group_centers(new_cents, n_groups, round_digits, group_train_iters)
+        gdf.write.mode("overwrite").parquet(groups_tmp)
         (
             lloyd_assign(
-                new_cents, k=n_groups, id_col="cell", vec_col="cv",
-                round_digits=round_digits,
+                new_cents,
+                centroids=spark.read.parquet(groups_tmp).select(
+                    F.col("grp").alias("cluster"), F.col("gv").alias("cvec")
+                ),
+                id_col="cell", vec_col="cv", round_digits=round_digits,
             )
             .withColumnRenamed("cluster", "grp")
             .join(new_cents, "cell")

@@ -426,3 +426,151 @@ def test_stream_insert_into_hier_index(spark, emb, qv, tmp_path):
     assert _rows(
         sim.ivf_probe_index(spark, hier, qv, 10, n_probe=3, n_probe_groups=2)
     ) == _rows(sim.ivf_probe_index(spark, full, qv, 10, n_probe=3, n_probe_groups=2))
+
+
+# ---------------------------------------------------------------------------
+# trained level-1 group centers (lloyd_train / group_train_iters) — r9
+# ---------------------------------------------------------------------------
+
+
+def test_lloyd_train_zero_iters_is_rank_init(spark, emb):
+    """iters=0 returns exactly the rank-init seed set (the k smallest-id
+    vectors, rounded) — lloyd_train is a strict generalization of the
+    rank-init grouping every pre-r9 index used."""
+    got = {r["cluster"]: list(r["cvec"]) for r in sim.lloyd_train(emb, k=4, iters=0).collect()}
+    want = {
+        r["vec_id"]: [round(float(x), 6) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    }
+    assert got == want
+
+
+def test_lloyd_train_moves_centers_and_fast_matches_exact(spark, emb):
+    """Training must actually move the centers off the seeds, and the
+    BLAS-assignment path (fast=True) must produce IDENTICAL centers —
+    same tie rules, same exact scaled-bigint means."""
+    seed = {r["cluster"]: list(r["cvec"]) for r in sim.lloyd_train(emb, k=4, iters=0).collect()}
+    slow = {r["cluster"]: list(r["cvec"]) for r in sim.lloyd_train(emb, k=4, iters=2).collect()}
+    fast = {r["cluster"]: list(r["cvec"]) for r in sim.lloyd_train(emb, k=4, iters=2, fast=True).collect()}
+    assert slow == fast
+    assert any(seed[k] != slow[k] for k in seed)
+    assert sorted(slow) == sorted(seed)  # labels stay the seed ids
+
+
+def test_lloyd_train_empty_cluster_keeps_center(spark):
+    """A cluster that captures no points keeps its previous center (the
+    LEFT JOIN + coalesce convention the SQL oracle replays).  Seeds 0
+    and 1 are identical vectors, so every point ties to cluster 0 and
+    cluster 1 must keep [0, 0] — a mean over its empty set would be
+    NULL/NaN and a dropped row would shrink k."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [5.0, 5.0]), (3, [5.0, 6.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["cluster"]: list(r["cvec"]) for r in sim.lloyd_train(df, k=2, iters=1).collect()}
+    assert got[1] == [0.0, 0.0]
+    assert got[0] == [2.5, 2.75]  # mean of all four points
+
+
+def test_trained_groups_full_coverage_bit_identical_to_flat(spark, emb, qv, tmp_path):
+    """The bit-parity guarantee survives training: with n_probe_groups =
+    n_groups every cell is still a candidate, so a trained-groups index
+    must probe identically to the flat layout for every family."""
+    cases = [
+        (
+            "ivf",
+            lambda p, **kw: sim.ivf_build_index(emb, p, n_cells=16, **kw),
+            lambda p, **kw: sim.ivf_probe_index(spark, p, qv, 10, n_probe=3, **kw),
+        ),
+        (
+            "ivfsq",
+            lambda p, **kw: sim.ivfsq_build_index(emb, p, n_cells=16, dim=64, **kw),
+            lambda p, **kw: sim.ivfsq_probe_index(spark, p, qv, 10, n_probe=3, **kw),
+        ),
+    ]
+    for name, build, probe in cases:
+        flat, hier = str(tmp_path / f"{name}_flat"), str(tmp_path / f"{name}_tr")
+        build(flat)
+        build(hier, n_groups=4, group_train_iters=2)
+        assert _rows(probe(hier, n_probe_groups=4)) == _rows(probe(flat)), name
+
+
+def test_trained_groups_persisted_match_lloyd_train(spark, emb, tmp_path):
+    """groups/ must hold exactly lloyd_train's output over the centroid
+    table (not over the corpus, not re-seeded) and meta.json must record
+    the training depth, so maintenance ops can preserve it."""
+    import json
+
+    idx = str(tmp_path / "tr")
+    sim.ivfsq_build_index(emb, idx, n_cells=16, dim=64, n_groups=4, group_train_iters=2)
+    cents = sim._rank_coarse_centroids(emb, 16, "vec_id", "embedding", 6)
+    want = {
+        r["cluster"]: list(r["cvec"])
+        for r in sim.lloyd_train(cents, k=4, iters=2, id_col="cell", vec_col="cv").collect()
+    }
+    got = {
+        r["grp"]: list(r["gv"])
+        for r in spark.read.parquet(os.path.join(idx, "groups")).collect()
+    }
+    assert got == want
+    with open(os.path.join(idx, "meta.json")) as f:
+        assert json.load(f)["group_train_iters"] == 2
+
+
+def test_trained_groups_change_pruned_probe(spark, emb, tmp_path):
+    """q103's discrimination, pinned in pytest: at n_probe_groups=2 the
+    trained grouping must yield a DIFFERENT probe result than rank-init
+    for query vec_id=41 on this fixture — a builder that ignores
+    group_train_iters would pass bit-parity tests but fail this (and the
+    q103 oracle hash)."""
+    qv41 = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 41).select("embedding").first()[0]
+    ]
+    tr, ri = str(tmp_path / "tr"), str(tmp_path / "ri")
+    sim.ivf_build_index(emb, tr, n_cells=16, n_groups=4, group_train_iters=2)
+    sim.ivf_build_index(emb, ri, n_cells=16, n_groups=4)
+    got_tr = _rows(sim.ivf_probe_index(spark, tr, qv41, 10, n_probe=3, n_probe_groups=2))
+    got_ri = _rows(sim.ivf_probe_index(spark, ri, qv41, 10, n_probe=3, n_probe_groups=2))
+    assert got_tr != got_ri
+
+
+def test_recenter_preserves_trained_grouping(spark, emb, qv, tmp_path):
+    """ivf_recenter over a trained-groups index, called with the same
+    group_train_iters, must re-TRAIN the level-1 centers over the NEW
+    centroids (lloyd_train parity asserted) — not silently revert to
+    rank-init seeds."""
+    from esper_tv_spark.streaming.ann import ivf_recenter
+
+    idx = str(tmp_path / "tr")
+    sim.ivf_build_index(emb, idx, n_cells=16, n_groups=4, group_train_iters=2)
+    ivf_recenter(spark, idx, group_train_iters=2)
+    new_cents = spark.read.parquet(os.path.join(idx, "centroids")).select("cell", "cv")
+    want = {
+        r["cluster"]: list(r["cvec"])
+        for r in sim.lloyd_train(new_cents, k=4, iters=2, id_col="cell", vec_col="cv").collect()
+    }
+    got = {
+        r["grp"]: list(r["gv"])
+        for r in spark.read.parquet(os.path.join(idx, "groups")).collect()
+    }
+    assert got == want
+    # and the index still probes (full coverage == its own flat rerank)
+    assert len(_rows(sim.ivf_probe_index(spark, idx, qv, 10, n_probe=3, n_probe_groups=4))) == 10
+
+
+def test_pruned_build_assignment_uses_trained_groups(spark, emb, tmp_path):
+    """assign_via_groups at FULL group coverage must stay exact under a
+    trained grouping too — build-side pruning and the persisted layout
+    derive their centers from the same _group_centers call."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    sim.ivf_build_index(emb, a, n_cells=16, n_groups=4, group_train_iters=2, fast=True)
+    sim.ivf_build_index(
+        emb, b, n_cells=16, n_groups=4, group_train_iters=2, fast=True,
+        assign_via_groups=True, assign_g_probe=4,
+    )
+    pa = spark.read.parquet(os.path.join(a, "cells")).select("id", "cell")
+    pb = spark.read.parquet(os.path.join(b, "cells")).select("id", "cell")
+    assert {(r["id"], r["cell"]) for r in pa.collect()} == {
+        (r["id"], r["cell"]) for r in pb.collect()
+    }

@@ -687,3 +687,145 @@ def test_ann_delete_validation(spark, tmp_path):
     for bad in ([1.5], [True], ["x"]):
         with pytest.raises(ValueError, match="not an int"):
             ann_delete(spark, idx, bad)
+
+
+# ---------------------------------------------------------------------------
+# census-driven centroid retirement (_retire_empty_cells) — r9
+# ---------------------------------------------------------------------------
+
+
+def _victim_and_probe(spark, idx, qv):
+    from esper_tv_spark.operators import similarity as sim
+
+    cents, _allowed = sim._probe_centroids(spark, idx, [0], [qv], 1, 6)
+    pairs, _cells, _cv = sim._rank_probe_cells(cents, [0], [qv], 1, 6)
+    return int(pairs[0][1])
+
+
+def test_retirement_drops_dead_centroid_and_frees_probe_slot(spark, tmp_path):
+    """Emptying the query's own top-1 cell and retiring it must (a)
+    remove that centroid row, (b) change the probe result — the freed
+    top-n_probe slot admits the NEXT live cell's candidates — and (c)
+    equal a probe whose ranking simply never saw the dead cell."""
+    from esper_tv_spark.operators import similarity as sim
+    from esper_tv_spark.streaming.ann import ann_delete, compact_posting_lists
+
+    emb = _emb(spark)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).select("embedding").first()[0]]
+    idx = str(tmp_path / "ret")
+    ivf_build_index(emb, idx, n_cells=8)
+    victim = _victim_and_probe(spark, idx, qv)
+    victim_ids = [
+        int(r["id"])
+        for r in spark.read.parquet(os.path.join(idx, "cells", f"cell={victim}"))
+        .select("id").collect()
+    ]
+    before = [tuple(r) for r in ivf_probe_index(spark, idx, qv, 10, n_probe=3).collect()]
+    ann_delete(spark, idx, victim_ids)
+    stats = compact_posting_lists(spark, idx, purge=True, retire_empty_cells=True)
+    assert stats["cells_retired"] == 1
+    remaining = {
+        int(r["cell"])
+        for r in spark.read.parquet(os.path.join(idx, "centroids")).collect()
+    }
+    assert victim not in remaining and len(remaining) == 7
+    after = [tuple(r) for r in ivf_probe_index(spark, idx, qv, 10, n_probe=3).collect()]
+    assert after != before
+    # oracle: rank over the surviving centroid table directly
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    _pairs, cells, _cv = sim._rank_probe_cells(cents, [0], [qv], 3, 6)
+    assert victim not in cells
+    # second pass retires nothing (idempotent)
+    assert compact_posting_lists(spark, idx, retire_empty_cells=True)["cells_retired"] == 0
+
+
+def test_retirement_preserves_two_level_layout(spark, tmp_path):
+    """Retiring a cell of a TWO-LEVEL index must keep the grp partition
+    column (probes partition-prune the centroid read) and leave groups/
+    untouched — level-1 centers are quantizer structure, not corpus
+    state."""
+    from esper_tv_spark.streaming.ann import ann_delete, compact_posting_lists
+
+    emb = _emb(spark)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).select("embedding").first()[0]]
+    idx = str(tmp_path / "ret_hier")
+    ivf_build_index(emb, idx, n_cells=16, n_groups=4)
+    groups_before = sorted(
+        (int(r["grp"]), list(r["gv"]))
+        for r in spark.read.parquet(os.path.join(idx, "groups")).collect()
+    )
+    victim = _victim_and_probe(spark, idx, qv)
+    victim_ids = [
+        int(r["id"])
+        for r in spark.read.parquet(os.path.join(idx, "cells", f"cell={victim}"))
+        .select("id").collect()
+    ]
+    ann_delete(spark, idx, victim_ids)
+    stats = compact_posting_lists(spark, idx, purge=True, retire_empty_cells=True)
+    assert stats["cells_retired"] == 1
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    assert "grp" in cents.columns
+    assert victim not in {int(r["cell"]) for r in cents.collect()}
+    groups_after = sorted(
+        (int(r["grp"]), list(r["gv"]))
+        for r in spark.read.parquet(os.path.join(idx, "groups")).collect()
+    )
+    assert groups_after == groups_before
+    # hier probe still answers at full coverage
+    assert len(ivf_probe_index(spark, idx, qv, 10, n_probe=3, n_probe_groups=4).collect()) == 10
+
+
+def test_retirement_refuses_fully_dead_index(spark, tmp_path):
+    """An index whose every cell is empty must raise, not write an empty
+    centroid table (probes would rank zero cells silently)."""
+    import pytest
+
+    from esper_tv_spark.streaming.ann import ann_delete, compact_posting_lists
+
+    emb = _emb(spark).where(F.col("vec_id") < 50)
+    idx = str(tmp_path / "dead")
+    ivf_build_index(emb, idx, n_cells=4)
+    all_ids = [int(r["vec_id"]) for r in emb.select("vec_id").collect()]
+    ann_delete(spark, idx, all_ids)
+    with pytest.raises(ValueError, match="every cell"):
+        compact_posting_lists(spark, idx, purge=True, retire_empty_cells=True)
+
+
+def test_retirement_recovers_from_mid_swap_crash(spark, tmp_path):
+    """A crash between rename(live, __rtold) and rename(__rt, live)
+    leaves no live centroids dir; the next retirement pass must recover
+    the complete new generation from __rt."""
+    import shutil
+
+    from esper_tv_spark.streaming.ann import (
+        ann_delete,
+        compact_posting_lists,
+        _retire_empty_cells,
+    )
+
+    emb = _emb(spark)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).select("embedding").first()[0]]
+    idx = str(tmp_path / "crash")
+    ivf_build_index(emb, idx, n_cells=8)
+    victim = _victim_and_probe(spark, idx, qv)
+    victim_ids = [
+        int(r["id"])
+        for r in spark.read.parquet(os.path.join(idx, "cells", f"cell={victim}"))
+        .select("id").collect()
+    ]
+    ann_delete(spark, idx, victim_ids)
+    compact_posting_lists(spark, idx, purge=True, retire_empty_cells=True)
+    want = sorted(
+        (int(r["cell"]), list(r["cv"]))
+        for r in spark.read.parquet(os.path.join(idx, "centroids")).collect()
+    )
+    # simulate the crash window: live renamed away, __rt holds the new gen
+    cents = os.path.join(idx, "centroids")
+    shutil.copytree(cents, cents + "__rt")
+    os.rename(cents, cents + "__rtold")
+    assert _retire_empty_cells(spark, idx) == 0  # recovery, nothing new dead
+    got = sorted(
+        (int(r["cell"]), list(r["cv"]))
+        for r in spark.read.parquet(cents).collect()
+    )
+    assert got == want and not os.path.exists(cents + "__rtold")

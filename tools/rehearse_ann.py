@@ -459,6 +459,112 @@ def step_maint(spark, emit, sf_dir=None, tag="sf1"):
     assert sees_tail, "inserted vectors invisible to the serving join"
 
 
+def step_trainedgroups(spark, emit):
+    """TRAINED level-1 group centers at 2M (the r9 'trained groups'
+    follow-up the hier2m row motivated): the rank-init grouping loses
+    ~.17 recall@10 at ~10% group coverage; `group_train_iters` runs
+    full Lloyd iterations over the centroid table at build time.  This
+    step measures, on the clustered 2M fixture at auto sizing:
+
+      - the training wall itself (T iterations over n_cells rows);
+      - full-coverage cell-choice parity vs flat (the bit-parity
+        guarantee must survive training);
+      - pruned-group (g=8) cell agreement vs flat — trained vs the
+        hier2m row's rank-init number;
+      - recall@10 at g=8, trained vs rank-init, same n_probe.
+    """
+    from esper_tv_spark.operators import similarity as sim
+
+    emb_path = os.path.join(C2M, "embeddings.parquet")
+    ids, mat = load_matrix(emb_path)
+    df = spark.read.parquet(emb_path).select("vec_id", "embedding")
+    n, dim = mat.shape
+    n_cells = sim.recommended_cells(n)
+    n_groups = sim.recommended_groups(n_cells)
+    iters = 3
+
+    def done(idx):
+        return os.path.exists(os.path.join(idx, "centroids", "_SUCCESS"))
+
+    flat_idx = os.path.join(C2M, "ivfsq_flat")
+    ri_idx = os.path.join(C2M, "ivfsq_hier")        # rank-init grouping
+    tr_idx = os.path.join(C2M, "ivfsq_hier_tr")     # trained grouping
+    builds = {}
+    for idx, kw in (
+        (flat_idx, {}),
+        (ri_idx, {"n_groups": n_groups}),
+        (tr_idx, {"n_groups": n_groups, "group_train_iters": iters}),
+    ):
+        if not done(idx):
+            t0 = time.time()
+            sim.ivfsq_build_index(df, idx, n_cells=n_cells, dim=dim, fast=True, **kw)
+            builds[os.path.basename(idx)] = round(time.time() - t0, 1)
+
+    stride = n // 8
+    q_idx8 = np.arange(0, n, stride)[:8]
+    qids = [int(ids[i]) for i in q_idx8]
+    qvecs = [[float(x) for x in mat[i]] for i in q_idx8]
+    n_probe = 32
+
+    def rank(idx_path, n_probe_groups):
+        cents, allowed = sim._probe_centroids(
+            spark, idx_path, qids, qvecs, n_probe_groups, 6, fast=True
+        )
+        pairs, _cells, _cv = sim._rank_probe_cells_blas(
+            cents, qids, qvecs, n_probe, 6, allowed=allowed
+        )
+        by_q = {}
+        for q, c in pairs:
+            by_q.setdefault(q, []).append(c)
+        return by_q
+
+    flat_cells = rank(flat_idx, 0)
+    assert rank(tr_idx, n_groups) == flat_cells, "trained full coverage != flat"
+
+    def agreement(idx_path):
+        pruned = rank(idx_path, 8)
+        return sum(
+            len(set(pruned[q]) & set(flat_cells[q])) for q in qids
+        ) / float(len(qids) * n_probe)
+
+    emit(
+        {
+            "step": "trainedgroups_parity",
+            "n": n,
+            "n_cells": n_cells,
+            "n_groups": n_groups,
+            "train_iters": iters,
+            "builds_s": builds,
+            "full_coverage_cells_identical": True,
+            "pruned_groups": 8,
+            "cell_agreement_rankinit": round(agreement(ri_idx), 4),
+            "cell_agreement_trained": round(agreement(tr_idx), 4),
+        }
+    )
+
+    stride = n // 50
+    q_idx = np.arange(0, n, stride)[:50]
+    truth = exact_truth(ids, mat, q_idx)
+    out = {}
+    for name, idx_path in (("rankinit_g8", ri_idx), ("trained_g8", tr_idx)):
+        hits = 0
+        t0 = time.time()
+        for qi in q_idx:
+            got = {
+                r["vec_id"]
+                for r in sim.ivfsq_probe_index(
+                    spark, idx_path, [float(x) for x in mat[qi]], TOPK,
+                    n_probe=n_probe, n_probe_groups=8,
+                ).collect()
+            }
+            hits += len(got & truth[int(ids[qi])])
+        out[name] = {
+            "recall": round(hits / (TOPK * len(q_idx)), 4),
+            "probe_s_per_q": round((time.time() - t0) / len(q_idx), 2),
+        }
+    emit({"step": "trainedgroups_recall", "n_probe": n_probe, **out})
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tag", default="r9")
@@ -486,6 +592,9 @@ def main() -> int:
         spark.catalog.clearCache()
     if "prunedassign" in steps:
         step_prunedassign(spark, emit)
+        spark.catalog.clearCache()
+    if "trainedgroups" in steps:
+        step_trainedgroups(spark, emit)
         spark.catalog.clearCache()
     if "maint" in steps:
         step_maint(spark, emit)
