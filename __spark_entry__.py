@@ -3185,6 +3185,105 @@ ORDER BY cosine_sim DESC, cand.vec_id ASC LIMIT 10
 """
 
 
+def q106_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-FILTERED ANN probe (similarity._apply_id_filter): top-k
+    nearest neighbors AMONG vectors satisfying a metadata predicate
+    (label = 7) — the filtered-search mode of every production vector
+    store (faiss IDSelector, Milvus/Vespa filtered search), and the
+    training-data shape "nearest examples within this source/quality
+    slice".  Pre-filter semantics: the allowed-id set (a left-semi join
+    against `embeddings WHERE label = 7`) restricts the probed cells'
+    candidates BEFORE the rank, so the top-k counts only matches — a
+    post-filter on q80's output would return whatever of the unfiltered
+    top-10 happens to match (usually ~1 row at 10% selectivity), which
+    is a different (and usually wrong) answer.  The filter set joins
+    unforced (Catalyst broadcasts the selective case; a big allowed set
+    shuffles, correctly).  At ~10% selectivity the filtered top-10
+    differs from q80's at every scale, so the hash proves the semi-join
+    ran.  The oracle replays assignment, probe selection, the label
+    restriction, and the rerank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    idx = _ivf_index_dir(spark, sf_dir, n_cells=16)
+    allow = emb.where(F.col("label") == 7).select("vec_id")
+    return similarity.ivf_probe_index(
+        spark, idx, qv, 10, n_probe=3, filter_ids=allow
+    )
+
+
+# q80's replay with the candidate set restricted to the label slice —
+# string-derived so the probe replay can never drift from q80's
+Q106_SQL = Q80_SQL.replace(
+    "WHERE assign.cell IN (SELECT cell FROM probe)",
+    "WHERE assign.cell IN (SELECT cell FROM probe)\n"
+    "    AND e.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 7)",
+)
+
+
+def q107_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE search over the persisted IVF index
+    (similarity.ivf_range_search): every vector in the probed cells
+    with cosine >= 0.15 — the radius-query twin of q80's top-k (faiss
+    `range_search`), where the ANSWER SIZE is a property of the data
+    rather than a guessed k ("everything at least this similar": the
+    near-dup sweep / retrieval-recall shape).  Same probe plan as q80
+    (centroid TakeOrdered, partition-pruned posting scan, zero joins)
+    with the top-k window replaced by a >= threshold filter; the result
+    is bounded by threshold x probed fraction, never collected.  The
+    unbounded output is exactly what the hash must prove: the oracle
+    replays the full restricted scan and EVERY row above the bar, so a
+    dropped or extra candidate anywhere in the probed cells fails the
+    gate (a top-10 can mask scan bugs below rank 10; this cannot)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    idx = _ivf_index_dir(spark, sf_dir, n_cells=16)
+    return similarity.ivf_range_search(spark, idx, qv, 0.15, n_probe=3)
+
+
+# q80's replay with the top-k tail swapped for the threshold filter —
+# everything above the SELECT is shared verbatim
+Q107_SQL = Q80_SQL.split("SELECT cand.vec_id,")[0].rstrip().rstrip(")").rstrip() + """
+),
+scored AS (
+  SELECT cand.vec_id,
+         round(list_dot_product(cand.v, q.qv)
+               / (sqrt(list_dot_product(cand.v, cand.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+  FROM cand, q
+)
+SELECT vec_id, cosine_sim FROM scored
+WHERE cosine_sim >= 0.15
+ORDER BY cosine_sim DESC, vec_id ASC
+"""
+
+
+def q108_filtered_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filtered BATCH kNN join: q96's amortized-scan serving join
+    with the q106 label restriction applied to the shared posting scan
+    — filtered search at serving batch size (one semi-join against the
+    allowed-id set covers the whole batch; per-query filtering would
+    re-join per request).  Per-query results bit-identical to filtered
+    single probes (asserted in tests/test_filtered_ann.py).  The oracle
+    replays per-query probe selection, the shared label restriction,
+    and the per-qid top-k windows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _ivf_index_dir(spark, sf_dir, n_cells=16)
+    queries = emb.where(F.col("vec_id").isin([0, 7, 13])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    allow = emb.where(F.col("label") == 7).select("vec_id")
+    out = similarity.ivf_knn_join_index(
+        spark, idx, queries, 10, n_probe=3, filter_ids=allow
+    )
+    return out.orderBy("qid", F.col("cosine_sim").desc(), "vec_id")
+
+
+# q96's replay with the candidate set restricted to the label slice
+Q108_SQL_FILTER = (
+    "WHERE a.rn = 1\n"
+    "    AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 7)"
+)
+
+
 def q81_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization code census with deterministic codebooks
     (similarity.pq_assign_deterministic): per (subspace, code), how many
@@ -3778,6 +3877,10 @@ top AS (
 SELECT qid, vec_id, cosine_sim FROM top WHERE rn <= 10
 ORDER BY qid, cosine_sim DESC, vec_id
 """
+
+# q96's replay with the q108 label restriction spliced into the
+# candidate CTE (Q108_SQL_FILTER is defined next to q108 above)
+Q108_SQL = Q96_SQL.replace("WHERE a.rn = 1", Q108_SQL_FILTER)
 
 
 def q97_ivfpq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5047,6 +5150,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q103_trained_groups_ann": q103_trained_groups_ann,
     "q104_retired_cell_probe": q104_retired_cell_probe,
     "q105_lut_table_adc_join": q105_lut_table_adc_join,
+    "q106_filtered_ann": q106_filtered_ann,
+    "q107_range_search": q107_range_search,
+    "q108_filtered_knn_join": q108_filtered_knn_join,
     "q87_ivf_cell_census": q87_ivf_cell_census,
     "q88_pq_adc_topk": q88_pq_adc_topk,
     "q54_stride_sample": q54_stride_sample,
@@ -5225,6 +5331,9 @@ _ORACLES: dict[str, str] = {
     "q103_trained_groups_ann": Q103_SQL,
     "q104_retired_cell_probe": Q104_SQL,
     "q105_lut_table_adc_join": Q105_SQL,
+    "q106_filtered_ann": Q106_SQL,
+    "q107_range_search": Q107_SQL,
+    "q108_filtered_knn_join": Q108_SQL,
     "q81_pq_codes": Q81_SQL,
     "q87_ivf_cell_census": Q87_SQL,
     "q88_pq_adc_topk": Q88_SQL,

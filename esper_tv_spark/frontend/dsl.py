@@ -282,9 +282,24 @@ def run_query(
             if not isinstance(name, str) or name not in (index_catalog or {}):
                 raise DSLError(f"unknown index {name!r}")
             path = index_catalog[name]
+            # range search: 'threshold' replaces 'k' (the answer size is
+            # a property of the data, not a count) — mutually exclusive
+            # so the spec surface stays unambiguous
+            thr = sim.get("threshold")
+            if thr is not None and "k" in sim:
+                raise DSLError(
+                    "'threshold' (range search) and 'k' are mutually exclusive"
+                )
+            if thr is not None and (
+                isinstance(thr, bool) or not isinstance(thr, (int, float))
+            ):
+                raise DSLError("'threshold' must be a number")
             k = sim.get("k")
-            if not _int(k) or k <= 0:
-                raise DSLError("ann_probe needs a positive int 'k'")
+            if thr is None and (not _int(k) or k <= 0):
+                raise DSLError(
+                    "ann_probe needs a positive int 'k' (or 'threshold' "
+                    "for range search)"
+                )
             n_probe = sim.get("n_probe", 3)
             if not _int(n_probe) or n_probe <= 0:
                 raise DSLError("'n_probe' must be a positive int")
@@ -325,8 +340,64 @@ def run_query(
                     f"index {name!r} has no meta.json and no cells/ + "
                     "centroids/ layout — not a probeable index store"
                 )
+            # pre-filter: a whitelisted predicate over the probed
+            # table's own columns -> allowed-id set semi-joined onto
+            # the posting scan (similarity._apply_id_filter).  The
+            # predicate is DATA (col/op/value triple), never an
+            # expression string — same fail-closed stance as the rest
+            # of the surface.
+            flt = sim.get("filter")
+            filter_ids = None
+            if flt is not None:
+                import operator as _cmp
+
+                if not isinstance(flt, dict):
+                    raise DSLError("'filter' must be an object")
+                fcol, fop, fval = flt.get("col"), flt.get("op", "="), flt.get("value")
+                if not isinstance(fcol, str) or fcol not in df.columns:
+                    raise DSLError(
+                        f"filter col {fcol!r} is not a column of table "
+                        f"{spec.get('table')!r}"
+                    )
+
+                def _scalar(v):
+                    return isinstance(v, (int, float, str)) and not isinstance(v, bool)
+
+                cmps = {
+                    "=": _cmp.eq, "!=": _cmp.ne, "<": _cmp.lt,
+                    "<=": _cmp.le, ">": _cmp.gt, ">=": _cmp.ge,
+                }
+                if fop == "in":
+                    if (
+                        not isinstance(fval, list)
+                        or not fval
+                        or not all(_scalar(v) for v in fval)
+                    ):
+                        raise DSLError(
+                            "filter op 'in' needs a non-empty list of scalars"
+                        )
+                    pred = F.col(fcol).isin(fval)
+                elif fop in cmps:
+                    if not _scalar(fval):
+                        raise DSLError("filter 'value' must be a scalar")
+                    pred = cmps[fop](F.col(fcol), F.lit(fval))
+                else:
+                    raise DSLError(f"filter op not allowed: {fop!r}")
+                filter_ids = df.where(pred).select(id_col)
+            if thr is not None and kind != "ivf":
+                # coded stores rank by approximate distance, where a
+                # cosine bar is undefined — reject, never mis-rank
+                raise DSLError(
+                    f"range search ('threshold') needs an ivf store; "
+                    f"index {name!r} is {kind}"
+                )
             spark = df.sparkSession
             if "query_ids" in sim:
+                if thr is not None:
+                    raise DSLError(
+                        "range search ('threshold') is single-query — "
+                        "use 'query' or 'query_id'"
+                    )
                 qids = sim["query_ids"]
                 if not isinstance(qids, list) or not qids or not all(_int(q) for q in qids):
                     raise DSLError("'query_ids' must be a non-empty list of ints")
@@ -354,7 +425,7 @@ def run_query(
                 }[kind]
                 df = join_fn(
                     spark, path, queries, k, n_probe=n_probe, id_col=id_col,
-                    n_probe_groups=n_probe_groups,
+                    n_probe_groups=n_probe_groups, filter_ids=filter_ids,
                 )
             else:
                 if "query" in sim:
@@ -369,15 +440,22 @@ def run_query(
                     q = [float(x) for x in row[0]]
                 else:
                     raise DSLError("ann_probe needs 'query', 'query_id', or 'query_ids'")
-                probe_fn = {
-                    "ivf": sim_ops.ivf_probe_index,
-                    "ivfpq": sim_ops.ivfpq_probe_index,
-                    "ivfsq": sim_ops.ivfsq_probe_index,
-                }[kind]
-                df = probe_fn(
-                    spark, path, q, k, n_probe=n_probe, id_col=id_col,
-                    n_probe_groups=n_probe_groups,
-                )
+                if thr is not None:
+                    df = sim_ops.ivf_range_search(
+                        spark, path, q, float(thr), n_probe=n_probe,
+                        id_col=id_col, n_probe_groups=n_probe_groups,
+                        filter_ids=filter_ids,
+                    )
+                else:
+                    probe_fn = {
+                        "ivf": sim_ops.ivf_probe_index,
+                        "ivfpq": sim_ops.ivfpq_probe_index,
+                        "ivfsq": sim_ops.ivfsq_probe_index,
+                    }[kind]
+                    df = probe_fn(
+                        spark, path, q, k, n_probe=n_probe, id_col=id_col,
+                        n_probe_groups=n_probe_groups, filter_ids=filter_ids,
+                    )
         else:
             raise DSLError(f"similarity op not allowed: {op!r}")
 

@@ -812,6 +812,7 @@ def ivf_probe_index(
     id_col: str = "vec_id",
     round_digits: int = 6,
     n_probe_groups: int = 3,
+    filter_ids: "DataFrame | None" = None,
 ) -> DataFrame:
     """Probe an `ivf_build_index` index: rank the persisted centroids by
     rounded query-cosine (ties to the smaller cell id — the same fold
@@ -845,7 +846,9 @@ def ivf_probe_index(
         .collect()
     )
     probe = [int(r["cell"]) for r in probe_rows]
-    cells = _apply_tombstones(spark, path, _read_cells(spark, path, probe))
+    cells = _apply_id_filter(
+        _apply_tombstones(spark, path, _read_cells(spark, path, probe)), filter_ids
+    )
     sim = F.round(
         dot(F.col("v"), qlit) / (F.col("norm") * F.sqrt(dot(qlit, qlit))), round_digits
     )
@@ -853,6 +856,62 @@ def ivf_probe_index(
         cells.select(F.col("id").alias(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def ivf_range_search(
+    spark,
+    path: str,
+    query_vec: list[float],
+    threshold: float,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+    n_probe_groups: int = 3,
+    filter_ids: "DataFrame | None" = None,
+) -> DataFrame:
+    """RANGE search over an `ivf_build_index` index: every vector in the
+    probed cells with rounded cosine >= `threshold` — the radius-query
+    twin of the top-k probe (faiss `range_search`), and the shape a
+    dedup/retrieval pipeline wants when the ANSWER SIZE is a property
+    of the data, not a k the caller guessed ("everything at least this
+    similar", e.g. near-dup sweeps at a fixed similarity bar).
+
+    Plan shape is the probe's: one TakeOrdered over the centroid table
+    picks the n_probe cells, one partition-pruned scan over those
+    cells' posting lists, a rounded-cosine projection, a >= filter —
+    no top-k window, no join; the only exchange past the scan is the
+    output sort.  At 100 TB the result is bounded by the threshold
+    times the probed fraction, never by the corpus: an unselective
+    threshold returns a big DataFrame (the caller's aggregation
+    handles it distributed), it never collects.  Like the IVF top-k,
+    recall is n_probe-bounded: matches in unprobed cells are missed —
+    same knob, same tradeoff, measured in the recall rehearsals.
+    Composes with tombstones and `filter_ids` exactly as the top-k
+    probe does (shared scan path)."""
+    cents, _allowed = _probe_centroids(
+        spark, path, [0], [list(query_vec)], n_probe_groups, round_digits
+    )
+    qlit = lit_vector([float(x) for x in query_vec])
+    probe = [
+        int(r["cell"])
+        for r in cents.select(
+            "cell", F.round(cosine(F.col("cv"), qlit), round_digits).alias("__sim")
+        )
+        .orderBy(F.col("__sim").desc(), F.col("cell").asc())
+        .limit(n_probe)
+        .collect()
+    ]
+    cells = _apply_id_filter(
+        _apply_tombstones(spark, path, _read_cells(spark, path, probe)), filter_ids
+    )
+    sim = F.round(
+        dot(F.col("v"), qlit) / (F.col("norm") * F.sqrt(dot(qlit, qlit))), round_digits
+    )
+    return (
+        cells.select(F.col("id").alias(id_col), sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= F.lit(float(threshold)))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
     )
 
 
@@ -910,6 +969,32 @@ def _apply_tombstones(spark, path: str, posting: DataFrame) -> DataFrame:
     return posting.join(
         F.broadcast(tomb), posting["id"] == F.col("__tomb_id"), "left_anti"
     )
+
+
+def _apply_id_filter(posting: DataFrame, filter_ids) -> DataFrame:
+    """PRE-FILTERED ANN: restrict a posting-list scan to an allowed-id
+    set before ranking, so top-k counts only rows satisfying the
+    caller's metadata predicate (`attrs.where(pred).select(id)`) — the
+    filtered-search mode of every production vector store, and the
+    semantics a post-filter cannot give (a post-filter returns < k rows
+    whenever the unfiltered top-k happens to miss matches; a pre-filter
+    ranks within the match set).  Implementation is one left-semi join
+    on id against the first column of `filter_ids`, deduplicated so a
+    fan-out upstream join cannot multiply posting rows.  The join is
+    left to Catalyst/AQE on purpose (unlike the tombstone anti-join,
+    which is forced broadcast because purges bound it): a selective
+    predicate yields a small set that auto-broadcasts; an unselective
+    one yields a large set where a shuffled semi-join is the right
+    plan.  Recall note (documented, caller-owned): with selectivity s,
+    the probed cells hold ~s× fewer matches, so production callers
+    widen n_probe by ~1/s to keep candidate depth — measured in the
+    filtered-ANN rehearsal row.  None -> scan returned untouched (the
+    zero-join contract plan shape survives)."""
+    if filter_ids is None:
+        return posting
+    fcol = filter_ids.columns[0]
+    allow = filter_ids.select(F.col(fcol).alias("__allow_id")).distinct()
+    return posting.join(allow, posting["id"] == F.col("__allow_id"), "left_semi")
 
 
 def _collect_query_batch(
@@ -1086,6 +1171,7 @@ def ivf_knn_join_index(
     round_digits: int = 6,
     fast: bool = False,
     n_probe_groups: int = 3,
+    filter_ids: "DataFrame | None" = None,
 ) -> DataFrame:
     """BATCH probe of an `ivf_build_index` index — the indexed kNN JOIN:
     every row of `queries` (qid, qvec) gets its top-k from the persisted
@@ -1131,7 +1217,9 @@ def ivf_knn_join_index(
         [(q, c, qv_by_qid[q]) for q, c in pairs],
         f"{qid_col} long, cell long, __qv array<double>",
     )
-    cells = _apply_tombstones(spark, path, _read_cells(spark, path, cell_list))
+    cells = _apply_id_filter(
+        _apply_tombstones(spark, path, _read_cells(spark, path, cell_list)), filter_ids
+    )
     cand = cells.join(F.broadcast(pair_df), "cell")
     sim = F.round(
         dot(F.col("v"), F.col("__qv"))
@@ -2085,6 +2173,7 @@ def ivfpq_probe_index(
     id_col: str = "vec_id",
     round_digits: int = 6,
     n_probe_groups: int = 3,
+    filter_ids: "DataFrame | None" = None,
 ) -> DataFrame:
     """Probe an `ivfpq_build_index` index: rank the persisted coarse
     centroids by rounded query-cosine (ties to the smaller cell — one
@@ -2151,7 +2240,9 @@ def ivfpq_probe_index(
         lut_col = F.element_at(cell_lut, F.col("cell").cast("long"))
     else:
         lut_col = _adc_lut_literal(cb, query_vec, round_digits)
-    codes = _apply_tombstones(spark, path, _read_cells(spark, path, probe))
+    codes = _apply_id_filter(
+        _apply_tombstones(spark, path, _read_cells(spark, path, probe)), filter_ids
+    )
     ssum = F.aggregate(
         F.zip_with(lut_col, F.col("codes"), lambda row, c: F.element_at(row, c + 1)),
         F.lit(0).cast("long"),
@@ -2178,6 +2269,7 @@ def ivfpq_knn_join_index(
     lut_literal_max_probe: int = 16,
     fast: bool = False,
     n_probe_groups: int = 3,
+    filter_ids: "DataFrame | None" = None,
 ) -> DataFrame:
     """BATCH ADC probe of an `ivfpq_build_index` index — q96's
     amortized-scan kNN join applied to the PQ-coded posting lists (the
@@ -2243,7 +2335,9 @@ def ivfpq_knn_join_index(
     )
 
     cb = spark.read.parquet(os.path.join(path, "codebooks"))
-    codes = _apply_tombstones(spark, path, _read_cells(spark, path, cell_list))
+    codes = _apply_id_filter(
+        _apply_tombstones(spark, path, _read_cells(spark, path, cell_list)), filter_ids
+    )
     pair_schema = f"{qid_col} long, cell long"
     if meta["by_residual"]:
         # one LUT per (qid, cell): the query residual q - centroid[cell]
@@ -2462,6 +2556,7 @@ def ivfsq_probe_index(
     id_col: str = "vec_id",
     round_digits: int = 6,
     n_probe_groups: int = 3,
+    filter_ids: "DataFrame | None" = None,
 ) -> DataFrame:
     """Probe an `ivfsq_build_index` index: rank the stored coarse
     centroids by rounded query-cosine (full-dim), then scan ONLY the
@@ -2495,7 +2590,9 @@ def ivfsq_probe_index(
     mn, mx = _sq_bounds(spark, path)
     q64 = [float(x) for x in query_vec[:dim]]
     delta = [(b - a) / 256.0 for a, b in zip(mn, mx)]
-    codes = _apply_tombstones(spark, path, _read_cells(spark, path, probe))
+    codes = _apply_id_filter(
+        _apply_tombstones(spark, path, _read_cells(spark, path, probe)), filter_ids
+    )
     # op-for-op the oracle's tree: t=(c+0.5)*delta; xhat=mn+t; err=q-xhat
     z1 = F.zip_with(
         F.col("codes"),
@@ -2531,6 +2628,7 @@ def ivfsq_knn_join_index(
     round_digits: int = 6,
     fast: bool = False,
     n_probe_groups: int = 3,
+    filter_ids: "DataFrame | None" = None,
 ) -> DataFrame:
     """BATCH probe of an `ivfsq_build_index` index — the amortized-scan
     kNN join (ivf_knn_join_index's shape) over 8-bit scalar-quantized
@@ -2577,7 +2675,9 @@ def ivfsq_knn_join_index(
         [(q, c, q64_by_qid[q]) for q, c in pairs],
         f"{qid_col} long, cell long, __qv array<double>",
     )
-    codes = _apply_tombstones(spark, path, _read_cells(spark, path, cell_list))
+    codes = _apply_id_filter(
+        _apply_tombstones(spark, path, _read_cells(spark, path, cell_list)), filter_ids
+    )
     cand = codes.join(F.broadcast(pair_df), "cell")
     z1 = F.zip_with(
         F.col("codes"),

@@ -822,3 +822,132 @@ def test_dsl_fuzz_ann_probe_index_names(spark, catalog, tmp_path):
     import pytest
 
     check()
+
+
+def test_dsl_ann_probe_filter_and_range(spark, catalog, tmp_path):
+    """The 'filter' (pre-filtered ANN) and 'threshold' (range search)
+    spec keys are bit-identical to the library calls — filtered search
+    and radius queries reach the safe surface the way plain probes do."""
+    from esper_tv_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_knn_join_index,
+        ivf_probe_index,
+        ivf_range_search,
+    )
+
+    emb = catalog["embeddings"]
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    idx = str(tmp_path / "ivf_flt")
+    ivf_build_index(emb, idx, n_cells=8)
+    cat = {"faces": idx}
+    allow = emb.where(F.col("label") == 7).select("vec_id")
+
+    # pre-filter, equality op
+    spec = {
+        "table": "embeddings",
+        "similarity": {
+            "op": "ann_probe", "index": "faces", "query_id": 0, "k": 5,
+            "filter": {"col": "label", "op": "=", "value": 7},
+        },
+    }
+    got = [tuple(r) for r in run_query(catalog, spec, index_catalog=cat).collect()]
+    want = [
+        tuple(r)
+        for r in ivf_probe_index(spark, idx, q, 5, n_probe=3, filter_ids=allow).collect()
+    ]
+    assert got == want and len(got) > 0
+
+    # 'in' op
+    allow_in = emb.where(F.col("label").isin([3, 7])).select("vec_id")
+    spec["similarity"]["filter"] = {"col": "label", "op": "in", "value": [3, 7]}
+    got = [tuple(r) for r in run_query(catalog, spec, index_catalog=cat).collect()]
+    want = [
+        tuple(r)
+        for r in ivf_probe_index(spark, idx, q, 5, n_probe=3, filter_ids=allow_in).collect()
+    ]
+    assert got == want
+
+    # filter on the batch form
+    spec_b = {
+        "table": "embeddings",
+        "similarity": {
+            "op": "ann_probe", "index": "faces", "query_ids": [0, 7], "k": 5,
+            "filter": {"col": "label", "op": "=", "value": 7},
+        },
+        "order_by": [["qid", "asc"], ["cosine_sim", "desc"], ["vec_id", "asc"]],
+    }
+    queries = emb.where(F.col("vec_id").isin([0, 7])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got_b = [tuple(r) for r in run_query(catalog, spec_b, index_catalog=cat).collect()]
+    want_b = [
+        tuple(r)
+        for r in ivf_knn_join_index(spark, idx, queries, 5, n_probe=3, filter_ids=allow)
+        .orderBy(F.col("qid").asc(), F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .collect()
+    ]
+    assert got_b == want_b
+
+    # range search via 'threshold' (no k), and combined with the filter
+    spec_r = {
+        "table": "embeddings",
+        "similarity": {
+            "op": "ann_probe", "index": "faces", "query_id": 0, "threshold": 0.15,
+        },
+    }
+    got_r = [tuple(r) for r in run_query(catalog, spec_r, index_catalog=cat).collect()]
+    want_r = [
+        tuple(r) for r in ivf_range_search(spark, idx, q, 0.15, n_probe=3).collect()
+    ]
+    assert got_r == want_r and len(got_r) > 0
+
+    spec_r["similarity"]["filter"] = {"col": "label", "op": "=", "value": 7}
+    got_rf = [tuple(r) for r in run_query(catalog, spec_r, index_catalog=cat).collect()]
+    want_rf = [
+        tuple(r)
+        for r in ivf_range_search(spark, idx, q, 0.15, n_probe=3, filter_ids=allow).collect()
+    ]
+    assert got_rf == want_rf
+
+
+def test_dsl_ann_probe_filter_range_rejections(spark, catalog, tmp_path):
+    """Filter/threshold misuse fails closed: predicate shapes are
+    validated as data, range search refuses coded stores and batches,
+    and 'threshold'/'k' never coexist."""
+    import pytest
+
+    from esper_tv_spark.operators.similarity import ivf_build_index, ivfsq_build_index
+
+    emb = catalog["embeddings"]
+    ivf = str(tmp_path / "ivf_rej")
+    sq = str(tmp_path / "sq_rej")
+    ivf_build_index(emb, ivf, n_cells=8)
+    ivfsq_build_index(emb, sq, n_cells=8, dim=64)
+    cat = {"faces": ivf, "faces_sq": sq}
+    base = {"op": "ann_probe", "index": "faces", "query_id": 0}
+    bad = [
+        # threshold/k exclusivity + typing
+        {**base, "k": 5, "threshold": 0.2},
+        {**base, "threshold": True},
+        {**base, "threshold": "0.2"},
+        # range search refuses coded stores and batch queries
+        {**base, "index": "faces_sq", "threshold": 0.2},
+        {"op": "ann_probe", "index": "faces", "query_ids": [0, 7], "threshold": 0.2},
+        # filter shape validation
+        {**base, "k": 5, "filter": "label = 7"},
+        {**base, "k": 5, "filter": {"col": "nope", "op": "=", "value": 7}},
+        {**base, "k": 5, "filter": {"col": "label", "op": "~", "value": 7}},
+        {**base, "k": 5, "filter": {"col": "label", "op": "=", "value": [7]}},
+        {**base, "k": 5, "filter": {"col": "label", "op": "=", "value": True}},
+        {**base, "k": 5, "filter": {"col": "label", "op": "in", "value": []}},
+        {**base, "k": 5, "filter": {"col": "label", "op": "in", "value": 7}},
+        {**base, "k": 5, "filter": {"col": "label", "op": "in", "value": [7, True]}},
+        {**base, "k": 5, "filter": {"col": 3, "op": "=", "value": 7}},
+    ]
+    for sim_spec in bad:
+        with pytest.raises(DSLError):
+            run_query(
+                catalog,
+                {"table": "embeddings", "similarity": sim_spec},
+                index_catalog=cat,
+            )

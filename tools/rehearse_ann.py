@@ -565,6 +565,90 @@ def step_trainedgroups(spark, emit):
     emit({"step": "trainedgroups_recall", "n_probe": n_probe, **out})
 
 
+def step_filteredann(spark, emit):
+    """PRE-FILTERED ANN recall at 2M (the _apply_id_filter docstring's
+    promised measurement): with selectivity s, the probed cells hold
+    ~s x fewer matches, so candidate depth — and recall — drops unless
+    n_probe widens by ~1/s.  This step prices that guidance on the
+    clustered 2M fixture at s = 10% (vec_id % 10 == 7):
+
+      - exact filtered truth: L2 top-10 over the allowed subset (BLAS);
+      - pre-filter recall@10 at n_probe in {32, 64, 128, 320} — 320 is
+        the 32/s widening the docstring recommends;
+      - the post-filter strawman at n_probe=32 (restrict the unfiltered
+        top-10), the answer a missing semi-join would give.
+    """
+    from pyspark.sql import functions as F
+
+    from esper_tv_spark.operators import similarity as sim
+
+    emb_path = os.path.join(C2M, "embeddings.parquet")
+    ids, mat = load_matrix(emb_path)
+    df = spark.read.parquet(emb_path).select("vec_id", "embedding")
+    n, dim = mat.shape
+    n_cells = sim.recommended_cells(n)
+
+    idx = os.path.join(C2M, "ivfsq_flat")
+    if not os.path.exists(os.path.join(idx, "centroids", "_SUCCESS")):
+        t0 = time.time()
+        sim.ivfsq_build_index(df, idx, n_cells=n_cells, dim=dim, fast=True)
+        emit({"step": "filteredann_build", "build_s": round(time.time() - t0, 1)})
+
+    sel_mod, sel_rem = 10, 7
+    allow_mask = ids % sel_mod == sel_rem
+    allow_df = df.where(F.col("vec_id") % sel_mod == sel_rem).select("vec_id")
+
+    stride = n // 25
+    q_idx = np.arange(0, n, stride)[:25]
+    truth = {}
+    sub_ids, sub = ids[allow_mask], mat[allow_mask]
+    for qi in q_idx:
+        d2 = ((sub - mat[qi]) ** 2).sum(axis=1)
+        truth[int(ids[qi])] = set(
+            sub_ids[np.argsort(d2, kind="stable")[:TOPK]].tolist()
+        )
+
+    out = {}
+    for n_probe in (32, 64, 128, 320):
+        hits, t0 = 0, time.time()
+        for qi in q_idx:
+            got = {
+                r["vec_id"]
+                for r in sim.ivfsq_probe_index(
+                    spark, idx, [float(x) for x in mat[qi]], TOPK,
+                    n_probe=n_probe, filter_ids=allow_df,
+                ).collect()
+            }
+            hits += len(got & truth[int(ids[qi])])
+        out[f"prefilter_np{n_probe}"] = {
+            "recall": round(hits / (TOPK * len(q_idx)), 4),
+            "probe_s_per_q": round((time.time() - t0) / len(q_idx), 2),
+        }
+
+    # the post-filter strawman: unfiltered top-10, then restrict
+    hits = 0
+    for qi in q_idx:
+        got = {
+            r["vec_id"]
+            for r in sim.ivfsq_probe_index(
+                spark, idx, [float(x) for x in mat[qi]], TOPK, n_probe=32
+            ).collect()
+            if r["vec_id"] % sel_mod == sel_rem
+        }
+        hits += len(got & truth[int(ids[qi])])
+    out["postfilter_np32"] = {"recall": round(hits / (TOPK * len(q_idx)), 4)}
+
+    emit(
+        {
+            "step": "filteredann_recall",
+            "n": n,
+            "n_cells": n_cells,
+            "selectivity": 1.0 / sel_mod,
+            **out,
+        }
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tag", default="r9")
@@ -595,6 +679,9 @@ def main() -> int:
         spark.catalog.clearCache()
     if "trainedgroups" in steps:
         step_trainedgroups(spark, emit)
+        spark.catalog.clearCache()
+    if "filteredann" in steps:
+        step_filteredann(spark, emit)
         spark.catalog.clearCache()
     if "maint" in steps:
         step_maint(spark, emit)
