@@ -3284,6 +3284,106 @@ Q108_SQL_FILTER = (
 )
 
 
+def q109_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval (operators/retrieval.hybrid_search): BM25
+    lexical top-25 (q75's scorer) fused with the persisted-IVF probe's
+    vector top-25 (q80's index) by reciprocal-rank fusion
+    score(d) = Σ 1/(60 + rank_d) — the calibration-free list fusion
+    every modern retrieval stack runs over exactly these two
+    modalities (Cormack et al., SIGIR'09).  The reference ranks caption
+    search lexically only (captions.py:93-103); this is that surface's
+    standard upgrade.  Determinism is the operator's whole contract:
+    ranks assigned over ROUNDED scores with id tie-breaks, contributions
+    rounded at source and summed as scaled BIGINTs — the oracle replays
+    BM25, the full IVF probe, both rank assignments, and the exact-sum
+    fusion, so a rank swapped anywhere in either list fails the hash.
+    The doc_id == vec_id identification is the fixture's (documents and
+    embeddings share an id space, the q57/q75 stance)."""
+    from esper_tv_spark.operators.retrieval import hybrid_search
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    idx = _ivf_index_dir(spark, sf_dir, n_cells=16)
+    return hybrid_search(docs, spark, idx, _Q75_TERMS, qv, 20, k_cand=25, n_probe=3)
+
+
+def _q109_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _Q75_TERMS)
+    return f"""
+WITH lens AS (
+  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens
+), post AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+    FROM documents
+  ) WHERE term IN ({terms})
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY term
+), lex AS (
+  SELECT p.doc_id,
+         round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))), 6)
+           AS score
+  FROM post p JOIN lens l USING (doc_id) JOIN dfreq f USING (term), stats s
+  GROUP BY p.doc_id
+  ORDER BY score DESC, p.doc_id LIMIT 25
+), lexrank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM lex
+), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+c AS (SELECT vec_id AS cell, list_transform(v, x -> round(x, 6)) AS cv FROM e
+      ORDER BY vec_id LIMIT 16),
+d AS (
+  SELECT e.vec_id, c.cell,
+         round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM e, c
+),
+assign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+  FROM d
+),
+probe AS (
+  SELECT c.cell FROM c, q
+  ORDER BY round(list_dot_product(c.cv, q.qv)
+                 / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+           c.cell ASC
+  LIMIT 3
+),
+cand AS (
+  SELECT e.vec_id, e.v FROM e
+  JOIN assign ON assign.vec_id = e.vec_id AND assign.rn = 1
+  WHERE assign.cell IN (SELECT cell FROM probe)
+),
+vec AS (
+  SELECT cand.vec_id AS doc_id,
+         round(list_dot_product(cand.v, q.qv)
+               / (sqrt(list_dot_product(cand.v, cand.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cs
+  FROM cand, q
+  ORDER BY cs DESC, doc_id ASC LIMIT 25
+), vecrank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id ASC) AS rnk FROM vec
+), contrib AS (
+  SELECT doc_id, CAST(round(round(1.0 / (60 + rnk), 9) * 1e9, 0) AS BIGINT) AS cl
+  FROM lexrank
+  UNION ALL
+  SELECT doc_id, CAST(round(round(1.0 / (60 + rnk), 9) * 1e9, 0) AS BIGINT) AS cl
+  FROM vecrank
+)
+SELECT doc_id,
+       round(CAST(sum(cl) AS BIGINT) / 1e9, 6) AS rrf_score,
+       count(*) AS n_lists
+FROM contrib GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q81_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization code census with deterministic codebooks
     (similarity.pq_assign_deterministic): per (subspace, code), how many
@@ -5153,6 +5253,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q106_filtered_ann": q106_filtered_ann,
     "q107_range_search": q107_range_search,
     "q108_filtered_knn_join": q108_filtered_knn_join,
+    "q109_hybrid_rrf_search": q109_hybrid_rrf_search,
     "q87_ivf_cell_census": q87_ivf_cell_census,
     "q88_pq_adc_topk": q88_pq_adc_topk,
     "q54_stride_sample": q54_stride_sample,
@@ -5334,6 +5435,7 @@ _ORACLES: dict[str, str] = {
     "q106_filtered_ann": Q106_SQL,
     "q107_range_search": Q107_SQL,
     "q108_filtered_knn_join": Q108_SQL,
+    "q109_hybrid_rrf_search": _q109_sql(),
     "q81_pq_codes": Q81_SQL,
     "q87_ivf_cell_census": Q87_SQL,
     "q88_pq_adc_topk": Q88_SQL,

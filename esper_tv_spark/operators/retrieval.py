@@ -1,0 +1,121 @@
+"""Hybrid retrieval: reciprocal-rank fusion (RRF) of heterogeneous
+ranked candidate lists — the standard way a retrieval pipeline combines
+lexical (BM25) and vector (ANN) evidence without score calibration
+(Cormack/Clarke/Buettcher, SIGIR'09: score(d) = sum over lists of
+1/(k + rank_d)).  The reference's caption search ranks lexically only
+(captions.py:93-103); every modern retrieval stack fuses that with an
+embedding ANN list, so the engine carries the fusion operator as a
+first-class, oracle-checkable op.
+
+Scale stance: RRF fuses CANDIDATE LISTS, not corpora — each input is a
+top-k (or matches-only) DataFrame that upstream operators already
+bounded (BM25 postings filtered to query terms; ANN probes scan
+n_probe/n_cells of the index).  Ranking within a bounded list is one
+global window (a single-partition sort of k rows — the same driver-sized
+stance as the serving-batch collects); the fusion itself is one groupBy
+over the unioned lists.  Nothing here touches the full corpus.
+
+Determinism contract (what lets q109 hash-match an independent engine):
+ranks are assigned over ROUNDED scores with ids as tie-break, and the
+fused score is an exact scaled-bigint sum of per-list contributions
+rounded at source — float accumulation order can't move the hash."""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rrf_fuse(
+    rankings: "list[tuple[DataFrame, str, str, bool]]",
+    k: int = 60,
+    id_out: str = "doc_id",
+    score_out: str = "rrf_score",
+    round_digits: int = 6,
+    contrib_digits: int = 9,
+) -> DataFrame:
+    """Fuse ranked lists by reciprocal rank.  `rankings` is a list of
+    (df, id_col, score_col, descending) — each df a bounded candidate
+    list.  Within each list, rank = row_number over (round(score,
+    round_digits) desc/asc, id asc): rounding the order key at source is
+    what keeps rank assignment identical across engines (ULP noise in a
+    raw float score would swap neighbors).  Contribution 1/(k + rank) is
+    rounded to `contrib_digits` and summed as scaled BIGINTs (the
+    functions/aggregates.py exact-sum stance), then unscaled — so the
+    fused score is bit-identical however many lists an id appears in and
+    whatever order the union lands in.
+
+    Output: (id_out, score_out, n_lists), fused score descending, ties
+    to the smaller id.  n_lists (how many lists surfaced the id) rides
+    along because it is the fusion-debugging column every operator of a
+    hybrid stack ends up wanting."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k <= 0:
+        raise ValueError("rrf k must be positive")
+    scale = float(10 ** contrib_digits)
+    parts = []
+    for df, id_col, score_col, descending in rankings:
+        key = F.round(F.col(score_col), round_digits)
+        order = key.desc() if descending else key.asc()
+        w = Window.orderBy(order, F.col(id_col).asc())
+        contrib = F.round(
+            F.lit(1.0) / (F.lit(float(k)) + F.col("__rank")), contrib_digits
+        )
+        parts.append(
+            df.select(
+                F.col(id_col).alias(id_out),
+                F.row_number().over(w).alias("__rank"),
+            ).select(
+                id_out,
+                F.round(contrib * F.lit(scale), 0).cast("long").alias("__c"),
+            )
+        )
+    unioned = reduce(DataFrame.unionByName, parts)
+    return (
+        unioned.groupBy(id_out)
+        .agg(
+            F.round(F.sum("__c") / F.lit(scale), round_digits).alias(score_out),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.col(score_out).desc(), F.col(id_out).asc())
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    spark,
+    index_path: str,
+    query_terms: "list[str]",
+    query_vec: "list[float]",
+    k_top: int,
+    k_cand: int = 25,
+    n_probe: int = 3,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexical + vector hybrid search over one corpus: BM25 top-`k_cand`
+    (operators/text.bm25_scores, scores rounded at source — the q75
+    shape) fused with the persisted-IVF probe's top-`k_cand`
+    (similarity.ivf_probe_index — the q80 shape, cosine already rounded)
+    by RRF, top-`k_top` out.  One bounded candidate list per modality;
+    the corpus is touched exactly as the two underlying operators touch
+    it (term-filtered postings; n_probe pruned cells)."""
+    from esper_tv_spark.operators.similarity import ivf_probe_index
+    from esper_tv_spark.operators.text import bm25_scores
+
+    lex = (
+        bm25_scores(docs, query_terms, id_col=id_col, text_col=text_col)
+        .select(id_col, F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k_cand)
+    )
+    vec = ivf_probe_index(spark, index_path, query_vec, k_cand, n_probe=n_probe)
+    return rrf_fuse(
+        [(lex, id_col, "score", True), (vec, "vec_id", "cosine_sim", True)],
+        k=rrf_k,
+        id_out=id_col,
+    ).limit(k_top)

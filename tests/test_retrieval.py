@@ -1,0 +1,74 @@
+"""Reciprocal-rank fusion (operators/retrieval.rrf_fuse): closed-form
+contributions, rank determinism over rounded scores, multi-list
+membership, and validation.  The e2e hybrid (BM25 + IVF probe) is
+hash-gated by q109's DuckDB oracle."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from esper_tv_spark.operators.retrieval import rrf_fuse
+
+
+def _mk(spark, rows, score_type="double"):
+    return spark.createDataFrame(rows, f"id long, s {score_type}")
+
+
+def test_rrf_closed_form(spark):
+    """Two 3-element lists with a known overlap: every fused score is
+    the hand-computed sum of rounded 1/(60+rank) contributions."""
+    a = _mk(spark, [(1, 0.9), (2, 0.8), (3, 0.7)])
+    b = _mk(spark, [(2, 0.95), (4, 0.5), (1, 0.4)])
+    got = {
+        (int(r["doc_id"])): (r["rrf_score"], int(r["n_lists"]))
+        for r in rrf_fuse(
+            [(a, "id", "s", True), (b, "id", "s", True)], k=60, id_out="doc_id"
+        ).collect()
+    }
+
+    def c(rank):
+        return round(1.0 / (60 + rank), 9)
+
+    exp = {
+        1: (round(c(1) + c(3), 6), 2),
+        2: (round(c(2) + c(1), 6), 2),
+        3: (round(c(3), 6), 1),
+        4: (round(c(2), 6), 1),
+    }
+    assert got == exp
+
+
+def test_rrf_orders_by_fused_score_then_id(spark):
+    a = _mk(spark, [(10, 1.0), (20, 0.9)])
+    b = _mk(spark, [(20, 1.0), (10, 0.9)])
+    rows = rrf_fuse([(a, "id", "s", True), (b, "id", "s", True)]).collect()
+    # both ids have rank sets {1,2} -> equal fused scores; tie to smaller id
+    assert [int(r["doc_id"]) for r in rows] == [10, 20]
+    assert rows[0]["rrf_score"] == rows[1]["rrf_score"]
+
+
+def test_rrf_rank_uses_rounded_scores(spark):
+    """Scores differing only below round_digits rank as ties (id-broken)
+    — the cross-engine determinism contract."""
+    a = _mk(spark, [(2, 0.5000000001), (1, 0.5)])
+    rows = rrf_fuse([(a, "id", "s", True)], round_digits=6).collect()
+    by_id = {int(r["doc_id"]): r["rrf_score"] for r in rows}
+    # id 1 wins rank 1 by the id tie-break despite the raw float edge
+    assert by_id[1] > by_id[2]
+
+
+def test_rrf_ascending_lists(spark):
+    """descending=False ranks small-is-better scores (distances)."""
+    a = _mk(spark, [(1, 0.1), (2, 0.2), (3, 0.3)])
+    rows = rrf_fuse([(a, "id", "s", False)]).collect()
+    assert [int(r["doc_id"]) for r in rows] == [1, 2, 3]
+
+
+def test_rrf_validation():
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    with pytest.raises(ValueError):
+        rrf_fuse([(None, "id", "s", True)], k=0)

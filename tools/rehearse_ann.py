@@ -649,6 +649,120 @@ def step_filteredann(spark, emit):
     )
 
 
+C20M = os.path.join(REPO, ".scale", "clustered_20m")
+
+
+def step_hier20m(spark, emit):
+    """The 2B-vector regime the two-level quantizer exists for, measured
+    instead of argued (the r8 VERDICT's standing ask): at n_cells = 4*sqrt(n)
+    a 2e9-vector corpus carries ~180k coarse centroids — a table that stops
+    being one tiny read and a per-probe ranking that stops being free.
+    The 2M fixture tops out at 5.7k cells; this step builds REAL ivfsq
+    indexes over the 20M x 64 clustered fixture in two configurations:
+
+      A (honest-at-20M):  n_cells = auto ~ 17.9k, n_groups ~ 134
+      B (2B synthetic):   n_cells = 180,000, n_groups = 424 — the auto
+                          sizing of a 2e9 corpus, carried by 20M vectors
+                          (~110/cell); the POSTING side is undersized but
+                          the QUANTIZER side (centroid table, ranking,
+                          partition reads, 180k-dir posting write) is
+                          exactly the 2B shape.
+
+    Both build with pruned group assignment (exact assignment at
+    20M x 180k is 2.3e14 flops — the build wall the pruned path removes).
+    Probes compare flat (reads ALL centroids per probe) vs hierarchical
+    (reads only the winning groups' centroid partitions) at a FIXED
+    posting-scan fraction (0.18% — n_probe 32 at A, 322 at B), so the
+    wall difference isolates the centroid path.  Recall@10 vs exact
+    float truth over 10 queries; the 180k-dir posting write wall is the
+    committer-behavior datum nobody measures until it hurts."""
+    from esper_tv_spark.operators import similarity as sim
+
+    emb_path = os.path.join(C20M, "embeddings.parquet")
+    df = spark.read.parquet(emb_path).select("vec_id", "embedding")
+    ids, mat = load_matrix(emb_path)
+    n, dim = mat.shape
+
+    configs = {
+        "auto20m": {"n_cells": sim.recommended_cells(n), "n_probe": 32},
+        "cells180k": {"n_cells": 180_000, "n_probe": 322},
+    }
+
+    stride = n // 10
+    q_idx = np.arange(0, n, stride)[:10]
+    truth = exact_truth(ids, mat, q_idx)
+
+    for tag, cfg in configs.items():
+        n_cells = cfg["n_cells"]
+        n_groups = sim.recommended_groups(n_cells)
+        n_probe = cfg["n_probe"]
+        idx = os.path.join(C20M, f"ivfsq_{tag}")
+        if not os.path.exists(os.path.join(idx, "centroids", "_SUCCESS")):
+            t0 = time.time()
+            sim.ivfsq_build_index(
+                df, idx, n_cells=n_cells, dim=dim, fast=True,
+                n_groups=n_groups, assign_via_groups=True, assign_g_probe=2,
+            )
+            emit(
+                {
+                    "step": "hier20m_build",
+                    "config": tag,
+                    "n": n,
+                    "n_cells": n_cells,
+                    "n_groups": n_groups,
+                    "build_s": round(time.time() - t0, 1),
+                }
+            )
+
+        out = {}
+        for name, g in (("flat", n_groups), ("hier_g8", 8), ("hier_g32", 32)):
+            hits, t0 = 0, time.time()
+            for qi in q_idx:
+                got = {
+                    r["vec_id"]
+                    for r in sim.ivfsq_probe_index(
+                        spark, idx, [float(x) for x in mat[qi]], TOPK,
+                        n_probe=n_probe, n_probe_groups=g,
+                    ).collect()
+                }
+                hits += len(got & truth[int(ids[qi])])
+            out[name] = {
+                "recall": round(hits / (TOPK * len(q_idx)), 4),
+                "probe_s_per_q": round((time.time() - t0) / len(q_idx), 2),
+            }
+        emit(
+            {
+                "step": "hier20m_probe",
+                "config": tag,
+                "n_cells": n_cells,
+                "n_groups": n_groups,
+                "n_probe": n_probe,
+                "scan_fraction": round(n_probe / n_cells, 5),
+                **out,
+            }
+        )
+
+        # serving batch: 8 queries through the amortized-scan join,
+        # flat vs hier — at 180k cells the flat batch ranker must pull
+        # the whole centroid table driver-side (fast=True GEMM), the
+        # hier one only the winning groups' partitions
+        stride8 = n // 8
+        q8 = np.arange(0, n, stride8)[:8]
+        batch = spark.createDataFrame(
+            [(int(ids[i]), [float(x) for x in mat[i]]) for i in q8],
+            "qid long, qvec array<double>",
+        )
+        walls = {}
+        for name, g in (("flat", n_groups), ("hier_g8", 8)):
+            t0 = time.time()
+            sim.ivfsq_knn_join_index(
+                spark, idx, batch, TOPK, n_probe=n_probe, fast=True,
+                n_probe_groups=g,
+            ).collect()
+            walls[name] = round(time.time() - t0, 1)
+        emit({"step": "hier20m_batch_join", "config": tag, "n_q": 8, **walls})
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tag", default="r9")
@@ -682,6 +796,9 @@ def main() -> int:
         spark.catalog.clearCache()
     if "filteredann" in steps:
         step_filteredann(spark, emit)
+        spark.catalog.clearCache()
+    if "hier20m" in steps:
+        step_hier20m(spark, emit)
         spark.catalog.clearCache()
     if "maint" in steps:
         step_maint(spark, emit)
