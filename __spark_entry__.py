@@ -3284,6 +3284,83 @@ Q108_SQL_FILTER = (
 )
 
 
+def q110_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (corpus.weighted_sample): 50 documents drawn proportional to
+    n_chars by Efraimidis-Spirakis A-Res with the uniform derived from
+    the Knuth id hash — "sample documents by quality/importance mass"
+    with audit-grade reproducibility (same draw on any partitioning,
+    any engine).  The selection key ln(u)/w is rounded at source so
+    cross-engine ln() ULP noise cannot swap neighbors; plan is filter +
+    projection + TakeOrdered (per-partition heaps — no window, no
+    global sort).  The oracle replays the hash, the uniform, the key,
+    and the top-50 cut."""
+    from esper_tv_spark.operators.corpus import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, "n_chars", 50)
+    return out.select("doc_id", "n_chars", "sample_key").orderBy(
+        F.col("sample_key").desc(), F.col("doc_id").asc()
+    )
+
+
+Q110_SQL = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         CAST((doc_id::HUGEINT * 2654435761) % 4294967296 AS DOUBLE) AS hv
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars,
+       round(ln((hv + 0.5) / 4294967296.0) / n_chars, 9) AS sample_key
+FROM h
+ORDER BY sample_key DESC, doc_id ASC LIMIT 50
+"""
+
+
+def q111_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (corpus.pack_shards): documents in id
+    order laid end to end and cut into ~2000-token shards — the "pack
+    the corpus into fixed-token training shards" step.  The Spark side
+    runs the two-level distributed prefix sum (partitioned within-group
+    window + a window over the driver-small group-totals table) because
+    a global-ORDER cumulative sum is a single-partition window at
+    100 TB; the oracle replays the same packing as one flat cumulative
+    sum — the distributed decomposition must be invisible in the
+    answer.  Output: per-shard census (every document's shard
+    assignment participates in the hash via id/token sums)."""
+    from esper_tv_spark.operators.corpus import pack_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_shards(docs, budget=2000)
+    return (
+        out.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tok_sum"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+Q111_SQL = """
+WITH t AS (
+  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM c GROUP BY 1 ORDER BY shard_id
+"""
+
+
 def q109_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval (operators/retrieval.hybrid_search): BM25
     lexical top-25 (q75's scorer) fused with the persisted-IVF probe's
@@ -5254,6 +5331,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q107_range_search": q107_range_search,
     "q108_filtered_knn_join": q108_filtered_knn_join,
     "q109_hybrid_rrf_search": q109_hybrid_rrf_search,
+    "q110_weighted_sample": q110_weighted_sample,
+    "q111_shard_packing": q111_shard_packing,
     "q87_ivf_cell_census": q87_ivf_cell_census,
     "q88_pq_adc_topk": q88_pq_adc_topk,
     "q54_stride_sample": q54_stride_sample,
@@ -5436,6 +5515,8 @@ _ORACLES: dict[str, str] = {
     "q107_range_search": Q107_SQL,
     "q108_filtered_knn_join": Q108_SQL,
     "q109_hybrid_rrf_search": _q109_sql(),
+    "q110_weighted_sample": Q110_SQL,
+    "q111_shard_packing": Q111_SQL,
     "q81_pq_codes": Q81_SQL,
     "q87_ivf_cell_census": Q87_SQL,
     "q88_pq_adc_topk": Q88_SQL,

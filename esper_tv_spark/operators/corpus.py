@@ -254,3 +254,106 @@ def mix_sources(
     rate = rate.otherwise(F.lit(0.0))
     keep = portable_hash(F.col(id_col)).cast("double") / F.lit(float(_M32)) < rate
     return df.where(keep)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    key_col: str = "sample_key",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: the
+    Efraimidis-Spirakis A-Res scheme (top-n by u^(1/w), equivalently by
+    ln(u)/w) with the uniform DERIVED from the id — u = (knuth_hash(id)
+    + 0.5) / 2^32, never 0 or 1 — so the same rows are drawn on any
+    partitioning, any run, any engine.  This is the training-data op
+    "sample documents proportional to a quality/importance weight"
+    (temperature mixing picks per-SOURCE rates; this picks per-DOCUMENT
+    mass) with the reproducibility a data pipeline audit needs.
+
+    The selection key ln(u)/w is rounded to `round_digits` BEFORE
+    ordering (ids break the residual ties): ln() is the one non-exact
+    step, and cross-engine ULP noise must not be able to swap neighbors
+    — the same round-at-source stance as every scored contract query.
+
+    Plan: a filter (w > 0; zero/negative/null weights carry no mass and
+    are excluded by the scheme's definition), one projection, and a
+    TakeOrdered top-n — per-partition heaps, no global sort, no window;
+    the corpus is never range-shuffled.  Output: the input columns plus
+    the rounded key (descending = the draw order)."""
+    if n <= 0:
+        raise ValueError("weighted_sample needs n > 0")
+    w = F.col(weight_col).cast("double")
+    u = (portable_hash(F.col(id_col)).cast("double") + F.lit(0.5)) / F.lit(float(_M32))
+    key = F.round(F.log(u) / w, round_digits)
+    return (
+        df.where(w > 0)
+        .withColumn(key_col, key)
+        .orderBy(F.col(key_col).desc(), F.col(id_col).asc())
+        .limit(n)
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    count_col: "str | None" = None,
+    text_col: str = "text",
+    shard_col: str = "shard_id",
+    group_span: int = 100_000,
+) -> DataFrame:
+    """Deterministic token-budget shard packing: documents in id order
+    are laid end to end and cut into shards of ~`budget` tokens — the
+    "pack the corpus into ~1B-token training shards" step, reproducible
+    on any partitioning.  A document goes to the shard its FIRST token
+    falls in (greedy sequential packing: shards overflow by at most one
+    document, none underfill — exactly what a streaming packer does).
+
+    Scale shape (the reason this is not one window): a cumulative sum
+    over a global ORDER BY in Spark is a single-partition window — the
+    whole corpus through one task.  This runs the classic two-level
+    distributed prefix sum instead: ids are bucketed into coarse groups
+    (floor(id / group_span)); within-group prefix sums are a
+    partitioned window (distributed); per-group totals — one row per
+    group, driver-small — get their running offsets via a window over
+    that tiny table, broadcast back.  100 TB of documents flow through
+    the partitioned window; only n_groups rows through the global one.
+
+    Output: (id_col, n_tokens, shard_col).  `count_col` names a
+    precomputed token-count column; default = whitespace token count of
+    `text_col` (the q59 tokenizer's cheap stand-in)."""
+    if budget <= 0:
+        raise ValueError("pack_shards needs budget > 0")
+    from pyspark.sql import Window
+
+    if count_col is None:
+        toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        n_tok = F.size(toks).cast("long")
+    else:
+        n_tok = F.col(count_col).cast("long")
+    base = df.select(
+        F.col(id_col),
+        F.floor(F.col(id_col) / F.lit(group_span)).alias("__grp"),
+        n_tok.alias("n_tokens"),
+    )
+    w_in = Window.partitionBy("__grp").orderBy(F.col(id_col).asc())
+    within = base.withColumn("__cum_in", F.sum("n_tokens").over(w_in))
+    totals = base.groupBy("__grp").agg(F.sum("n_tokens").alias("__tot"))
+    w_grp = Window.orderBy(F.col("__grp").asc())  # n_groups rows only
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_grp) - F.col("__tot"), F.lit(0))
+    ).select("__grp", "__off")
+    return (
+        within.join(F.broadcast(offsets), "__grp")
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(
+                (F.col("__off") + F.col("__cum_in") - F.col("n_tokens"))
+                / F.lit(budget)
+            ).alias(shard_col),
+        )
+    )
