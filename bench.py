@@ -85,6 +85,17 @@ HEADLINE = [
     "q103_trained_groups_ann",
     "q104_retired_cell_probe",
     "q105_lut_table_adc_join",
+    # round-9 additions: pre-filtered ANN + range search (one semi-join
+    # on the shared posting scan), the filtered batch join, hybrid
+    # BM25+ANN reciprocal-rank fusion, and the two corpus-prep steps
+    # (weighted sampling via TakeOrdered; shard packing's two-level
+    # distributed prefix sum)
+    "q106_filtered_ann",
+    "q107_range_search",
+    "q108_filtered_knn_join",
+    "q109_hybrid_rrf_search",
+    "q110_weighted_sample",
+    "q111_shard_packing",
     # q93 (Carter-Wegman minhash) is DEMOTED from the headline loop
     # (round-6 VERDICT #5): it lost its own bake-off to q28's classic
     # signature (3.2s/round re-proving a negative); it remains a full
