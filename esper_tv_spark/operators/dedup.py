@@ -1154,3 +1154,65 @@ def _semantic_dedup_pairs_blas(
     return cells.groupBy(F.col("__id").alias(id_col), "cluster").agg(
         F.max("__dup").alias("is_dup")
     )
+
+
+def lsh_plan(
+    n_hashes: int,
+    threshold: float,
+    grid: int = 200,
+) -> "dict":
+    """Pick the (n_bands, rows_per_band) banding for a target Jaccard
+    threshold — the S-curve sizing every MinHash deployment does by
+    hand.  A (b, r) banding catches a pair of Jaccard s with
+    probability p(s) = 1 - (1 - s^r)^b; the best plan for threshold t
+    minimizes the total error mass
+        FP = ∫_0^t p(s) ds   +   FN = ∫_t^1 (1 - p(s)) ds
+    (uniform similarity prior — the standard MMDS ch.3 sizing; callers
+    with a known pair-similarity distribution can reweight, but the
+    crossover point this picks, near (1/b)^(1/r), is what matters and
+    is prior-insensitive).  Exhaustive over the divisor pairs
+    b * r = n_hashes with trapezoid integration on `grid` points —
+    driver-side, microseconds, deterministic.
+
+    Returns {"n_bands", "rows_per_band", "crossover", "fp_area",
+    "fn_area"} ready to splat into lsh_candidate_pairs /
+    lsh_near_dup."""
+    if n_hashes <= 0:
+        raise ValueError("n_hashes must be positive")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for r in range(1, n_hashes + 1):
+        if n_hashes % r:
+            continue
+        b = n_hashes // r
+
+        def p(s: float) -> float:
+            return 1.0 - (1.0 - s**r) ** b
+
+        step = 1.0 / grid
+        fp = fn = 0.0
+        for i in range(grid):
+            s0, s1 = i * step, (i + 1) * step
+            mid0, mid1 = p(s0), p(s1)
+            seg = (mid0 + mid1) / 2.0 * step
+            if s1 <= threshold:
+                fp += seg
+            elif s0 >= threshold:
+                fn += step - seg
+            else:  # straddling segment: split at t
+                lo = (p(s0) + p(threshold)) / 2.0 * (threshold - s0)
+                hi = (p(threshold) + p(s1)) / 2.0 * (s1 - threshold)
+                fp += lo
+                fn += (s1 - threshold) - hi
+        err = fp + fn
+        if best is None or err < best[0]:
+            best = (err, b, r, fp, fn)
+    _, b, r, fp, fn = best
+    return {
+        "n_bands": b,
+        "rows_per_band": r,
+        "crossover": round((1.0 / b) ** (1.0 / r), 4),
+        "fp_area": round(fp, 4),
+        "fn_area": round(fn, 4),
+    }

@@ -551,3 +551,30 @@ def test_semantic_dedup_multiprobe_recovers_boundary_pairs(spark):
         dedup.semantic_dedup(
             df, threshold=0.95, centroids=cents, cluster_probes=2, fast_pairs=False
         )
+
+
+def test_lsh_plan_sizing():
+    """The S-curve banding planner: divisor-exact plans, threshold
+    monotonicity, sensible error mass, validation."""
+    import pytest
+
+    from esper_tv_spark.operators.dedup import lsh_plan
+
+    plan = lsh_plan(16, 0.5)
+    assert plan["n_bands"] * plan["rows_per_band"] == 16
+    assert 1 < plan["n_bands"] < 16  # interior plan for a mid threshold
+    assert plan["fp_area"] + plan["fn_area"] < 0.25  # far better than chance
+
+    # crossover is monotone in the threshold and tracks the extremes
+    lo, mid, hi = lsh_plan(16, 0.05), lsh_plan(16, 0.4), lsh_plan(16, 0.95)
+    assert lo["crossover"] <= mid["crossover"] <= hi["crossover"]
+    assert lo["n_bands"] > hi["n_bands"]
+    # hand-checked reference points (16 = b*r grid): t=0.3 -> (8, 2),
+    # t=0.5 -> (4, 4) with crossover (1/4)^(1/4)
+    assert (lsh_plan(16, 0.3)["n_bands"], lsh_plan(16, 0.3)["rows_per_band"]) == (8, 2)
+    assert lsh_plan(16, 0.5)["crossover"] == round(0.25 ** 0.25, 4)
+
+    with pytest.raises(ValueError):
+        lsh_plan(0, 0.5)
+    with pytest.raises(ValueError):
+        lsh_plan(16, 1.0)
