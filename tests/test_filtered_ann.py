@@ -263,3 +263,14 @@ def test_filtered_batch_join_pq_sq_parity(spark, emb, allow, tmp_path):
             ).collect()
         ]
         assert by_q[q] == single
+
+
+def test_selective_filter_broadcasts(spark, emb, qv, ivf_idx, allow):
+    """A selective allowed-id set must ride as a broadcast left-semi
+    join (the helper leaves strategy to Catalyst on purpose — this pins
+    that the selective case actually lands on the cheap plan)."""
+    plan = physical_plan(
+        sim.ivf_probe_index(spark, ivf_idx, qv, 10, n_probe=3, filter_ids=allow)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan

@@ -54,6 +54,23 @@ FEASIBLE = [
     "q101_hier_ivf_knn_join",
     # round-9: logical-delete probe — q80's oracle + a NOT IN literal
     "q102_ivf_delete_probe",
+    # round-9: trained-groups probe and the retirement lifecycle — their
+    # oracles add Lloyd-iteration / census CTEs over the n_cells-row
+    # centroid table to the q80 replay, so sf100 feasibility is q80's
+    "q103_trained_groups_ann",
+    "q104_retired_cell_probe",
+    # round-9: pre-filtered ANN + range search + the filtered batch join
+    # (q80/q96 replays plus a label IN-list / threshold predicate) and
+    # the two corpus-prep steps (a hash+ln projection; one cumsum) —
+    # all plain-SQL-cheap at 5M docs / 2.05M vectors.  q109 (hybrid
+    # RRF) stays OUT: its BM25 half unnests every token of every
+    # document (~1e9 rows at sf100, the q60-class exclusion); sf1 full
+    # gate + three-scale driver gates are its evidence.
+    "q106_filtered_ann",
+    "q107_range_search",
+    "q108_filtered_knn_join",
+    "q110_weighted_sample",
+    "q111_shard_packing",
     # regression classes (caught real bugs at this scale in r4)
     "q01_pricing_summary",
     "q16_events_hourly",
