@@ -26,9 +26,33 @@ asked for, each appended to .scale/rehearsal_<tag>.jsonl:
               fragment censuses recorded, so fragment growth vs probe
               latency is measured, not assumed.
 
+Later-round steps (same jsonl):
+
+  prunedassign  — group-pruned build assignment at 2M: walls + agreement
+              vs exact, and downstream recall (r9).
+  trainedgroups — trained level-1 group centers vs rank-init at 2M:
+              cell agreement at 10% group coverage and recall@10
+              (r9-end; measured .559 -> .641 agreement, .808 -> .842
+              recall at the same wall).
+  filteredann — pre-filtered ANN recall vs n_probe at 10% selectivity
+              (geometry-independent id-hash filter): measured FLAT at
+              .988 from n_probe 32 to 320 (the filtered truth is
+              sparser in step with the candidates); post-filter
+              strawman .112.  Widening toward ~1/s is for filters that
+              correlate with geometry.
+  hier20m   — the centroid-table-stops-being-small regime, measured on
+              REAL indexes over 20M x 64 (clustered_20m): auto ~17.9k
+              cells and forced 180k cells (a 2e9 corpus's auto sizing
+              carried by 20M vectors — posting side undersized, the
+              quantizer side exactly the 2B shape).  Pruned-group
+              builds, flat vs hier probe walls at a FIXED posting-scan
+              fraction, batch joins, and the 180k-dir posting write.
+
 Usage: python tools/rehearse_ann.py [--tag r9] [--steps hier2m,autoladder,maint]
 Prereqs: .scale/clustered_2m (make_scale.py --clustered --n=2050000
---embed-dim=256 --clusters=1024 --anisotropy=1.0) and .scale/sf1.
+--embed-dim=256 --clusters=1024 --anisotropy=1.0) and .scale/sf1;
+hier20m needs .scale/clustered_20m (--clustered --n=20000000
+--embed-dim=64 --clusters=4096 --plant=0 --anisotropy=1.0).
 """
 
 from __future__ import annotations
