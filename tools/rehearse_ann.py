@@ -673,6 +673,71 @@ def step_filteredann(spark, emit):
     )
 
 
+def step_filteredadv(spark, emit):
+    """GEOMETRY-CORRELATED pre-filter (the adversarial case the
+    widening guidance exists for): exclude the query's OWN generative
+    cluster (label != label(q)).  The filtered truth now lives in
+    OTHER clusters — cells the probe ranks low for this query — so
+    unlike the id-hash filter (recall-flat at .988), recall should
+    start low and climb with n_probe.  Same 2M fixture, same index,
+    same truth protocol; the knob being priced is n_probe as a
+    function of filter-geometry correlation."""
+    from pyspark.sql import functions as F
+
+    from esper_tv_spark.operators import similarity as sim
+
+    emb_path = os.path.join(C2M, "embeddings.parquet")
+    ids, mat = load_matrix(emb_path)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(emb_path, columns=["vec_id", "label"])
+    lab_by_id = dict(
+        zip(t["vec_id"].to_numpy().tolist(), t["label"].to_numpy().tolist())
+    )
+    labels = np.asarray([lab_by_id[int(i)] for i in ids])
+    df = spark.read.parquet(emb_path)
+    n, dim = mat.shape
+    n_cells = sim.recommended_cells(n)
+    idx = os.path.join(C2M, "ivfsq_flat")
+    assert os.path.exists(os.path.join(idx, "centroids", "_SUCCESS")), (
+        "run the filteredann/trainedgroups steps first (builds ivfsq_flat)"
+    )
+
+    stride = n // 25
+    q_idx = np.arange(0, n, stride)[:25]
+    out = {}
+    for n_probe in (32, 64, 128, 320):
+        hits, t0 = 0, time.time()
+        for qi in q_idx:
+            ql = int(labels[qi])
+            mask = labels != ql
+            sub_ids, sub = ids[mask], mat[mask]
+            d2 = ((sub - mat[qi]) ** 2).sum(axis=1)
+            truth = set(sub_ids[np.argsort(d2, kind="stable")[:TOPK]].tolist())
+            allow_df = df.where(F.col("label") != ql).select("vec_id")
+            got = {
+                r["vec_id"]
+                for r in sim.ivfsq_probe_index(
+                    spark, idx, [float(x) for x in mat[qi]], TOPK,
+                    n_probe=n_probe, filter_ids=allow_df,
+                ).collect()
+            }
+            hits += len(got & truth)
+        out[f"np{n_probe}"] = {
+            "recall": round(hits / (TOPK * len(q_idx)), 4),
+            "probe_s_per_q": round((time.time() - t0) / len(q_idx), 2),
+        }
+    emit(
+        {
+            "step": "filteredadv_recall",
+            "n": n,
+            "n_cells": n_cells,
+            "filter": "label != label(q) — excludes the query's cluster",
+            **out,
+        }
+    )
+
+
 C20M = os.path.join(REPO, ".scale", "clustered_20m")
 
 
@@ -823,6 +888,9 @@ def main() -> int:
         spark.catalog.clearCache()
     if "hier20m" in steps:
         step_hier20m(spark, emit)
+        spark.catalog.clearCache()
+    if "filteredadv" in steps:
+        step_filteredadv(spark, emit)
         spark.catalog.clearCache()
     if "maint" in steps:
         step_maint(spark, emit)
