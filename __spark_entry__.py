@@ -3287,20 +3287,24 @@ Q108_SQL_FILTER = (
 def q110_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (corpus.weighted_sample): 50 documents drawn proportional to
-    n_chars by Efraimidis-Spirakis A-Res with the uniform derived from
-    the Knuth id hash — "sample documents by quality/importance mass"
-    with audit-grade reproducibility (same draw on any partitioning,
-    any engine).  The selection key ln(u)/w is rounded at source so
-    cross-engine ln() ULP noise cannot swap neighbors; plan is filter +
-    projection + TakeOrdered (per-partition heaps — no window, no
-    global sort).  The oracle replays the hash, the uniform, the key,
-    and the top-50 cut."""
+    n_chars by SEQUENTIAL POISSON sampling (Ohlsson 1998 — n smallest
+    ξ = u / w) with the uniform derived from the Knuth id hash —
+    "sample documents by quality/importance mass" with audit-grade
+    reproducibility (same draw on any partitioning, any engine).  The
+    key uses ONLY IEEE division (correctly rounded by spec, so both
+    engines produce bit-identical keys) — the Efraimidis-Spirakis
+    ln(u)/w key was hash-broken by cross-engine ln() last-ulp noise at
+    the sf100 gate, which is exactly the failure class this op's
+    determinism contract exists to exclude.  Plan: filter + projection
+    + TakeOrdered (per-partition heaps — no window, no global sort).
+    The oracle replays the hash, the uniform, the key, and the
+    bottom-50 cut."""
     from esper_tv_spark.operators.corpus import weighted_sample
 
     docs = _t(spark, sf_dir, "documents")
     out = weighted_sample(docs, "n_chars", 50)
     return out.select("doc_id", "n_chars", "sample_key").orderBy(
-        F.col("sample_key").desc(), F.col("doc_id").asc()
+        F.col("sample_key").asc(), F.col("doc_id").asc()
     )
 
 
@@ -3311,9 +3315,9 @@ WITH h AS (
   FROM documents WHERE n_chars > 0
 )
 SELECT doc_id, n_chars,
-       round(ln((hv + 0.5) / 4294967296.0) / n_chars, 9) AS sample_key
+       round(((hv + 0.5) / 4294967296.0) / n_chars, 9) AS sample_key
 FROM h
-ORDER BY sample_key DESC, doc_id ASC LIMIT 50
+ORDER BY sample_key ASC, doc_id ASC LIMIT 50
 """
 
 

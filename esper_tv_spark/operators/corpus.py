@@ -264,34 +264,38 @@ def weighted_sample(
     key_col: str = "sample_key",
     round_digits: int = 9,
 ) -> DataFrame:
-    """Deterministic weighted sampling without replacement: the
-    Efraimidis-Spirakis A-Res scheme (top-n by u^(1/w), equivalently by
-    ln(u)/w) with the uniform DERIVED from the id — u = (knuth_hash(id)
-    + 0.5) / 2^32, never 0 or 1 — so the same rows are drawn on any
-    partitioning, any run, any engine.  This is the training-data op
-    "sample documents proportional to a quality/importance weight"
-    (temperature mixing picks per-SOURCE rates; this picks per-DOCUMENT
-    mass) with the reproducibility a data pipeline audit needs.
+    """Deterministic weighted sampling without replacement: SEQUENTIAL
+    POISSON sampling (Ohlsson 1998, the PPS-without-replacement scheme
+    statistical offices run) — take the n SMALLEST ξ = u / w, with the
+    uniform DERIVED from the id: u = (knuth_hash(id) + 0.5) / 2^32,
+    never 0 or 1 — so the same rows are drawn on any partitioning, any
+    run, any engine.  This is the training-data op "sample documents
+    proportional to a quality/importance weight" (temperature mixing
+    picks per-SOURCE rates; this picks per-DOCUMENT mass) with the
+    reproducibility a data pipeline audit needs.
 
-    The selection key ln(u)/w is rounded to `round_digits` BEFORE
-    ordering (ids break the residual ties): ln() is the one non-exact
-    step, and cross-engine ULP noise must not be able to swap neighbors
-    — the same round-at-source stance as every scored contract query.
+    Why u/w and not Efraimidis-Spirakis' u^(1/w): the E-S key needs
+    ln()/pow(), whose last-ulp varies BETWEEN ENGINES — the sf100 gate
+    caught two top-50 keys whose 9th decimal disagreed between JVM and
+    C++ ln().  ξ = u / w uses only IEEE division, which is CORRECTLY
+    ROUNDED by spec: both engines produce bit-identical keys, no
+    rounding crutch required (the round() kept here only normalizes
+    display formatting; ids break residual ties).
 
     Plan: a filter (w > 0; zero/negative/null weights carry no mass and
     are excluded by the scheme's definition), one projection, and a
-    TakeOrdered top-n — per-partition heaps, no global sort, no window;
-    the corpus is never range-shuffled.  Output: the input columns plus
-    the rounded key (descending = the draw order)."""
+    TakeOrdered bottom-n — per-partition heaps, no global sort, no
+    window; the corpus is never range-shuffled.  Output: the input
+    columns plus the key (ascending = the draw order)."""
     if n <= 0:
         raise ValueError("weighted_sample needs n > 0")
     w = F.col(weight_col).cast("double")
     u = (portable_hash(F.col(id_col)).cast("double") + F.lit(0.5)) / F.lit(float(_M32))
-    key = F.round(F.log(u) / w, round_digits)
+    key = F.round(u / w, round_digits)
     return (
         df.where(w > 0)
         .withColumn(key_col, key)
-        .orderBy(F.col(key_col).desc(), F.col(id_col).asc())
+        .orderBy(F.col(key_col).asc(), F.col(id_col).asc())
         .limit(n)
     )
 

@@ -5,7 +5,6 @@ the group decomposition is invisible at ANY group_span, the sample
 matches a brute-force Python replay, and weights actually bias the
 draw."""
 
-import math
 import os
 import sys
 
@@ -32,18 +31,17 @@ def test_weighted_sample_matches_python_replay(spark, docs):
         (
             (
                 round(
-                    math.log(((r["doc_id"] % _M32) * _KNUTH % _M32 + 0.5) / _M32)
+                    (((r["doc_id"] % _M32) * _KNUTH % _M32 + 0.5) / _M32)
                     / r["n_chars"],
                     9,
                 ),
-                -r["doc_id"],
+                r["doc_id"],
             )
             for r in rows
             if r["n_chars"] > 0
-        ),
-        reverse=True,
+        )
     )[:20]
-    exp_ids = [-d for _, d in exp]
+    exp_ids = [d for _, d in exp]
     got = [
         int(r["doc_id"]) for r in weighted_sample(docs, "n_chars", 20).collect()
     ]
