@@ -54,10 +54,14 @@ FEASIBLE = [
     "q101_hier_ivf_knn_join",
     # round-9: logical-delete probe — q80's oracle + a NOT IN literal
     "q102_ivf_delete_probe",
-    # round-9: trained-groups probe and the retirement lifecycle — their
-    # oracles add Lloyd-iteration / census CTEs over the n_cells-row
-    # centroid table to the q80 replay, so sf100 feasibility is q80's
-    "q103_trained_groups_ann",
+    # round-9: the retirement lifecycle (census CTEs over the
+    # n_cells-row centroid table on top of the q80 replay — q80-class
+    # feasible, passed at 80.7s).  q103 (trained groups) is NOT here:
+    # its oracle unrolls the Lloyd training, which re-derives the
+    # full-corpus 256-dim assignment per iteration — measured OOM at
+    # 32 AND 80 GB DuckDB caps (non-spillable pins); q103 joins the
+    # documented sf100-oracle-infeasible list (q28/q37/q60/q85/q93/q94)
+    # with its sf1 full-gate hash as the scale evidence.
     "q104_retired_cell_probe",
     # round-9: pre-filtered ANN + range search + the filtered batch join
     # (q80/q96 replays plus a label IN-list / threshold predicate) and
