@@ -738,6 +738,68 @@ def step_filteredadv(spark, emit):
     )
 
 
+def step_filteredbatch(spark, emit):
+    """Filtered BATCH kNN join at serving shape (2M, fast=True,
+    n_probe=32, 8-query batch): one semi-join against the allowed-id
+    set covers the whole batch — this row prices that semi-join against
+    the unfiltered join, and asserts per-query parity vs filtered
+    single probes at depth."""
+    from pyspark.sql import functions as F
+
+    from esper_tv_spark.operators import similarity as sim
+
+    emb_path = os.path.join(C2M, "embeddings.parquet")
+    ids, mat = load_matrix(emb_path)
+    df = spark.read.parquet(emb_path).select("vec_id", "embedding")
+    n, dim = mat.shape
+    idx = os.path.join(C2M, "ivfsq_flat")
+    assert os.path.exists(os.path.join(idx, "centroids", "_SUCCESS"))
+
+    allow_df = df.where(F.col("vec_id") % 10 == 7).select("vec_id")
+    stride = n // 8
+    q8 = np.arange(0, n, stride)[:8]
+    batch = spark.createDataFrame(
+        [(int(ids[i]), [float(x) for x in mat[i]]) for i in q8],
+        "qid long, qvec array<double>",
+    )
+    walls = {}
+    for name, kw in (("unfiltered", {}), ("filtered_10pct", {"filter_ids": allow_df})):
+        t0 = time.time()
+        rows = sim.ivfsq_knn_join_index(
+            spark, idx, batch, TOPK, n_probe=32, fast=True, **kw
+        ).collect()
+        walls[name] = {"wall_s": round(time.time() - t0, 1), "rows": len(rows)}
+
+    # per-query parity vs filtered single probes at the same depth
+    by_q = {}
+    joined = sim.ivfsq_knn_join_index(
+        spark, idx, batch, TOPK, n_probe=32, fast=True, filter_ids=allow_df
+    )
+    for r in joined.orderBy("qid", F.col("adist").asc(), "vec_id").collect():
+        by_q.setdefault(int(r["qid"]), []).append((r["vec_id"], r["adist"]))
+    parity = all(
+        by_q.get(int(ids[i]), [])
+        == [
+            (r["vec_id"], r["adist"])
+            for r in sim.ivfsq_probe_index(
+                spark, idx, [float(x) for x in mat[i]], TOPK,
+                n_probe=32, filter_ids=allow_df,
+            ).collect()
+        ]
+        for i in q8
+    )
+    emit(
+        {
+            "step": "filteredbatch_serving",
+            "n": n,
+            "n_probe": 32,
+            "n_q": 8,
+            "batch_parity_vs_single_probes": parity,
+            **walls,
+        }
+    )
+
+
 C20M = os.path.join(REPO, ".scale", "clustered_20m")
 
 
@@ -891,6 +953,9 @@ def main() -> int:
         spark.catalog.clearCache()
     if "filteredadv" in steps:
         step_filteredadv(spark, emit)
+        spark.catalog.clearCache()
+    if "filteredbatch" in steps:
+        step_filteredbatch(spark, emit)
         spark.catalog.clearCache()
     if "maint" in steps:
         step_maint(spark, emit)
