@@ -35,6 +35,7 @@ def rrf_fuse(
     score_out: str = "rrf_score",
     round_digits: int = 6,
     contrib_digits: int = 9,
+    weights: "list[float] | None" = None,
 ) -> DataFrame:
     """Fuse ranked lists by reciprocal rank.  `rankings` is a list of
     (df, id_col, score_col, descending) — each df a bounded candidate
@@ -50,19 +51,30 @@ def rrf_fuse(
     Output: (id_out, score_out, n_lists), fused score descending, ties
     to the smaller id.  n_lists (how many lists surfaced the id) rides
     along because it is the fusion-debugging column every operator of a
-    hybrid stack ends up wanting."""
+    hybrid stack ends up wanting.
+
+    `weights` (optional, one per ranking) scales each list's
+    contribution to w_i/(k + rank) — weighted RRF, for when one
+    modality is trusted more (e.g. 2:1 lexical over a weak embedding);
+    contributions stay rounded at source so the exact-sum contract
+    holds whatever the weights."""
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
     if k <= 0:
         raise ValueError("rrf k must be positive")
+    if weights is not None and (
+        len(weights) != len(rankings) or any(w <= 0 for w in weights)
+    ):
+        raise ValueError("weights must match rankings and be positive")
     scale = float(10 ** contrib_digits)
     parts = []
-    for df, id_col, score_col, descending in rankings:
+    for i, (df, id_col, score_col, descending) in enumerate(rankings):
+        w_i = 1.0 if weights is None else float(weights[i])
         key = F.round(F.col(score_col), round_digits)
         order = key.desc() if descending else key.asc()
         w = Window.orderBy(order, F.col(id_col).asc())
         contrib = F.round(
-            F.lit(1.0) / (F.lit(float(k)) + F.col("__rank")), contrib_digits
+            F.lit(w_i) / (F.lit(float(k)) + F.col("__rank")), contrib_digits
         )
         parts.append(
             df.select(

@@ -121,3 +121,41 @@ def test_pack_shards_precomputed_count_col(spark):
     )
     # starts at 0, 10, 20 -> shards 0, 0, 1
     assert got == [(1, 0), (2, 0), (3, 1)]
+
+
+def test_pack_shards_fuzz_matches_flat_replay(spark):
+    """Hypothesis fuzz: random (sparse-id, token-count) corpora packed
+    at random budgets and group spans always equal the flat sequential
+    replay — the decomposition can never leak into the answer."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000),
+                st.integers(min_value=0, max_value=400),
+            ),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda t: t[0],
+        ),
+        budget=st.integers(min_value=1, max_value=500),
+        span=st.sampled_from([1, 3, 50, 10_000]),
+    )
+    @settings(max_examples=12, deadline=None)
+    def check(rows, budget, span):
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        got = sorted(
+            (int(r["doc_id"]), int(r["n_tokens"]), int(r["shard_id"]))
+            for r in pack_shards(
+                df, budget=budget, count_col="n_tok", group_span=span
+            ).collect()
+        )
+        cum, exp = 0, []
+        for did, nt in sorted(rows):
+            exp.append((did, nt, cum // budget))
+            cum += nt
+        assert got == exp
+
+    check()

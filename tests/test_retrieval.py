@@ -72,3 +72,30 @@ def test_rrf_validation():
         rrf_fuse([])
     with pytest.raises(ValueError):
         rrf_fuse([(None, "id", "s", True)], k=0)
+
+
+def test_rrf_weighted_lists(spark):
+    """Weighted RRF: contribution w_i/(k+rank); closed-form check and
+    validation."""
+    a = _mk(spark, [(1, 0.9), (2, 0.8)])
+    b = _mk(spark, [(2, 0.9), (1, 0.8)])
+    got = {
+        int(r["doc_id"]): r["rrf_score"]
+        for r in rrf_fuse(
+            [(a, "id", "s", True), (b, "id", "s", True)], k=60, weights=[2.0, 1.0]
+        ).collect()
+    }
+
+    def c(w, rank):
+        return round(w / (60 + rank), 9)
+
+    assert got == {
+        1: round(c(2.0, 1) + c(1.0, 2), 6),
+        2: round(c(2.0, 2) + c(1.0, 1), 6),
+    }
+    # 2:1 weighting makes list a's ranking dominate: id 1 wins
+    assert got[1] > got[2]
+    with pytest.raises(ValueError):
+        rrf_fuse([(a, "id", "s", True)], weights=[1.0, 2.0])
+    with pytest.raises(ValueError):
+        rrf_fuse([(a, "id", "s", True)], weights=[0.0])
