@@ -3284,6 +3284,53 @@ Q108_SQL_FILTER = (
 )
 
 
+def q112_weighted_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED reciprocal-rank fusion: q109's hybrid with the lexical
+    list trusted 2:1 over the vector list — contribution w_i/(60+rank),
+    the standard move when one modality is known stronger for a corpus
+    (here: an arbitrary but pinned 2.0/1.0).  Same determinism contract
+    as q109 (ranks over rounded scores, contributions rounded at source,
+    exact scaled-bigint sum); the oracle differs from q109's ONLY in the
+    two contribution constants, so this hash isolates exactly the
+    weighting arithmetic."""
+    from esper_tv_spark.operators.retrieval import rrf_fuse
+    from esper_tv_spark.operators.similarity import ivf_probe_index
+    from esper_tv_spark.operators.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    idx = _ivf_index_dir(spark, sf_dir, n_cells=16)
+    lex = (
+        bm25_scores(docs, _Q75_TERMS)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+    vec = ivf_probe_index(spark, idx, qv, 25, n_probe=3)
+    return rrf_fuse(
+        [(lex, "doc_id", "score", True), (vec, "vec_id", "cosine_sim", True)],
+        k=60,
+        weights=[2.0, 1.0],
+    ).limit(20)
+
+
+# q109's replay with only the two contribution constants reweighted —
+# string-derived so the fusion replays can never drift structurally
+def _q112_sql() -> str:
+    sql = _q109_sql()
+    lex_contrib = (
+        "SELECT doc_id, CAST(round(round(1.0 / (60 + rnk), 9) * 1e9, 0) AS BIGINT) AS cl\n"
+        "  FROM lexrank"
+    )
+    assert sql.count(lex_contrib) == 1
+    return sql.replace(
+        lex_contrib,
+        "SELECT doc_id, CAST(round(round(2.0 / (60 + rnk), 9) * 1e9, 0) AS BIGINT) AS cl\n"
+        "  FROM lexrank",
+    )
+
+
 def q110_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (corpus.weighted_sample): 50 documents drawn proportional to
@@ -5337,6 +5384,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q109_hybrid_rrf_search": q109_hybrid_rrf_search,
     "q110_weighted_sample": q110_weighted_sample,
     "q111_shard_packing": q111_shard_packing,
+    "q112_weighted_rrf": q112_weighted_rrf,
     "q87_ivf_cell_census": q87_ivf_cell_census,
     "q88_pq_adc_topk": q88_pq_adc_topk,
     "q79_label_writeback": q79_label_writeback,
@@ -5521,6 +5569,7 @@ _ORACLES: dict[str, str] = {
     "q109_hybrid_rrf_search": _q109_sql(),
     "q110_weighted_sample": Q110_SQL,
     "q111_shard_packing": Q111_SQL,
+    "q112_weighted_rrf": _q112_sql(),
     "q81_pq_codes": Q81_SQL,
     "q87_ivf_cell_census": Q87_SQL,
     "q88_pq_adc_topk": Q88_SQL,

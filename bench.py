@@ -96,6 +96,7 @@ HEADLINE = [
     "q109_hybrid_rrf_search",
     "q110_weighted_sample",
     "q111_shard_packing",
+    "q112_weighted_rrf",
     # q93 (Carter-Wegman minhash) is DEMOTED from the headline loop
     # (round-6 VERDICT #5): it lost its own bake-off to q28's classic
     # signature (3.2s/round re-proving a negative); it remains a full
