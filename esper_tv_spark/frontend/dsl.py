@@ -268,6 +268,88 @@ def run_query(
             df = sim_ops.dist_to_targets(
                 df, [_vec(t, "each target") for t in targets], id_col=id_col, vec_col=vec_col
             )
+        elif op == "hybrid":
+            # hybrid retrieval (q109's shape) from the safe surface: the
+            # staged table is the DOCUMENT corpus (BM25 side); the
+            # vector side probes a catalog-named persisted IVF index
+            # with a LITERAL query vector.  Terms and the vector are
+            # DATA; the index is name-keyed — same stance as ann_probe.
+            import os as _os
+
+            name = sim.get("index")
+            if not isinstance(name, str) or name not in (index_catalog or {}):
+                raise DSLError(f"unknown index {name!r}")
+            hpath = index_catalog[name]
+            # hybrid's exact rerank needs raw-vector posting lists: the
+            # plain-IVF layout (cells/ + centroids/, no meta.json)
+            if _os.path.exists(_os.path.join(hpath, "meta.json")) or not (
+                _os.path.isdir(_os.path.join(hpath, "cells"))
+                and _os.path.isdir(_os.path.join(hpath, "centroids"))
+            ):
+                raise DSLError(
+                    f"hybrid needs a plain ivf store; index {name!r} is not one"
+                )
+            terms = sim.get("terms")
+            if (
+                not isinstance(terms, list)
+                or not terms
+                or not all(isinstance(t, str) and t for t in terms)
+            ):
+                raise DSLError("hybrid needs a non-empty 'terms' list of strings")
+            hq = _vec(sim.get("query"), "'query'")
+            hk = sim.get("k")
+            if not _int(hk) or hk <= 0:
+                raise DSLError("hybrid needs a positive int 'k'")
+            k_cand = sim.get("k_cand", 25)
+            n_probe = sim.get("n_probe", 3)
+            rrf_k = sim.get("rrf_k", 60)
+            for what, v in (("k_cand", k_cand), ("n_probe", n_probe), ("rrf_k", rrf_k)):
+                if not _int(v) or v <= 0:
+                    raise DSLError(f"'{what}' must be a positive int")
+            weights = sim.get("weights")
+            if weights is not None and (
+                not isinstance(weights, list)
+                or len(weights) != 2
+                or not all(
+                    isinstance(w, (int, float))
+                    and not isinstance(w, bool)
+                    and w > 0
+                    for w in weights
+                )
+            ):
+                raise DSLError("'weights' must be two positive numbers [lexical, vector]")
+            from esper_tv_spark.operators.retrieval import hybrid_search, rrf_fuse
+            from esper_tv_spark.operators.similarity import ivf_probe_index
+            from esper_tv_spark.operators.text import bm25_scores
+
+            # the staged table is the DOCUMENT corpus: default its id
+            # (the stage-wide default vec_id is the embedding-table id)
+            hid = sim.get("id_col", "doc_id")
+            if not isinstance(hid, str) or hid not in df.columns:
+                raise DSLError(f"hybrid id_col {hid!r} is not a column")
+            spark = df.sparkSession
+            if weights is None:
+                df = hybrid_search(
+                    df, spark, hpath, terms, hq, hk,
+                    k_cand=k_cand, n_probe=n_probe, rrf_k=rrf_k,
+                    id_col=hid, text_col=sim.get("text_col", "text"),
+                )
+            else:
+                lex = (
+                    bm25_scores(
+                        df, terms, id_col=hid,
+                        text_col=sim.get("text_col", "text"),
+                    )
+                    .select(hid, F.round("score", 6).alias("score"))
+                    .orderBy(F.col("score").desc(), F.col(hid).asc())
+                    .limit(k_cand)
+                )
+                vec = ivf_probe_index(spark, hpath, hq, k_cand, n_probe=n_probe)
+                df = rrf_fuse(
+                    [(lex, hid, "score", True), (vec, "vec_id", "cosine_sim", True)],
+                    k=rrf_k, id_out=hid,
+                    weights=[float(weights[0]), float(weights[1])],
+                ).limit(hk)
         elif op == "ann_probe":
             # probe a PERSISTED index (the serving path — reference entry
             # point A, views.py:56-66, reaching face_embeddings.py-style

@@ -951,3 +951,92 @@ def test_dsl_ann_probe_filter_range_rejections(spark, catalog, tmp_path):
                 {"table": "embeddings", "similarity": sim_spec},
                 index_catalog=cat,
             )
+
+
+def test_dsl_hybrid_matches_library(spark, catalog, tmp_path):
+    """The hybrid verb (BM25 + IVF-probe RRF — q109's shape) is
+    bit-identical to the library composition, plain and weighted."""
+    from esper_tv_spark.operators.retrieval import hybrid_search, rrf_fuse
+    from esper_tv_spark.operators.similarity import ivf_build_index, ivf_probe_index
+    from esper_tv_spark.operators.text import bm25_scores
+
+    emb = catalog["embeddings"]
+    docs = catalog["documents"]
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    idx = str(tmp_path / "ivf_hyb")
+    ivf_build_index(emb, idx, n_cells=8)
+    cat = {"faces": idx}
+    terms = ["the", "data", "model"]
+
+    spec = {
+        "table": "documents",
+        "similarity": {
+            "op": "hybrid", "index": "faces", "terms": terms, "query": q,
+            "k": 15, "k_cand": 20, "n_probe": 3,
+        },
+    }
+    got = [tuple(r) for r in run_query(catalog, spec, index_catalog=cat).collect()]
+    want = [
+        tuple(r)
+        for r in hybrid_search(
+            docs, spark, idx, terms, q, 15, k_cand=20, n_probe=3
+        ).collect()
+    ]
+    assert got == want and len(got) > 0
+
+    spec["similarity"]["weights"] = [2.0, 1.0]
+    got_w = [tuple(r) for r in run_query(catalog, spec, index_catalog=cat).collect()]
+    lex = (
+        bm25_scores(docs, terms)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    vec = ivf_probe_index(spark, idx, q, 20, n_probe=3)
+    want_w = [
+        tuple(r)
+        for r in rrf_fuse(
+            [(lex, "doc_id", "score", True), (vec, "vec_id", "cosine_sim", True)],
+            k=60, weights=[2.0, 1.0],
+        ).limit(15).collect()
+    ]
+    assert got_w == want_w
+    assert got_w != got  # the weighting must actually change the fusion
+
+
+def test_dsl_hybrid_rejections(spark, catalog, tmp_path):
+    import pytest
+
+    from esper_tv_spark.operators.similarity import ivf_build_index, ivfsq_build_index
+
+    emb = catalog["embeddings"]
+    ivf = str(tmp_path / "hyb_ivf")
+    sq = str(tmp_path / "hyb_sq")
+    ivf_build_index(emb, ivf, n_cells=8)
+    ivfsq_build_index(emb, sq, n_cells=8, dim=64)
+    cat = {"faces": ivf, "faces_sq": sq}
+    q = [0.0] * 64
+    base = {"op": "hybrid", "index": "faces", "terms": ["the"], "query": q, "k": 5}
+    bad = [
+        {**base, "index": "nope"},
+        {**base, "index": "faces_sq"},     # coded store: no raw rerank
+        {**base, "terms": []},
+        {**base, "terms": ["the", 3]},
+        {**base, "terms": "the"},
+        {**base, "query": "not-a-vec"},
+        {**base, "k": 0},
+        {**base, "k_cand": 0},
+        {**base, "n_probe": True},
+        {**base, "rrf_k": -1},
+        {**base, "weights": [1.0]},
+        {**base, "weights": [1.0, 0.0]},
+        {**base, "weights": [1.0, True]},
+        {**base, "id_col": "nope"},
+    ]
+    for sim_spec in bad:
+        with pytest.raises(DSLError):
+            run_query(
+                catalog,
+                {"table": "documents", "similarity": sim_spec},
+                index_catalog=cat,
+            )
