@@ -277,6 +277,23 @@ def main() -> None:
             want = expected_pairs(scale_dir, 50)
             dup_ids = sorted(b for _a, b in want)
             emb = entry_mod._t(spark, scale_dir, "embeddings")
+            # FAIL LOUDLY if the fixture lost its plants (the r9 regression:
+            # a 64-dim rebuild silently dropped them and the probe shipped
+            # recall 0.0 as if it were a measurement) — one broadcast
+            # semi-join count BEFORE measuring anything
+            probe_ids = spark.createDataFrame(
+                [(int(i),) for i in dup_ids], "vec_id long"
+            )
+            present = emb.join(
+                F.broadcast(probe_ids), "vec_id", "left_semi"
+            ).count()
+            if present != len(dup_ids):
+                raise AssertionError(
+                    f"scale fixture at {scale_dir} is missing planted near-dup "
+                    f"ids ({present}/{len(dup_ids)} present) — regenerate with "
+                    "tools/make_scale.py (embed_dim=256); recall cannot be "
+                    "measured against an absent ground truth"
+                )
             n = entry_mod._parquet_num_rows(
                 os.path.join(scale_dir, "embeddings.parquet")
             )
