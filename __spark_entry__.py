@@ -3212,7 +3212,10 @@ def q106_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # q80's replay with the candidate set restricted to the label slice —
-# string-derived so the probe replay can never drift from q80's
+# string-derived so the probe replay can never drift from q80's; the
+# count==1 guard (same as _q112_sql's) makes a reworded base fail at
+# import instead of silently reverting the oracle to the unfiltered query
+assert Q80_SQL.count("WHERE assign.cell IN (SELECT cell FROM probe)") == 1
 Q106_SQL = Q80_SQL.replace(
     "WHERE assign.cell IN (SELECT cell FROM probe)",
     "WHERE assign.cell IN (SELECT cell FROM probe)\n"
@@ -3241,7 +3244,9 @@ def q107_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # q80's replay with the top-k tail swapped for the threshold filter —
-# everything above the SELECT is shared verbatim
+# everything above the SELECT is shared verbatim (count==1 guard: a
+# reworded Q80 must fail here, not produce a silently-wrong splice)
+assert Q80_SQL.count("SELECT cand.vec_id,") == 1
 Q107_SQL = Q80_SQL.split("SELECT cand.vec_id,")[0].rstrip().rstrip(")").rstrip() + """
 ),
 scored AS (
@@ -4107,7 +4112,10 @@ ORDER BY qid, cosine_sim DESC, vec_id
 """
 
 # q96's replay with the q108 label restriction spliced into the
-# candidate CTE (Q108_SQL_FILTER is defined next to q108 above)
+# candidate CTE (Q108_SQL_FILTER is defined next to q108 above); the
+# count==1 guard makes a reworded Q96 fail at import, not revert the
+# oracle to the unfiltered join
+assert Q96_SQL.count("WHERE a.rn = 1") == 1
 Q108_SQL = Q96_SQL.replace("WHERE a.rn = 1", Q108_SQL_FILTER)
 
 

@@ -327,18 +327,21 @@ def run_query(
             hid = sim.get("id_col", "doc_id")
             if not isinstance(hid, str) or hid not in df.columns:
                 raise DSLError(f"hybrid id_col {hid!r} is not a column")
+            htext = sim.get("text_col", "text")
+            if not isinstance(htext, str) or htext not in df.columns:
+                raise DSLError(f"hybrid text_col {htext!r} is not a column")
             spark = df.sparkSession
             if weights is None:
                 df = hybrid_search(
                     df, spark, hpath, terms, hq, hk,
                     k_cand=k_cand, n_probe=n_probe, rrf_k=rrf_k,
-                    id_col=hid, text_col=sim.get("text_col", "text"),
+                    id_col=hid, text_col=htext,
                 )
             else:
                 lex = (
                     bm25_scores(
                         df, terms, id_col=hid,
-                        text_col=sim.get("text_col", "text"),
+                        text_col=htext,
                     )
                     .select(hid, F.round("score", 6).alias("score"))
                     .orderBy(F.col("score").desc(), F.col(hid).asc())
@@ -465,6 +468,13 @@ def run_query(
                     pred = cmps[fop](F.col(fcol), F.lit(fval))
                 else:
                     raise DSLError(f"filter op not allowed: {fop!r}")
+                if id_col not in df.columns:
+                    # fail-closed like fcol above — a bad id_col must be a
+                    # DSLError, not a raw AnalysisException from the select
+                    raise DSLError(
+                        f"id_col {id_col!r} is not a column of table "
+                        f"{spec.get('table')!r}"
+                    )
                 filter_ids = df.where(pred).select(id_col)
             if thr is not None and kind != "ivf":
                 # coded stores rank by approximate distance, where a

@@ -96,6 +96,12 @@ def get_spark(
         # tables the scale rehearsals broadcast (vector attach in the SRP
         # index probe) — this is a cap, not an allocation
         .config("spark.driver.maxResultSize", os.environ.get("SPARK_MAX_RESULT_SIZE", "8g"))
+        # faulthandler in every Python worker: zero cost until a worker
+        # dies, and then the executor log carries the real Python-side
+        # traceback instead of "exited unexpectedly (crashed)" — the r9
+        # bench tail had exactly that spam with no diagnosis possible
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -1,4 +1,4 @@
-"""weighted_sample (Efraimidis-Spirakis with hash-derived uniforms) and
+"""weighted_sample (sequential Poisson / Ohlsson, hash-derived uniforms) and
 pack_shards (two-level distributed prefix sum).  q110/q111 hash-gate
 both against DuckDB; these tests pin the properties the oracles can't:
 the group decomposition is invisible at ANY group_span, the sample

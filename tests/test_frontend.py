@@ -943,6 +943,10 @@ def test_dsl_ann_probe_filter_range_rejections(spark, catalog, tmp_path):
         {**base, "k": 5, "filter": {"col": "label", "op": "in", "value": 7}},
         {**base, "k": 5, "filter": {"col": "label", "op": "in", "value": [7, True]}},
         {**base, "k": 5, "filter": {"col": 3, "op": "=", "value": 7}},
+        # a bad id_col with a valid filter must be a DSLError, not a raw
+        # AnalysisException from the allow-set select
+        {**base, "k": 5, "id_col": "nope",
+         "filter": {"col": "label", "op": "=", "value": 7}},
     ]
     for sim_spec in bad:
         with pytest.raises(DSLError):
@@ -1032,6 +1036,8 @@ def test_dsl_hybrid_rejections(spark, catalog, tmp_path):
         {**base, "weights": [1.0, 0.0]},
         {**base, "weights": [1.0, True]},
         {**base, "id_col": "nope"},
+        {**base, "text_col": "nope"},
+        {**base, "text_col": 3},
     ]
     for sim_spec in bad:
         with pytest.raises(DSLError):
