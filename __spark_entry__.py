@@ -3336,6 +3336,64 @@ def _q112_sql() -> str:
     )
 
 
+def q113_dsl_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSL SURFACE itself, oracle-gated: this entry's body is
+    `frontend.dsl.run_query(spec)` — a JSON-shaped spec compiled through
+    the safe declarative surface (the replacement for the reference's
+    exec-RCE query endpoint, app/query/views.py:56-66) — never a direct
+    library call.  The spec is the weighted-hybrid shape the DSL gained
+    in r9 (BM25 top-20 + persisted-IVF probe top-20, RRF-fused with the
+    lexical list trusted 3:1, final top-15; constants deliberately
+    distinct from q109's 1:1/25/20 and q112's 2:1 so this hash is its
+    own answer, not a copy of either).  What the hash proves that
+    pytest's bit-parity tests could not: the driver's oracle checks the
+    COMPILED plan end-to-end against DuckDB — a compiler regression that
+    mis-wires k_cand, weight order, or the rank/round discipline fails
+    here even if the library units it composes all stay green."""
+    from esper_tv_spark.frontend.dsl import run_query
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    idx = _ivf_index_dir(spark, sf_dir, n_cells=16)
+    spec = {
+        "table": "documents",
+        "similarity": {
+            "op": "hybrid",
+            "index": "faces",
+            "terms": list(_Q75_TERMS),
+            "query": qv,
+            "k": 15,
+            "k_cand": 20,
+            "n_probe": 3,
+            "weights": [3.0, 1.0],
+        },
+    }
+    return run_query({"documents": docs}, spec, index_catalog={"faces": idx})
+
+
+# q109's replay re-parameterized to q113's spec constants (k_cand 25->20,
+# final top 20->15, lexical weight 1.0->3.0) — every splice is guarded so
+# a reworded base fails at import, never silently reverts
+def _q113_sql() -> str:
+    sql = _q109_sql()
+    final = "ORDER BY rrf_score DESC, doc_id ASC LIMIT 20"
+    assert sql.count(final) == 1
+    sql = sql.replace(final, "ORDER BY rrf_score DESC, doc_id ASC LIMIT 15")
+    assert sql.count("LIMIT 25") == 2  # the lex and vec candidate lists
+    sql = sql.replace("LIMIT 25", "LIMIT 20")
+    lex_contrib = (
+        "SELECT doc_id, CAST(round(round(1.0 / (60 + rnk), 9) * 1e9, 0) AS BIGINT) AS cl\n"
+        "  FROM lexrank"
+    )
+    assert sql.count(lex_contrib) == 1
+    return sql.replace(
+        lex_contrib,
+        "SELECT doc_id, CAST(round(round(3.0 / (60 + rnk), 9) * 1e9, 0) AS BIGINT) AS cl\n"
+        "  FROM lexrank",
+    )
+
+
 def q110_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (corpus.weighted_sample): 50 documents drawn proportional to
@@ -5393,6 +5451,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q110_weighted_sample": q110_weighted_sample,
     "q111_shard_packing": q111_shard_packing,
     "q112_weighted_rrf": q112_weighted_rrf,
+    "q113_dsl_hybrid": q113_dsl_hybrid,
     "q87_ivf_cell_census": q87_ivf_cell_census,
     "q88_pq_adc_topk": q88_pq_adc_topk,
     "q79_label_writeback": q79_label_writeback,
@@ -5578,6 +5637,7 @@ _ORACLES: dict[str, str] = {
     "q110_weighted_sample": Q110_SQL,
     "q111_shard_packing": Q111_SQL,
     "q112_weighted_rrf": _q112_sql(),
+    "q113_dsl_hybrid": _q113_sql(),
     "q81_pq_codes": Q81_SQL,
     "q87_ivf_cell_census": Q87_SQL,
     "q88_pq_adc_topk": Q88_SQL,
