@@ -476,6 +476,22 @@ def run_query(
                         f"{spec.get('table')!r}"
                     )
                 filter_ids = df.where(pred).select(id_col)
+            fset = sim.get("filter_set")
+            if fset is not None:
+                # a PERSISTED allow-set (similarity.build_filter_set),
+                # addressed by KEY — the serving path: the predicate was
+                # evaluated and deduplicated once at build, so the probe
+                # pays a tiny pruned read instead of a corpus distinct
+                if flt is not None:
+                    raise DSLError("'filter' and 'filter_set' are exclusive")
+                if not isinstance(fset, str):
+                    raise DSLError("'filter_set' must be a key string")
+                from esper_tv_spark.operators.similarity import load_filter_set
+
+                try:
+                    filter_ids = load_filter_set(df.sparkSession, path, fset)
+                except ValueError as e:
+                    raise DSLError(str(e)) from e
             if thr is not None and kind != "ivf":
                 # coded stores rank by approximate distance, where a
                 # cosine bar is undefined — reject, never mis-rank

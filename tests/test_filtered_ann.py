@@ -274,3 +274,95 @@ def test_selective_filter_broadcasts(spark, emb, qv, ivf_idx, allow):
     )
     assert "BroadcastHashJoin" in plan
     assert "LeftSemi" in plan
+
+
+# ------------------------------------------------- persisted allow-sets
+
+
+def test_filter_set_parity_with_inline(spark, emb, qv, ivf_idx, allow):
+    """A persisted allow-set (build_filter_set) must be bit-identical to
+    the inline DataFrame filter on every probe family — the artifact is
+    an execution optimization (build-once distinct), never a semantics
+    change."""
+    fdir = sim.build_filter_set(allow, ivf_idx, key="label = 7")
+    assert fdir == sim.load_filter_set(spark, ivf_idx, "label = 7")
+    inline = _rows(sim.ivf_probe_index(spark, ivf_idx, qv, 10, n_probe=3, filter_ids=allow))
+    stored = _rows(sim.ivf_probe_index(spark, ivf_idx, qv, 10, n_probe=3, filter_ids=fdir))
+    assert stored == inline and len(stored) > 0
+
+
+def test_filter_set_no_distinct_in_plan(spark, emb, qv, ivf_idx, allow):
+    """The point of persisting: the per-probe corpus-wide distinct
+    disappears.  The inline path carries an aggregate on the allow side;
+    the stored path's filter subtree is a plain pruned parquet read."""
+    fdir = sim.build_filter_set(allow, ivf_idx, key="label = 7")
+    inline_plan = physical_plan(
+        sim.ivf_probe_index(spark, ivf_idx, qv, 10, n_probe=3, filter_ids=allow)
+    )
+    stored_plan = physical_plan(
+        sim.ivf_probe_index(spark, ivf_idx, qv, 10, n_probe=3, filter_ids=fdir)
+    )
+    assert "HashAggregate" in inline_plan  # the distinct it used to pay
+    assert "HashAggregate" not in stored_plan
+    assert "BroadcastHashJoin" in stored_plan and "LeftSemi" in stored_plan
+
+
+def test_filter_set_fails_closed(spark, emb, qv, ivf_idx, tmp_path):
+    """Unknown keys and incomplete artifacts raise — probing a partial
+    allow-set would silently drop matches."""
+    with pytest.raises(ValueError, match="filter set"):
+        sim.load_filter_set(spark, ivf_idx, "never built")
+    fdir = sim.build_filter_set(
+        emb.where(F.col("label") == 3).select("vec_id"), ivf_idx, key="label = 3"
+    )
+    os.remove(os.path.join(fdir, "meta.json"))  # simulate a crashed build
+    with pytest.raises(ValueError, match="incomplete"):
+        sim.ivf_probe_index(spark, ivf_idx, qv, 10, n_probe=3, filter_ids=fdir).collect()
+
+
+def test_filter_set_composes_with_batch_join_and_dsl(spark, emb, ivf_idx, allow):
+    """The stored set threads through the batch join and the DSL
+    'filter_set' key; bad keys are DSLError, not raw exceptions."""
+    import pytest as _pytest
+
+    from esper_tv_spark.frontend.dsl import DSLError, run_query
+
+    fdir = sim.build_filter_set(allow, ivf_idx, key="label = 7")
+    queries = emb.where(F.col("vec_id").isin([0, 7])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    inline = _rows(
+        sim.ivf_knn_join_index(spark, ivf_idx, queries, 5, n_probe=3, filter_ids=allow)
+    )
+    stored = _rows(
+        sim.ivf_knn_join_index(spark, ivf_idx, queries, 5, n_probe=3, filter_ids=fdir)
+    )
+    assert stored == inline and len(stored) > 0
+
+    cat = {"faces": ivf_idx}
+    spec = {
+        "table": "embeddings",
+        "similarity": {
+            "op": "ann_probe", "index": "faces", "query_id": 0, "k": 10,
+            "filter_set": "label = 7",
+        },
+    }
+    via_dsl = _rows(run_query({"embeddings": emb}, spec, index_catalog=cat))
+    direct = _rows(
+        sim.ivf_probe_index(spark, ivf_idx, [
+            float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+        ], 10, n_probe=3, filter_ids=fdir)
+    )
+    assert via_dsl == direct and len(via_dsl) > 0
+    for bad in (
+        {"op": "ann_probe", "index": "faces", "query_id": 0, "k": 10,
+         "filter_set": "never built"},
+        {"op": "ann_probe", "index": "faces", "query_id": 0, "k": 10,
+         "filter_set": 3},
+        {"op": "ann_probe", "index": "faces", "query_id": 0, "k": 10,
+         "filter_set": "label = 7",
+         "filter": {"col": "label", "op": "=", "value": 7}},
+    ):
+        with _pytest.raises(DSLError):
+            run_query({"embeddings": emb}, {"table": "embeddings", "similarity": bad},
+                      index_catalog=cat)

@@ -1,6 +1,7 @@
 """Sampled large-scale oracle for the documented sf100-oracle-INFEASIBLE
-queries (q85 SemDeDup, q94 OPQ IVF-PQ) — converts their 1000x evidence
-from "structurally argued" to "spot-hash-proven" (round-7 VERDICT #5).
+queries (q85 SemDeDup, q94 OPQ IVF-PQ, q103 trained-groups hier probe) —
+converts their 1000x evidence from "structurally argued" to
+"spot-hash-proven" (round-7 VERDICT #5; q103 added per round-9 #4).
 
 Why full oracles are infeasible there: q94's rotation replay rebuilds
 rotated lists for ALL n vectors (n x 64 rows, each a 64-dot, then a
@@ -289,6 +290,205 @@ def q85_check(spark, m, sf_dir: str, sample: int) -> dict:
     }
 
 
+def q103_check(spark, m, sf_dir: str, sample: int) -> dict:
+    """Sampled sf100 oracle for q103 (trained-groups hierarchical probe).
+
+    Why the full oracle is infeasible at sf100: Q103_SQL derives
+    everything from the base table, and DuckDB re-inlines the 2.05M x
+    256-dim corpus CTE at each of its five references (two Lloyd
+    iterations + final grouping + probe + rerank) — measured OOM at 32
+    AND 80 GB caps (r9).  The decomposition sidesteps it by replaying
+    against STORED index state (the q94 pattern):
+
+    (a) level-1 TRAINING replay, EXHAUSTIVE: the two unrolled Lloyd
+        iterations (rounded-d2 argmin, ties to the smaller grp; exact
+        scaled-bigint coordinate means; empty groups keep their center)
+        re-derived in DuckDB from the stored 16-row centroid table, and
+        the resulting trained centers + final cell->group assignment
+        compared to the stored groups/ and centroids/ tables exactly —
+        the training arithmetic is the thing q103 exists to pin, and it
+        is checked in full, not sampled;
+    (b) PROBE replay over stored state, EXHAUSTIVE: group ranking
+        (top-2 by rounded cosine), restricted cell ranking (top-3 among
+        the winning groups' cells), then every stored posting row of the
+        probed cells scored — the reported top-10 must match Spark's
+        exactly;
+    (c) sampled ASSIGNMENT replay: a deterministic id sample across the
+        WHOLE corpus re-derives argmin-d2 cell from base embeddings and
+        compares to the hive partition the row was stored under."""
+    idx = m._hier_ivf_index_dir(spark, sf_dir, n_cells=16, n_groups=4, train_iters=2)
+    got = [
+        (int(r["vec_id"]), float(r["cosine_sim"]))
+        for r in m.q103_trained_groups_ann(spark, sf_dir).collect()
+    ]
+    n = m._parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet"))
+
+    con = _duck()
+    con.execute(f"CREATE VIEW emb AS SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    con.execute(
+        "CREATE VIEW cells AS SELECT * FROM read_parquet("
+        f"'{idx}/cells/*/*.parquet', hive_partitioning=1)"
+    )
+    con.execute(
+        "CREATE VIEW cents AS SELECT * FROM read_parquet("
+        f"'{idx}/centroids/*/*.parquet', hive_partitioning=1)"
+    )
+    con.execute(f"CREATE VIEW grps AS SELECT * FROM '{idx}/groups/*.parquet'")
+
+    # (a) training replay from the STORED cell centroids (16 rows) — the
+    # same CTE unroll as Q103_SQL's g0..gassign, retargeted at stored state
+    train_sql = f"""
+WITH c AS (SELECT cell, cv FROM cents),
+g0 AS (SELECT cell AS grp, cv AS gv FROM c ORDER BY cell LIMIT 4),
+a1 AS (
+  SELECT cell, grp FROM (
+    SELECT c.cell, g.grp,
+           row_number() OVER (PARTITION BY c.cell ORDER BY
+             round(list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(c.cv, g.gv)
+                   + list_dot_product(g.gv, g.gv), {ROUND}) ASC, g.grp ASC) AS rn
+    FROM c, g0 g) WHERE rn = 1
+),
+m1 AS (
+  SELECT a1.grp, generate_subscripts(c.cv, 1) AS pos, unnest(c.cv) AS val
+  FROM a1 JOIN c USING (cell)
+),
+s1 AS (
+  SELECT grp, pos,
+         round(CAST(sum(CAST(round(val * {SCALE}) AS BIGINT)) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * {SCALE}.0), {ROUND}) AS mean
+  FROM m1 GROUP BY grp, pos
+),
+l1 AS (SELECT grp, list(mean ORDER BY pos) AS gv FROM s1 GROUP BY grp),
+g1 AS (SELECT g0.grp, coalesce(l1.gv, g0.gv) AS gv FROM g0 LEFT JOIN l1 USING (grp)),
+a2 AS (
+  SELECT cell, grp FROM (
+    SELECT c.cell, g.grp,
+           row_number() OVER (PARTITION BY c.cell ORDER BY
+             round(list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(c.cv, g.gv)
+                   + list_dot_product(g.gv, g.gv), {ROUND}) ASC, g.grp ASC) AS rn
+    FROM c, g1 g) WHERE rn = 1
+),
+m2 AS (
+  SELECT a2.grp, generate_subscripts(c.cv, 1) AS pos, unnest(c.cv) AS val
+  FROM a2 JOIN c USING (cell)
+),
+s2 AS (
+  SELECT grp, pos,
+         round(CAST(sum(CAST(round(val * {SCALE}) AS BIGINT)) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * {SCALE}.0), {ROUND}) AS mean
+  FROM m2 GROUP BY grp, pos
+),
+l2 AS (SELECT grp, list(mean ORDER BY pos) AS gv FROM s2 GROUP BY grp),
+g2 AS (SELECT g1.grp, coalesce(l2.gv, g1.gv) AS gv FROM g1 LEFT JOIN l2 USING (grp)),
+gassign AS (
+  SELECT cell, grp FROM (
+    SELECT c.cell, g.grp,
+           row_number() OVER (PARTITION BY c.cell ORDER BY
+             round(list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(c.cv, g.gv)
+                   + list_dot_product(g.gv, g.gv), {ROUND}) ASC, g.grp ASC) AS rn
+    FROM c, g2 g) WHERE rn = 1
+)
+"""
+    bad_centers = con.execute(
+        train_sql
+        + """SELECT count(*) FROM g2 JOIN grps USING (grp) WHERE g2.gv != grps.gv"""
+    ).fetchone()[0]
+    bad_grouping = con.execute(
+        train_sql
+        + """SELECT count(*) FROM gassign JOIN cents USING (cell)
+             WHERE gassign.grp != cents.grp"""
+    ).fetchone()[0]
+
+    # (b) probe replay over STORED state: trained-group ranking, restricted
+    # cell ranking, exhaustive posting-list rerank
+    con.execute(
+        """CREATE VIEW rq AS
+        SELECT embedding::DOUBLE[] AS qv FROM emb WHERE vec_id = 41"""
+    )
+    gprobe = [
+        int(r[0])
+        for r in con.execute(
+            f"""SELECT g.grp FROM grps g, rq
+            ORDER BY round(list_dot_product(g.gv, rq.qv)
+                     / (sqrt(list_dot_product(g.gv, g.gv))
+                        * sqrt(list_dot_product(rq.qv, rq.qv))), {ROUND}) DESC,
+                     g.grp ASC LIMIT 2"""
+        ).fetchall()
+    ]
+    gp_sql = ", ".join(str(g) for g in gprobe)
+    probe = [
+        int(r[0])
+        for r in con.execute(
+            f"""SELECT c.cell FROM cents c, rq
+            WHERE c.grp IN ({gp_sql})
+            ORDER BY round(list_dot_product(c.cv, rq.qv)
+                     / (sqrt(list_dot_product(c.cv, c.cv))
+                        * sqrt(list_dot_product(rq.qv, rq.qv))), {ROUND}) DESC,
+                     c.cell ASC LIMIT 3"""
+        ).fetchall()
+    ]
+    probe_sql = ", ".join(str(c) for c in probe)
+    top = con.execute(
+        f"""SELECT cells.id,
+               round(list_dot_product(cells.v, rq.qv)
+                     / (sqrt(list_dot_product(cells.v, cells.v))
+                        * sqrt(list_dot_product(rq.qv, rq.qv))), {ROUND}) AS cs
+        FROM cells, rq WHERE cells.cell IN ({probe_sql})
+        ORDER BY cs DESC, cells.id ASC LIMIT 10"""
+    ).fetchall()
+    want = [(int(r[0]), float(r[1])) for r in top]
+    topk_match = want == got
+
+    # (c) sampled whole-corpus assignment replay vs stored partition
+    mod = max(1, n // max(1, sample))
+    bad_assign = con.execute(
+        f"""WITH s AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM emb WHERE vec_id % {mod} = 0
+        ),
+        d AS (
+            SELECT s.vec_id, cents.cell,
+                   round(list_dot_product(s.v, s.v)
+                         - 2.0 * list_dot_product(s.v, cents.cv)
+                         + list_dot_product(cents.cv, cents.cv), {ROUND}) AS d2
+            FROM s, cents
+        ),
+        a AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2 ASC, cell ASC) AS rn
+            FROM d
+        )
+        SELECT count(*)
+        FROM a JOIN cells ON cells.id = a.vec_id
+        WHERE a.rn = 1 AND cells.cell != a.cell"""
+    ).fetchone()[0]
+    n_sampled = con.execute(
+        f"SELECT count(*) FROM emb WHERE vec_id % {mod} = 0"
+    ).fetchone()[0]
+    con.close()
+    ok = (
+        bad_centers == 0
+        and bad_grouping == 0
+        and topk_match
+        and bad_assign == 0
+        and n_sampled > 0
+    )
+    return {
+        "step": "sampled_oracle_q103",
+        "sf_dir": sf_dir,
+        "n": n,
+        "trained_center_mismatches": int(bad_centers),
+        "grouping_mismatches": int(bad_grouping),
+        "probed_groups": gprobe,
+        "probed_cells": probe,
+        "top10_exact_match": topk_match,
+        "sampled_ids": int(n_sampled),
+        "assignment_mismatches": int(bad_assign),
+        "spark_top10": got,
+        "ok": ok,
+    }
+
+
 def main() -> int:
     sf_dir = next(
         (a for a in sys.argv[1:] if not a.startswith("--")),
@@ -306,7 +506,11 @@ def main() -> int:
     spark = get_spark("sampled-oracle")
     spark.sparkContext.setLogLevel("ERROR")
     rc = 0
-    for check in (q94_check, q85_check):
+    only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only")]
+    checks = (q94_check, q85_check, q103_check)
+    if only:
+        checks = tuple(c for c in checks if c.__name__ in only[0].split(","))
+    for check in checks:
         t0 = time.time()
         try:
             row = check(spark, m, sf_dir, sample)
