@@ -4438,26 +4438,36 @@ def q105_lut_table_adc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_probe=3; THIS query pins the table carrier itself under the oracle
     hash: same index, same query batch, n_probe=12 with the literal
     threshold forced down to 8, so the carrier switch is exercised at
-    gate scale every round.  The oracle is q98's replay verbatim with
-    the probe rank widened to 12 — the carrier is an execution detail
-    the results must be invariant to, and the hash proves it against an
-    independent engine rather than only against our own literal path
-    (tests/test_plans.py keeps the bit-parity assert too).  Reference
-    shape: batch serving of face_embeddings.py:74-96 knn."""
+    gate scale every round.  The oracle is q98's replay with the probe
+    rank widened to 10 and the batch cut to (0, 7) — the carrier is an
+    execution detail the results must be invariant to, and the hash
+    proves it against an independent engine rather than only against
+    our own literal path (tests/test_plans.py keeps the bit-parity
+    assert too).  Config note (r9 VERDICT #7): the original pin
+    (3 queries x n_probe=12) spent 12% of the bench wall re-proving the
+    same switch every round; 2 queries x n_probe=10 exercises the
+    identical carrier path (10 > threshold 8) at ~half the cost, and
+    the per-query plan is unchanged.  Reference shape: batch serving of
+    face_embeddings.py:74-96 knn."""
     emb = _t(spark, sf_dir, "embeddings")
     idx = _q98_index_dir(spark, sf_dir)
-    queries = emb.where(F.col("vec_id").isin([0, 7, 13])).select(
+    queries = emb.where(F.col("vec_id").isin([0, 7])).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     out = similarity.ivfpq_knn_join_index(
-        spark, idx, queries, 10, n_probe=12, lut_literal_max_probe=8
+        spark, idx, queries, 10, n_probe=10, lut_literal_max_probe=8
     )
     return out.orderBy("qid", F.col("adist").asc(), "vec_id")
 
 
-# q98's replay with the probe rank widened to the table-carrier depth —
-# string-derived so the two oracles can never drift apart structurally
-Q105_SQL = Q98_SQL.replace("p.rn <= 3", "p.rn <= 12")
+# q98's replay with the probe rank widened to the table-carrier depth and
+# the batch cut to (0, 7) — string-derived so the two oracles can never
+# drift apart structurally; count==1 guards fail at import on a reworded base
+assert Q98_SQL.count("p.rn <= 3") == 2  # both probe-rank sites widen together
+assert Q98_SQL.count("vec_id IN (0, 7, 13)") == 1
+Q105_SQL = Q98_SQL.replace("p.rn <= 3", "p.rn <= 10").replace(
+    "vec_id IN (0, 7, 13)", "vec_id IN (0, 7)"
+)
 
 
 def q99_ivfsq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
