@@ -253,6 +253,55 @@ def main() -> None:
             for k, v in saved.items():
                 spark.conf.set(k, v)
 
+    # decoder-hook row (r9 VERDICT #8): price the set_decoder seam — the
+    # path a 100 TB decode run uses — against the default pure-Python
+    # codec on the same Sub-filtered PNG workload, asserting identical
+    # decoded stats.  The workload is generated in-memory (Sub filter
+    # exercises the sequential unfilter the fast path vectorizes; the
+    # contract fixtures use filter 0, where the two decoders coincide).
+    decoder_hook: dict[str, object] = {}
+    try:
+        import numpy as _np
+
+        from esper_tv_spark.operators import multimodal as _mm
+
+        _rng = _np.random.RandomState(20260816)
+        _rows = []
+        for a in range(96):
+            img = _rng.randint(0, 256, size=(96, 96, 3), dtype=_np.uint8)
+            _rows.append(
+                (a, bytearray(_mm.png_encode(img, filter_type=1)), (96, 96, "png"))
+            )
+        _assets = spark.createDataFrame(
+            _rows, f"asset_id long, payload binary, meta struct<{_mm.IMAGE_META_SCHEMA}>"
+        ).repartition(32)
+
+        def _decode_all():
+            t0 = time.time()
+            got = sorted(
+                tuple(r) for r in _mm.decode_stats(_assets).collect()
+            )
+            return round(time.time() - t0, 3), got
+
+        default_s, default_stats = _decode_all()
+        prev = _mm.install_fast_decoders()
+        try:
+            hooked_s, hooked_stats = _decode_all()
+        finally:
+            _mm.set_decoder(prev)
+        if hooked_stats != default_stats:
+            raise AssertionError("hooked decoder diverged from default stats")
+        decoder_hook = {
+            "images": 96,
+            "px": "96x96 Sub-filtered PNG",
+            "default_s": default_s,
+            "hooked_s": hooked_s,
+            "speedup": round(default_s / max(hooked_s, 1e-9), 1),
+            "parity": True,
+        }
+    except Exception as e:  # noqa: BLE001 — report, don't hide
+        decoder_hook = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+
     # multi-probe SemDeDup recall: the scale fixture's planted ~0.95-cosine
     # near-dup pairs are a KNOWN answer; measure how many planted dup ids
     # the production path catches at cluster_probes 1 vs 2 (the round-6
@@ -342,6 +391,8 @@ def main() -> None:
         out["scale_sf1"] = scale
     if semrec:
         out["semdedup_recall"] = semrec
+    if decoder_hook:
+        out["decoder_hook"] = decoder_hook
     if skew:
         out["skew"] = skew
     line = json.dumps(out)

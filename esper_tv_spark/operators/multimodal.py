@@ -106,6 +106,96 @@ def png_decode(payload: bytes) -> np.ndarray:
     subset raises DecoderNotAvailable so callers can fall back
     (mirrors the reference serving real frames, app/esper/prelude.py:125-136).
     """
+    w, h, stride, raw = _png_inflate(payload)
+    bpp = 3
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ftype = raw[r * (1 + stride)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (1 + stride) + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up — vectorized, no within-row dependency
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth — sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (line[x] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise DecoderNotAvailable(f"unknown PNG filter {ftype}")
+        img[r] = cur.astype(np.uint8)
+        prev = cur
+    return img.reshape(h, w, 3)
+
+
+def png_decode_fast(payload: bytes) -> np.ndarray:
+    """The set_decoder FAST PATH for the same PNG subset: identical parse,
+    but the unfilter vectorizes the two filters with a closed form —
+    Sub (1) is a per-channel running sum, so `cumsum` over uint8 (whose
+    overflow IS the mod-256 the spec wants) unfilters a whole scanline in
+    one numpy op, and Up (2) adds the previous row elementwise; None (0)
+    is a copy.  Average/Paeth (3/4) fall back to the reference decoder's
+    sequential loop (their predictor mixes both neighbors, so there is no
+    scan-free closed form).  Same answers by construction — pytest pins
+    bit-parity against `png_decode` per filter type — this function only
+    changes WALL: it is what a 100 TB decode run would install via
+    `set_decoder` when a native codec is unavailable (and the measured
+    stand-in for one when it is: the bench's decoder_hook row prices the
+    seam itself)."""
+    w, h, stride, raw = _png_inflate(payload)
+    bpp = 3
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ftype = raw[r * (1 + stride)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (1 + stride) + 1
+        )
+        if ftype == 0:
+            cur = line.copy()
+        elif ftype == 1:  # Sub: per-channel cumsum, uint8 wrap == mod 256
+            cur = line.reshape(-1, bpp).cumsum(axis=0, dtype=np.uint8).reshape(-1)
+        elif ftype == 2:  # Up
+            cur = line + prev  # uint8 wraparound
+        elif ftype in (3, 4):
+            icur = np.zeros(stride, dtype=np.int32)
+            iline = line.astype(np.int32)
+            iprev = prev.astype(np.int32)
+            for x in range(stride):
+                a = icur[x - bpp] if x >= bpp else 0
+                b = iprev[x]
+                if ftype == 3:
+                    icur[x] = (iline[x] + (a + b) // 2) & 0xFF
+                else:
+                    c = iprev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    icur[x] = (iline[x] + pred) & 0xFF
+            cur = icur.astype(np.uint8)
+        else:
+            raise DecoderNotAvailable(f"unknown PNG filter {ftype}")
+        img[r] = cur
+        prev = cur
+    return img.reshape(h, w, 3)
+
+
+def _png_inflate(payload: bytes) -> "tuple[int, int, int, bytes]":
+    """Shared PNG front half: chunk walk -> IHDR geometry -> bounded
+    zlib-inflate of the concatenated IDAT.  Returns (w, h, stride, raw)."""
     import zlib
 
     if not payload or not payload.startswith(_PNG_SIG):
@@ -152,47 +242,30 @@ def png_decode(payload: bytes) -> np.ndarray:
         raise DecoderNotAvailable(f"bad IDAT stream: {e}") from e
     if len(raw) != expected:
         raise DecoderNotAvailable("decompressed size mismatch")
-    img = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for r in range(h):
-        ftype = raw[r * (1 + stride)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=r * (1 + stride) + 1
-        ).astype(np.int32)
-        if ftype == 0:  # None
-            cur = line
-        elif ftype == 2:  # Up — vectorized, no within-row dependency
-            cur = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth — sequential in x
-            cur = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                if ftype == 1:
-                    cur[x] = (line[x] + a) & 0xFF
-                elif ftype == 3:
-                    cur[x] = (line[x] + (a + b) // 2) & 0xFF
-                else:
-                    c = prev[x - bpp] if x >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    cur[x] = (line[x] + pred) & 0xFF
-        else:
-            raise DecoderNotAvailable(f"unknown PNG filter {ftype}")
-        img[r] = cur.astype(np.uint8)
-        prev = cur
-    return img.reshape(h, w, 3)
+    return w, h, stride, raw
 
 
-def png_encode(img: np.ndarray) -> bytes:
-    """Minimal 8-bit RGB PNG writer (filter 0 on every scanline) — used to
-    build REAL PNG fixtures whose pixels are closed-form so a SQL oracle can
-    recompute decoded stats independently."""
+def png_encode(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal 8-bit RGB PNG writer — used to build REAL PNG fixtures whose
+    pixels are closed-form so a SQL oracle can recompute decoded stats
+    independently.  `filter_type` 0 (None, the default every fixture uses)
+    or 1 (Sub) — Sub-filtered fixtures exercise the sequential unfilter
+    path that separates the default decoder from the vectorized fast one."""
     import zlib
 
     h, w, _ = img.shape
-    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    if filter_type == 0:
+        raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    elif filter_type == 1:
+        lines = []
+        for r in range(h):
+            row = img[r].reshape(-1).astype(np.int16)
+            filt = row.copy()
+            filt[3:] = (row[3:] - row[:-3]) & 0xFF
+            lines.append(b"\x01" + filt.astype(np.uint8).tobytes())
+        raw = b"".join(lines)
+    else:
+        raise ValueError(f"unsupported encode filter {filter_type}")
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -585,6 +658,35 @@ def set_decoder(fn: Callable[[bytes], np.ndarray]) -> None:
     """Install a real decoder (e.g. PIL-based) when the codec libs exist."""
     global _decoder
     _decoder = fn
+
+
+def get_decoder() -> Callable[[bytes], np.ndarray]:
+    """The currently installed decoder (for save/restore around a hook)."""
+    return _decoder
+
+
+def _sniff_decode_fast(payload: bytes) -> np.ndarray:
+    """The shipped set_decoder payload: same sniffing contract as the
+    default, with the PNG branch routed through the vectorized unfilter
+    (png_decode_fast).  This is the decoder a production deployment of
+    THIS container installs; a PIL/libjpeg deployment replaces it with
+    the same one-line set_decoder call."""
+    if payload.startswith(b"P6"):
+        return ppm_decode(payload)
+    if payload.startswith(_PNG_SIG):
+        return png_decode_fast(payload)
+    if payload.startswith(b"\xff\xd8"):
+        return jpeg_decode(payload)
+    return _fake_decode(payload)
+
+
+def install_fast_decoders() -> Callable[[bytes], np.ndarray]:
+    """Install `_sniff_decode_fast` via the public seam and return the
+    PREVIOUS decoder so callers can restore it — the bench's decoder_hook
+    row uses exactly this to price the hook path against the default."""
+    prev = get_decoder()
+    set_decoder(_sniff_decode_fast)
+    return prev
 
 
 def make_asset_table(spark, n: int = 50, seed: int = 42) -> DataFrame:

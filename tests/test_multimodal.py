@@ -144,6 +144,41 @@ def test_png_decode_all_filters():
         + chunk(b"IEND", b"")
     )
     assert np.array_equal(png_decode(payload).reshape(h, stride), target.astype(np.uint8))
+    # the vectorized fast path must agree on EVERY filter arm (its whole
+    # contract is wall-only: cumsum-Sub / add-Up closed forms, loop 3/4)
+    from esper_tv_spark.operators.multimodal import png_decode_fast
+
+    assert np.array_equal(
+        png_decode_fast(payload).reshape(h, stride), target.astype(np.uint8)
+    )
+
+
+def test_png_fast_decoder_parity_and_hook():
+    """png_decode_fast is bit-identical to png_decode on filter-0 and
+    Sub-filtered encodes of random images, and install_fast_decoders
+    routes decode through it via the public set_decoder seam (and
+    restores cleanly)."""
+    import numpy as np
+
+    from esper_tv_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    for _ in range(8):
+        h, w = int(rng.randint(3, 30)), int(rng.randint(3, 30))
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for ft in (0, 1):
+            p = mm.png_encode(img, filter_type=ft)
+            assert np.array_equal(mm.png_decode(p), img)
+            assert np.array_equal(mm.png_decode_fast(p), img)
+    img = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    p = mm.png_encode(img, filter_type=1)
+    prev = mm.install_fast_decoders()
+    try:
+        assert mm.get_decoder() is mm._sniff_decode_fast
+        assert np.array_equal(mm.get_decoder()(p), img)
+    finally:
+        mm.set_decoder(prev)
+    assert mm.get_decoder() is prev
 
 
 def test_malformed_payloads_raise_decoder_not_available():
