@@ -971,7 +971,9 @@ def _apply_tombstones(spark, path: str, posting: DataFrame) -> DataFrame:
     )
 
 
-def build_filter_set(ids: DataFrame, index_path: str, key: str) -> str:
+def build_filter_set(
+    ids: DataFrame, index_path: str, key: str, mode: str = "allow"
+) -> str:
     """Persist a BUILD-ONCE allow-set artifact for pre-filtered ANN
     serving, keyed by the caller's predicate identity.
 
@@ -992,11 +994,23 @@ def build_filter_set(ids: DataFrame, index_path: str, key: str) -> str:
     index builders: a partial write is detectable, never silently
     probed).  Returns the artifact dir — pass it (the string) as any
     probe's/join's `filter_ids` and `_apply_id_filter` skips the
-    per-probe distinct.  Rebuilding the same key overwrites in place."""
+    per-probe distinct.  Rebuilding the same key overwrites in place.
+
+    `mode`: with "allow" (default) `ids` ARE the allowed ids and serving
+    left-semi joins against them; with "deny" `ids` are the EXCLUDED ids
+    and serving left-anti joins.  Store whichever side of the predicate
+    is SMALLER: an excluding filter over 10% of the corpus is a 90%
+    allow set (~16 MB of longs per 2M rows, re-read and re-broadcast
+    per probe) but a 10% deny set — the r10 rehearsal measured the
+    allow-set read as the whole residual gap at small n_probe.  The
+    two modes are exact complements over the posting rows, so results
+    are identical for complementary builds (pytest-pinned)."""
     import hashlib
     import json
     import os
 
+    if mode not in ("allow", "deny"):
+        raise ValueError(f"build_filter_set: mode must be allow|deny, got {mode!r}")
     digest = hashlib.sha256(key.encode("utf-8")).hexdigest()[:16]
     fdir = os.path.join(index_path, "filters", digest)
     fcol = ids.columns[0]
@@ -1010,7 +1024,7 @@ def build_filter_set(ids: DataFrame, index_path: str, key: str) -> str:
         .parquet(os.path.join(fdir, "ids"))
     )
     with open(meta_path, "w", encoding="utf-8") as f:
-        json.dump({"key": key, "id_col": fcol}, f)
+        json.dump({"key": key, "id_col": fcol, "mode": mode}, f)
     return fdir
 
 
@@ -1067,20 +1081,26 @@ def _apply_id_filter(posting: DataFrame, filter_ids) -> DataFrame:
     if filter_ids is None:
         return posting
     if isinstance(filter_ids, str):
-        # a persisted allow-set dir (build_filter_set): pre-deduplicated
+        # a persisted filter-set dir (build_filter_set): pre-deduplicated
         # at build time, so the per-probe corpus-wide distinct — the
         # dominant cost of the filteredadv rehearsal's inline path — is
-        # not re-paid; the read is a pruned scan of just the id column
+        # not re-paid; the read is a pruned scan of just the id column.
+        # "deny" artifacts store the predicate's (smaller) complement and
+        # anti-join — same answers, a fraction of the broadcast bytes.
+        import json
         import os
 
         _validate_filter_set(filter_ids)
-        allow = (
+        with open(os.path.join(filter_ids, "meta.json"), encoding="utf-8") as f:
+            mode = json.load(f).get("mode", "allow")
+        stored = (
             posting.sparkSession.read.parquet(os.path.join(filter_ids, "ids"))
             .select(F.col("id").alias("__allow_id"))
         )
-    else:
-        fcol = filter_ids.columns[0]
-        allow = filter_ids.select(F.col(fcol).alias("__allow_id")).distinct()
+        how = "left_anti" if mode == "deny" else "left_semi"
+        return posting.join(stored, posting["id"] == F.col("__allow_id"), how)
+    fcol = filter_ids.columns[0]
+    allow = filter_ids.select(F.col(fcol).alias("__allow_id")).distinct()
     return posting.join(allow, posting["id"] == F.col("__allow_id"), "left_semi")
 
 

@@ -366,3 +366,23 @@ def test_filter_set_composes_with_batch_join_and_dsl(spark, emb, ivf_idx, allow)
         with _pytest.raises(DSLError):
             run_query({"embeddings": emb}, {"table": "embeddings", "similarity": bad},
                       index_catalog=cat)
+
+
+def test_filter_set_deny_mode_parity(spark, emb, qv, ivf_idx, allow, allow_ids):
+    """A 'deny' artifact storing the predicate's complement is exactly
+    equivalent to the 'allow' artifact (anti-join vs semi-join over the
+    same posting rows) — the mode exists so serving stores whichever
+    side is smaller."""
+    import pytest as _pytest
+
+    fdir_allow = sim.build_filter_set(allow, ivf_idx, key="label = 7")
+    deny_ids = emb.where(F.col("label") != 7).select("vec_id")
+    fdir_deny = sim.build_filter_set(
+        deny_ids, ivf_idx, key="label = 7 (deny complement)", mode="deny"
+    )
+    got_allow = _rows(sim.ivf_probe_index(spark, ivf_idx, qv, 10, n_probe=3, filter_ids=fdir_allow))
+    got_deny = _rows(sim.ivf_probe_index(spark, ivf_idx, qv, 10, n_probe=3, filter_ids=fdir_deny))
+    assert got_deny == got_allow and len(got_deny) > 0
+    assert all(int(r[0]) in allow_ids for r in got_deny)
+    with _pytest.raises(ValueError, match="allow|deny"):
+        sim.build_filter_set(allow, ivf_idx, key="x", mode="except")

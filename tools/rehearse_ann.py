@@ -775,7 +775,10 @@ def step_filteredset(spark, emit):
     stride = n // 10
     q_idx = np.arange(0, n, stride)[:10]
     q_labels = sorted({int(labels[qi]) for qi in q_idx})
-    # build once per named filter — the serving deployment's amortized cost
+    # build once per named filter — the serving deployment's amortized
+    # cost.  Two artifacts per filter: the (90%) allow set and the (10%)
+    # DENY complement — serving stores whichever is smaller; the deny
+    # variant prices exactly that choice
     t0 = time.time()
     fdirs = {
         ql: sim.build_filter_set(
@@ -783,11 +786,18 @@ def step_filteredset(spark, emit):
         )
         for ql in q_labels
     }
+    fdirs_deny = {
+        ql: sim.build_filter_set(
+            df.where(F.col("label") == ql).select("vec_id"),
+            idx, key=f"label != {ql} (deny)", mode="deny",
+        )
+        for ql in q_labels
+    }
     build_s = round(time.time() - t0, 1)
 
     out = {}
     for n_probe in (32, 320):
-        walls = {"unfiltered": 0.0, "inline": 0.0, "stored": 0.0}
+        walls = {"unfiltered": 0.0, "inline": 0.0, "stored": 0.0, "stored_deny": 0.0}
         hits, parity = 0, True
         for qi in q_idx:
             ql = int(labels[qi])
@@ -820,7 +830,16 @@ def step_filteredset(spark, emit):
             ]
             walls["stored"] += time.time() - t0
 
-            parity = parity and (got_stored == got_inline)
+            t0 = time.time()
+            got_deny = [
+                tuple(r)
+                for r in sim.ivfsq_probe_index(
+                    spark, idx, qv, TOPK, n_probe=n_probe, filter_ids=fdirs_deny[ql]
+                ).collect()
+            ]
+            walls["stored_deny"] += time.time() - t0
+
+            parity = parity and (got_stored == got_inline) and (got_deny == got_inline)
             hits += len({int(r[0]) for r in got_stored} & truth)
         out[f"np{n_probe}"] = {
             "recall": round(hits / (TOPK * len(q_idx)), 4),
