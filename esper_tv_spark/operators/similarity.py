@@ -708,6 +708,7 @@ def ivf_build_index(
     assign_via_groups: bool = False,
     assign_g_probe: int = 1,
     group_train_iters: int = 0,
+    layout: str = "dirs",
 ) -> None:
     """Persist the deterministic IVF index: build once, probe many — the
     IVF twin of the SRP split (dedup.build_srp_index /
@@ -779,19 +780,12 @@ def ivf_build_index(
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
-    # repartition ON the partition column before the partitioned write:
-    # without it every map task writes a file into every cell dir —
-    # n_tasks * n_cells files (183k at 2M/auto-sizing, measured: the
-    # write crawls on file creation).  With it each cell lands wholly in
-    # one task = ONE file per cell; one corpus shuffle buys a posting
-    # layout that is already compact (the r9 rehearsal's stage-9 lesson).
-    (
-        assigned.select(F.col(id_col).alias("id"), "cell")
-        .join(vecs, "id")
-        .repartition(F.col("cell"))
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(os.path.join(path, "cells"))
+    # layout/write strategy (incl. the repartition-before-partitioned-write
+    # lesson): see _write_posting
+    _write_posting(
+        assigned.select(F.col(id_col).alias("id"), "cell").join(vecs, "id"),
+        path,
+        layout,
     )
     _write_centroids(
         _rank_coarse_centroids(df, n_cells, id_col, vec_col, round_digits),
@@ -915,6 +909,50 @@ def ivf_range_search(
     )
 
 
+def _write_posting(rows: DataFrame, path: str, layout: str) -> None:
+    """Write an index's posting rows in one of two layouts:
+
+    - ``layout="dirs"`` (default, every pre-r10 index): hive-partitioned
+      ``cells/cell=<c>/`` — one dir per cell, repartitioned on the
+      partition column first so each cell lands in ONE file (without it,
+      n_tasks*n_cells files: 183k at the 2M auto sizing — the write, not
+      the math, dominated).  Probes list only the probed dirs
+      (_read_cells).  This is the layout streaming maintenance
+      (insert/compact/recenter) operates on.
+    - ``layout="sorted"`` (the OBJECT-STORE serving layout, r10): posting
+      rows globally RANGE-partitioned and sorted by (cell, id) into
+      ``cells_sorted/`` — a bounded number of files whose parquet
+      row-group min/max stats on `cell` make the probe's
+      `cell IN (...)` predicate prune I/O to the probed cells WITHOUT
+      per-cell directories.  Why: at 2e9 vectors the auto sizing is
+      ~180k cells = ~180k dirs; the dir layout's build paid ~17 min of
+      posting-write wall mostly in file/dir creation (r9 hier20m datum)
+      and every object-store listing API call is a priced round trip —
+      LIST cost scales with dir count, while the sorted layout lists ONE
+      dir and reads a handful of footers.  Pruning becomes row-group
+      stats instead of partition dirs: the Spark-idiomatic manifest.
+      Frozen/rebuilt corpora only — stream insert and compaction are
+      dirs-layout maintenance and fail closed on sorted indexes."""
+    import os
+
+    if layout == "dirs":
+        (
+            rows.repartition(F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(path, "cells"))
+        )
+    elif layout == "sorted":
+        (
+            rows.repartitionByRange(F.col("cell"), F.col("id"))
+            .sortWithinPartitions("cell", "id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "cells_sorted"))
+        )
+    else:
+        raise ValueError(f"posting layout must be 'dirs' or 'sorted', got {layout!r}")
+
+
 def _read_cells(spark, path: str, cell_list) -> DataFrame:
     """Read ONLY the probed cells' posting-list directories.  The naive
     `read.parquet(cells/).where(cell IN ...)` prunes the SCAN to
@@ -927,11 +965,21 @@ def _read_cells(spark, path: str, cell_list) -> DataFrame:
     predicate (same PartitionFilters clause in the plan, now over an
     already-restricted listing).  Missing dirs (a cell emptied by a
     purge, or never populated) are skipped — same semantics as pruning
-    them."""
+    them.
+
+    SORTED layout (`cells_sorted/`, see _write_posting): one flat dir of
+    range-partitioned files sorted by (cell, id) — the `cell IN (...)`
+    predicate is PUSHED to the parquet reader and row-group min/max
+    stats prune I/O to the probed cells (plan-asserted PushedFilters);
+    listing is one dir however many cells the index has, which is the
+    whole point on an object store."""
     import os
 
-    cdir = os.path.join(path, "cells")
+    sdir = os.path.join(path, "cells_sorted")
     cells = [int(c) for c in cell_list]
+    if os.path.isdir(sdir):
+        return spark.read.parquet(sdir).where(F.col("cell").isin(cells))
+    cdir = os.path.join(path, "cells")
     dirs = [
         d for c in cells if os.path.isdir(d := os.path.join(cdir, f"cell={c}"))
     ]
@@ -2006,6 +2054,7 @@ def ivfpq_build_index(
     assign_via_groups: bool = False,
     assign_g_probe: int = 1,
     group_train_iters: int = 0,
+    layout: str = "dirs",
 ) -> None:
     """Persist the combined IVF-PQ index (Jegou, Douze, Schmid 2011,
     "Product Quantization for Nearest Neighbor Search" — the IVFADC
@@ -2220,15 +2269,10 @@ def ivfpq_build_index(
             df, m=m, k=k, id_col=id_col, vec_col=vec_col,
             round_digits=round_digits, dim=dim,
         )
-    # repartition on `cell` first — see ivf_build_index: n_tasks*n_cells
-    # files otherwise (the write, not the math, dominates at auto sizing)
-    (
-        assigned.select(F.col(id_col).alias("id"), "cell")
-        .join(packed, "id")
-        .repartition(F.col("cell"))
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(os.path.join(path, "cells"))
+    _write_posting(
+        assigned.select(F.col(id_col).alias("id"), "cell").join(packed, "id"),
+        path,
+        layout,
     )
     _write_centroids(
         cents_coarse, path, n_groups, round_digits, fast=fast,
@@ -2552,6 +2596,7 @@ def ivfsq_build_index(
     assign_via_groups: bool = False,
     assign_g_probe: int = 1,
     group_train_iters: int = 0,
+    layout: str = "dirs",
 ) -> None:
     """Persist the IVF-SQ8 index: posting lists of 8-bit SCALAR-quantized
     codes partitioned by the deterministic Lloyd cell — the FAISS
@@ -2622,15 +2667,10 @@ def ivfsq_build_index(
     codes = df.select(
         F.col(id_col).alias("id"), _sq_encode_expr(v64, mn, mx).alias("codes")
     )
-    # repartition on `cell` first — see ivf_build_index: n_tasks*n_cells
-    # files otherwise (the write, not the math, dominates at auto sizing)
-    (
-        assigned.select(F.col(id_col).alias("id"), "cell")
-        .join(codes, "id")
-        .repartition(F.col("cell"))
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(os.path.join(path, "cells"))
+    _write_posting(
+        assigned.select(F.col(id_col).alias("id"), "cell").join(codes, "id"),
+        path,
+        layout,
     )
     _write_centroids(
         _rank_coarse_centroids(df, n_cells, id_col, vec_col, round_digits).select(

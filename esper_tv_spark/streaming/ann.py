@@ -41,6 +41,24 @@ from pyspark.sql import functions as F
 from esper_tv_spark.operators.similarity import dot, lloyd_assign
 
 
+def _require_dirs_layout(index_path: str, op: str) -> None:
+    """Streaming maintenance (insert fragments / per-cell compaction /
+    recenter's per-cell moves / fragment census) operates on the
+    hive-partitioned `cells/` layout.  The SORTED object-store layout
+    (`cells_sorted/`, similarity._write_posting) is the frozen serving
+    layout — its corpora are REBUILT, not streamed into — so every
+    maintenance op fails closed with a pointer instead of silently
+    appending rows the sorted reader would still serve but the dir-based
+    maintenance bookkeeping would never see."""
+    if os.path.isdir(os.path.join(index_path, "cells_sorted")):
+        raise ValueError(
+            f"{op}: index at {index_path} uses the sorted (object-store) "
+            "posting layout — streaming maintenance runs on the dirs "
+            "layout; rebuild with layout='dirs' or rebuild the sorted "
+            "index from the updated corpus"
+        )
+
+
 def _stored_centroids(spark: SparkSession, index_path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_path, "centroids")).select(
         F.col("cell").alias("cluster"), F.col("cv").alias("cvec")
@@ -84,6 +102,8 @@ def ivf_stream_insert(
     the ledger sink in streaming/ingest.py) — probes dedup on id if the
     producer can re-deliver."""
 
+    _require_dirs_layout(index_path, "ivf_stream_insert")
+
     def insert(batch_df: DataFrame, _batch_id: int) -> None:
         if not batch_df.take(1):
             return
@@ -123,6 +143,8 @@ def ivfpq_stream_insert(
     broadcast joins (n_cells centroids, m*k codebooks), one partitioned
     append — never a read of the existing posting lists."""
     from esper_tv_spark.operators.similarity import pq_encode_with_codebooks
+
+    _require_dirs_layout(index_path, "ivfpq_stream_insert")
 
     def insert(batch_df: DataFrame, _batch_id: int) -> None:
         if not batch_df.take(1):
@@ -208,6 +230,8 @@ def ivfsq_stream_insert(
 
     from esper_tv_spark.operators.similarity import _sq_bounds, _sq_encode_expr
 
+    _require_dirs_layout(index_path, "ivfsq_stream_insert")
+
     def insert(batch_df: DataFrame, _batch_id: int) -> None:
         if not batch_df.take(1):
             return
@@ -277,6 +301,7 @@ def posting_fragment_census(index_path: str) -> dict[int, int]:
     probe's pruned scan into thousands of tiny file opens (the classic
     100 TB small-files problem).  Pure driver-side directory metadata —
     zero data read, no Spark job."""
+    _require_dirs_layout(index_path, "posting_fragment_census")
     cells_dir = os.path.join(index_path, "cells")
     census: dict[int, int] = {}
     for entry in os.scandir(cells_dir):
@@ -410,6 +435,7 @@ def compact_posting_lists(
     when retiring)."""
     import shutil
 
+    _require_dirs_layout(index_path, "compact_posting_lists")
     cells_dir = os.path.join(index_path, "cells")
     tomb_dir = os.path.join(index_path, "tombstones")
     tomb_ids: "list[int]" = []
@@ -528,6 +554,7 @@ def ivf_recenter(
     recentered cells would silently mis-prune probes."""
     import shutil
 
+    _require_dirs_layout(index_path, "ivf_recenter")
     scale = float(10 ** round_digits)
     cells_dir = os.path.join(index_path, "cells")
     cents_dir = os.path.join(index_path, "centroids")

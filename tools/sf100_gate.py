@@ -46,6 +46,12 @@ FEASIBLE = [
     # the q94 rotation-replay kind, which is what made q94 infeasible)
     "q98_ivfpq_residual_knn_join",
     "q99_ivfsq_knn_join",
+    # round-10: the table-carrier ADC join — q98's oracle with the probe
+    # rank widened to 10 and the batch cut to 2 queries (r10 config), so
+    # sf100 feasibility is q98's at ~2-3x the replayed candidate rows.
+    # q113 (DSL hybrid) stays OUT with q109: the BM25 half is the
+    # ~1e9-row token unnest.
+    "q105_lut_table_adc_join",
     # round-9: the two-level coarse-quantizer probe and its batch join —
     # their oracles add tiny CTEs (group assignment over n_cells rows,
     # per-query group ranking over n_groups rows) to the q80/q96
