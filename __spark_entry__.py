@@ -3394,6 +3394,91 @@ def _q113_sql() -> str:
     )
 
 
+def q114_interp_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by NORMALIZED SCORE INTERPOLATION
+    (operators/retrieval.interp_fuse) — the other standard fusion next
+    to q109's rank-based RRF: per candidate list, min-max normalize the
+    rounded scores over the list, then fuse as 0.7·n_lex + 0.3·n_vec
+    (the classic alpha blend; ids absent from a list contribute 0).
+    Same candidate shapes as the q109 family (BM25 top-20, persisted-IVF
+    probe top-20), final top-15.  What this hash isolates that q109's
+    cannot: the GAP-PRESERVING arithmetic — RRF's contributions depend
+    only on rank order, so a fusion bug that distorts normalized
+    magnitudes (min/max over the wrong set, an unflipped ascending list,
+    the constant-list convention) passes every rank-based gate and fails
+    only here.  Determinism: normalization reads rounded scores, each
+    weighted contribution is rounded at source and summed as scaled
+    BIGINTs (the rrf_fuse contract).  Reference shape: captions.py
+    lexical search upgraded with a calibrated-score blend."""
+    from esper_tv_spark.operators.retrieval import interp_fuse
+    from esper_tv_spark.operators.similarity import ivf_probe_index
+    from esper_tv_spark.operators.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    idx = _ivf_index_dir(spark, sf_dir, n_cells=16)
+    lex = (
+        bm25_scores(docs, _Q75_TERMS)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    vec = ivf_probe_index(spark, idx, qv, 20, n_probe=3)
+    return interp_fuse(
+        [(lex, "doc_id", "score", True), (vec, "vec_id", "cosine_sim", True)],
+        weights=[0.7, 0.3],
+    ).limit(15)
+
+
+# q109's replay with the rank CTEs swapped for min-max stats and the
+# contributions swapped for the weighted normalized scores — guarded
+# splices, as the whole fusion family
+def _q114_sql() -> str:
+    sql = _q109_sql()
+    assert sql.count("LIMIT 25") == 2  # the lex and vec candidate lists
+    sql = sql.replace("LIMIT 25", "LIMIT 20")
+    lexrank = (
+        "lexrank AS (\n"
+        "  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM lex\n"
+        ")"
+    )
+    assert sql.count(lexrank) == 1
+    sql = sql.replace(
+        lexrank, "lstat AS (\n  SELECT min(score) AS mn, max(score) AS mx FROM lex\n)"
+    )
+    vecrank = (
+        "vecrank AS (\n"
+        "  SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id ASC) AS rnk FROM vec\n"
+        ")"
+    )
+    assert sql.count(vecrank) == 1
+    sql = sql.replace(
+        vecrank, "vstat AS (\n  SELECT min(cs) AS mn, max(cs) AS mx FROM vec\n)"
+    )
+    tail_start = sql.index(", contrib AS (")
+    assert tail_start > 0
+    return sql[:tail_start] + """, contrib AS (
+  SELECT doc_id,
+         CAST(round(round(0.7 * CASE WHEN s.mx = s.mn THEN 1.0
+                                     ELSE (lex.score - s.mn) / (s.mx - s.mn) END, 9)
+                    * 1e9, 0) AS BIGINT) AS cl
+  FROM lex, lstat s
+  UNION ALL
+  SELECT doc_id,
+         CAST(round(round(0.3 * CASE WHEN s.mx = s.mn THEN 1.0
+                                     ELSE (vec.cs - s.mn) / (s.mx - s.mn) END, 9)
+                    * 1e9, 0) AS BIGINT) AS cl
+  FROM vec, vstat s
+)
+SELECT doc_id,
+       round(CAST(sum(cl) AS BIGINT) / 1e9, 6) AS fused_score,
+       count(*) AS n_lists
+FROM contrib GROUP BY doc_id
+ORDER BY fused_score DESC, doc_id ASC LIMIT 15
+"""
+
+
 def q110_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (corpus.weighted_sample): 50 documents drawn proportional to
@@ -5455,6 +5540,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q108_filtered_knn_join": q108_filtered_knn_join,
     "q112_weighted_rrf": q112_weighted_rrf,
     "q113_dsl_hybrid": q113_dsl_hybrid,
+    "q114_interp_fusion": q114_interp_fusion,
     "q84_png_decode_stats": q84_png_decode_stats,
     "q32_label_centroids": q32_label_centroids,
     "q33_embedding_norms": q33_embedding_norms,
@@ -5648,6 +5734,7 @@ _ORACLES: dict[str, str] = {
     "q111_shard_packing": Q111_SQL,
     "q112_weighted_rrf": _q112_sql(),
     "q113_dsl_hybrid": _q113_sql(),
+    "q114_interp_fusion": _q114_sql(),
     "q81_pq_codes": Q81_SQL,
     "q87_ivf_cell_census": Q87_SQL,
     "q88_pq_adc_topk": Q88_SQL,

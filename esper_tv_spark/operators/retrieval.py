@@ -96,6 +96,74 @@ def rrf_fuse(
     )
 
 
+def interp_fuse(
+    rankings: "list[tuple[DataFrame, str, str, bool]]",
+    weights: "list[float] | None" = None,
+    id_out: str = "doc_id",
+    score_out: str = "fused_score",
+    round_digits: int = 6,
+    contrib_digits: int = 9,
+) -> DataFrame:
+    """Fuse ranked lists by NORMALIZED SCORE INTERPOLATION — the other
+    standard fusion next to RRF (linear combination / CombSUM with
+    min-max normalization, Vogt & Cottrell 1999; the "alpha blend" every
+    CLIP-era hybrid stack exposes): per list, scores are min-max
+    normalized over the CANDIDATE LIST's rounded scores
+    (n = (s - min)/(max - min), flipped for ascending/distance lists so
+    1.0 is always best; a constant list normalizes to 1.0 — full credit,
+    documented convention), then fused as Σ w_i · n_i with ids absent
+    from a list contributing 0.
+
+    When to prefer which: RRF ignores score GAPS (rank 1 beats rank 2 by
+    the same margin whether the scores differ by .5 or .0001) — robust
+    when list score scales are incomparable; interpolation preserves
+    gaps — better when the scores are calibrated and a large margin
+    should dominate.  Same determinism contract as rrf_fuse: the
+    normalization reads ROUNDED scores (round_digits), each weighted
+    contribution is rounded at source (contrib_digits) and summed as
+    scaled BIGINTs, so the fused score is bit-identical across engines
+    and union orders.  Output: (id_out, score_out, n_lists), fused score
+    descending, ties to the smaller id."""
+    if not rankings:
+        raise ValueError("interp_fuse needs at least one ranking")
+    if weights is not None and (
+        len(weights) != len(rankings) or any(w <= 0 for w in weights)
+    ):
+        raise ValueError("weights must match rankings and be positive")
+    scale = float(10 ** contrib_digits)
+    parts = []
+    for i, (df, id_col, score_col, descending) in enumerate(rankings):
+        w_i = 1.0 if weights is None else float(weights[i])
+        key = F.round(F.col(score_col), round_digits)
+        keyed = df.select(F.col(id_col).alias(id_out), key.alias("__s"))
+        stats = keyed.agg(
+            F.min("__s").alias("__mn"), F.max("__s").alias("__mx")
+        )
+        span = F.col("__mx") - F.col("__mn")
+        raw = (
+            (F.col("__s") - F.col("__mn")) / span
+            if descending
+            else (F.col("__mx") - F.col("__s")) / span
+        )
+        n = F.when(span == F.lit(0.0), F.lit(1.0)).otherwise(raw)
+        contrib = F.round(F.lit(w_i) * n, contrib_digits)
+        parts.append(
+            keyed.crossJoin(F.broadcast(stats)).select(
+                id_out,
+                F.round(contrib * F.lit(scale), 0).cast("long").alias("__c"),
+            )
+        )
+    unioned = reduce(DataFrame.unionByName, parts)
+    return (
+        unioned.groupBy(id_out)
+        .agg(
+            F.round(F.sum("__c") / F.lit(scale), round_digits).alias(score_out),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.col(score_out).desc(), F.col(id_out).asc())
+    )
+
+
 def hybrid_search(
     docs: DataFrame,
     spark,

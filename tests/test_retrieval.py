@@ -99,3 +99,74 @@ def test_rrf_weighted_lists(spark):
         rrf_fuse([(a, "id", "s", True)], weights=[1.0, 2.0])
     with pytest.raises(ValueError):
         rrf_fuse([(a, "id", "s", True)], weights=[0.0])
+
+
+# ------------------------------------------------ score interpolation
+
+
+def test_interp_closed_form_and_gap_preservation(spark):
+    """Min-max normalized linear fusion: closed form, and the property
+    that separates it from RRF — score GAPS survive.  List a has a huge
+    gap between ranks 1 and 2; under RRF both fusions are identical,
+    under interpolation the gap dominates."""
+    from esper_tv_spark.operators.retrieval import interp_fuse
+
+    a = _mk(spark, [(1, 1.0), (2, 0.1), (3, 0.0)])
+    b = _mk(spark, [(2, 0.9), (1, 0.8), (3, 0.7)])
+    got = {
+        int(r["doc_id"]): (r["fused_score"], r["n_lists"])
+        for r in interp_fuse(
+            [(a, "id", "s", True), (b, "id", "s", True)], weights=[0.7, 0.3]
+        ).collect()
+    }
+
+    def n(s, mn, mx):
+        return (s - mn) / (mx - mn)
+
+    def c(w, s, mn, mx):
+        return round(w * n(s, mn, mx), 9)
+
+    want = {
+        1: (round(c(0.7, 1.0, 0.0, 1.0) + c(0.3, 0.8, 0.7, 0.9), 6), 2),
+        2: (round(c(0.7, 0.1, 0.0, 1.0) + c(0.3, 0.9, 0.7, 0.9), 6), 2),
+        3: (round(c(0.7, 0.0, 0.0, 1.0) + c(0.3, 0.7, 0.7, 0.9), 6), 2),
+    }
+    assert got == want
+    # gap preservation: id 1's .9 raw-score lead in list a outweighs
+    # id 2's rank-1 in list b (RRF with these ranks would prefer id 2's
+    # 1/(k+1)+1/(k+2) tie profile symmetric to id 1's — check the
+    # interpolated order instead reflects the magnitude)
+    assert got[1][0] > got[2][0]
+
+
+def test_interp_ascending_constant_and_missing(spark):
+    """Ascending (distance) lists flip so 1.0 is best; a constant list
+    normalizes to 1.0 for every member; ids absent from a list
+    contribute zero (n_lists records the coverage)."""
+    from esper_tv_spark.operators.retrieval import interp_fuse
+
+    dist = _mk(spark, [(1, 0.0), (2, 5.0)])  # ascending: 1 is best
+    const = _mk(spark, [(2, 3.3), (3, 3.3)])
+    got = {
+        int(r["doc_id"]): (r["fused_score"], r["n_lists"])
+        for r in interp_fuse(
+            [(dist, "id", "s", False), (const, "id", "s", True)]
+        ).collect()
+    }
+    assert got == {
+        1: (1.0, 1),          # best distance, absent from const
+        2: (0.0 + 1.0, 2),    # worst distance (0) + constant credit (1)
+        3: (1.0, 1),
+    }
+
+
+def test_interp_validation(spark):
+    from esper_tv_spark.operators.retrieval import interp_fuse
+
+    a = _mk(spark, [(1, 0.9)])
+    with pytest.raises(ValueError):
+        interp_fuse([])
+    with pytest.raises(ValueError):
+        interp_fuse([(a, "id", "s", True)], weights=[1.0, 2.0])
+    with pytest.raises(ValueError):
+        interp_fuse([(a, "id", "s", True)], weights=[-1.0])
