@@ -283,7 +283,10 @@ def run_query(
             # hybrid's exact rerank needs raw-vector posting lists: the
             # plain-IVF layout (cells/ + centroids/, no meta.json)
             if _os.path.exists(_os.path.join(hpath, "meta.json")) or not (
-                _os.path.isdir(_os.path.join(hpath, "cells"))
+                (
+                    _os.path.isdir(_os.path.join(hpath, "cells"))
+                    or _os.path.isdir(_os.path.join(hpath, "cells_sorted"))
+                )
                 and _os.path.isdir(_os.path.join(hpath, "centroids"))
             ):
                 raise DSLError(
@@ -318,7 +321,16 @@ def run_query(
                 )
             ):
                 raise DSLError("'weights' must be two positive numbers [lexical, vector]")
-            from esper_tv_spark.operators.retrieval import hybrid_search, rrf_fuse
+            method = sim.get("method", "rrf")
+            if method not in ("rrf", "interp"):
+                raise DSLError(f"hybrid method must be 'rrf' or 'interp', got {method!r}")
+            if method == "interp" and weights is None:
+                raise DSLError("hybrid method 'interp' needs 'weights'")
+            from esper_tv_spark.operators.retrieval import (
+                hybrid_search,
+                interp_fuse,
+                rrf_fuse,
+            )
             from esper_tv_spark.operators.similarity import ivf_probe_index
             from esper_tv_spark.operators.text import bm25_scores
 
@@ -331,7 +343,7 @@ def run_query(
             if not isinstance(htext, str) or htext not in df.columns:
                 raise DSLError(f"hybrid text_col {htext!r} is not a column")
             spark = df.sparkSession
-            if weights is None:
+            if weights is None and method == "rrf":
                 df = hybrid_search(
                     df, spark, hpath, terms, hq, hk,
                     k_cand=k_cand, n_probe=n_probe, rrf_k=rrf_k,
@@ -348,11 +360,13 @@ def run_query(
                     .limit(k_cand)
                 )
                 vec = ivf_probe_index(spark, hpath, hq, k_cand, n_probe=n_probe)
-                df = rrf_fuse(
-                    [(lex, hid, "score", True), (vec, "vec_id", "cosine_sim", True)],
-                    k=rrf_k, id_out=hid,
-                    weights=[float(weights[0]), float(weights[1])],
-                ).limit(hk)
+                lists = [(lex, hid, "score", True), (vec, "vec_id", "cosine_sim", True)]
+                w2 = [float(weights[0]), float(weights[1])]
+                if method == "interp":
+                    # q114's shape: min-max normalized weighted blend
+                    df = interp_fuse(lists, weights=w2, id_out=hid).limit(hk)
+                else:
+                    df = rrf_fuse(lists, k=rrf_k, id_out=hid, weights=w2).limit(hk)
         elif op == "ann_probe":
             # probe a PERSISTED index (the serving path — reference entry
             # point A, views.py:56-66, reaching face_embeddings.py-style
@@ -416,14 +430,16 @@ def run_query(
                         f"index {name!r} meta.json kind {mk!r} is not a "
                         "probeable ivf/ivfpq/ivfsq store"
                     )
-            elif _os.path.isdir(_os.path.join(path, "cells")) and _os.path.isdir(
-                _os.path.join(path, "centroids")
-            ):
+            elif (
+                _os.path.isdir(_os.path.join(path, "cells"))
+                or _os.path.isdir(_os.path.join(path, "cells_sorted"))
+            ) and _os.path.isdir(_os.path.join(path, "centroids")):
                 kind = "ivf"  # raw-vector posting lists carry no meta
             else:
                 raise DSLError(
-                    f"index {name!r} has no meta.json and no cells/ + "
-                    "centroids/ layout — not a probeable index store"
+                    f"index {name!r} has no meta.json and no cells/ (or "
+                    "cells_sorted/) + centroids/ layout — not a probeable "
+                    "index store"
                 )
             # pre-filter: a whitelisted predicate over the probed
             # table's own columns -> allowed-id set semi-joined onto

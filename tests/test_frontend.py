@@ -1046,3 +1046,53 @@ def test_dsl_hybrid_rejections(spark, catalog, tmp_path):
                 {"table": "documents", "similarity": sim_spec},
                 index_catalog=cat,
             )
+
+
+def test_dsl_hybrid_interp_method(spark, catalog, tmp_path):
+    """method='interp' routes the same candidate lists through
+    interp_fuse (q114's shape) — bit-parity with the library, rejection
+    of method typos and weightless interp."""
+    import pytest as _pytest
+
+    from esper_tv_spark.operators.retrieval import interp_fuse
+    from esper_tv_spark.operators.similarity import ivf_build_index, ivf_probe_index
+    from esper_tv_spark.operators.text import bm25_scores
+
+    emb = catalog["embeddings"]
+    docs = catalog["documents"]
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    idx = str(tmp_path / "ivf_interp")
+    ivf_build_index(emb, idx, n_cells=8)
+    cat = {"faces": idx}
+    terms = ["the", "data", "model"]
+    spec = {
+        "table": "documents",
+        "similarity": {
+            "op": "hybrid", "index": "faces", "terms": terms, "query": q,
+            "k": 15, "k_cand": 20, "n_probe": 3,
+            "method": "interp", "weights": [0.7, 0.3],
+        },
+    }
+    got = [tuple(r) for r in run_query(catalog, spec, index_catalog=cat).collect()]
+    lex = (
+        bm25_scores(docs, terms)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    vec = ivf_probe_index(spark, idx, q, 20, n_probe=3)
+    want = [
+        tuple(r)
+        for r in interp_fuse(
+            [(lex, "doc_id", "score", True), (vec, "vec_id", "cosine_sim", True)],
+            weights=[0.7, 0.3],
+        ).limit(15).collect()
+    ]
+    assert got == want and len(got) > 0
+    for bad in (
+        {**spec["similarity"], "method": "combsum"},
+        {k: v for k, v in spec["similarity"].items() if k != "weights"},
+    ):
+        with _pytest.raises(DSLError):
+            run_query(catalog, {"table": "documents", "similarity": bad},
+                      index_catalog=cat)
