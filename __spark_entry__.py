@@ -5494,6 +5494,208 @@ SELECT * FROM out_u UNION ALL SELECT * FROM out_a ORDER BY cls, variant
 """
 
 
+def q115_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document repeated token spans (dedup.repeated_ngram_spans)
+    — exact substring-level dedup, the pass LLM corpora run AFTER document
+    dedup (Lee et al. 2021's "Deduplicating Training Data" repeated-substring
+    removal, re-expressed relationally): token 6-grams occurring in >= 2
+    distinct documents, merged per doc into maximal half-open token spans
+    via gaps-and-islands.  The n-gram table is built inside the token array
+    (transform/sequence/slice higher-order functions), so only (id, pos,
+    md5) rows ever explode; dup detection is one exact groupBy(h) distinct-
+    doc count — no LSH, no pair blowup.  Extends the reference's whole-item
+    dedup (face_embeddings.py:74-96) below document granularity."""
+    from esper_tv_spark.operators.dedup import repeated_ngram_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_ngram_spans(docs, n=6, min_docs=2)
+
+
+Q115_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents
+),
+g AS (
+  SELECT doc_id, p, md5(array_to_string(arr[p+1:p+6], ' ')) AS h
+  FROM (SELECT doc_id, arr, unnest(range(0, greatest(len(arr) - 6 + 1, 0))) AS p FROM toks)
+),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, p FROM g JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 6 THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+grp AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM isl)
+SELECT doc_id, min(p) AS span_start, max(p) + 6 AS span_end,
+       max(p) + 6 - min(p) AS span_tokens, count(*) AS n_grams
+FROM grp GROUP BY doc_id, gid
+"""
+
+
+def q116_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel with a 24h per-step window
+    (events.funnel): signup -> click -> purchase, each step strictly after
+    the previous and within 86,400s of it (greedy earliest-anchor — the
+    product-analytics convention).  ONE shuffle: per-user event lists sort
+    in-row (array_sort) and a fold (aggregate higher-order function) runs
+    the stage automaton JVM-side; the oracle replays the classic per-step
+    min-join encoding, equivalent under strict-> chaining.  Extends the
+    reference's per-interval event algebra (rekall) with ordered
+    per-entity sequence analytics."""
+    from esper_tv_spark.operators.events import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(
+        ev, ["signup", "click", "purchase"], max_gap_seconds=86400
+    )
+
+
+Q116_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 86400 SECOND
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 86400 SECOND
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS INT) AS step, 'signup' AS step_name, (SELECT count(*) FROM s1) AS users
+UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+"""
+
+
+def q117_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (graph.pagerank_fixed) over the symmetrized
+    customer-supplier purchase graph (distinct o_custkey/l_suppkey pairs,
+    both directions, so outdeg >= 1 everywhere): 3 damped iterations at
+    scale 1e9, top-20 nodes.  EXACT bigint arithmetic end to end — rank
+    div outdeg contributions, (15*scale) div 100 + (85*sum) div 100
+    update — so the iterative DataFrame loop (one join + one
+    partial-aggregated groupBy per round, lineage localCheckpoint-
+    truncated) hash-matches a DuckDB replay unrolled as chained CTEs.
+    The iterative-algorithm capability next to dedup.connected_components'
+    pointer jumping."""
+    from esper_tv_spark.operators.graph import pagerank_fixed
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    fwd = pairs.select(
+        F.concat(F.lit("c"), F.col("c").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("s").cast("string")).alias("dst"),
+    )
+    rev = pairs.select(
+        F.concat(F.lit("s"), F.col("s").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("c").cast("string")).alias("dst"),
+    )
+    ranks = pagerank_fixed(fwd.unionByName(rev), iters=3, scale=10**9)
+    return ranks.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(20)
+
+
+def _q117_sql(iters: int = 3) -> str:
+    sql = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst FROM pairs
+  UNION ALL
+  SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes)"""
+    for i in range(iters):
+        sql += f""",
+r{i + 1} AS (
+  SELECT n.node,
+         CAST(150000000 + (85 * COALESCE(i.inc, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.pr // d.outdeg) AS inc
+    FROM edges e JOIN r{i} r ON e.src = r.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) i ON n.node = i.node)"""
+    return sql + f"""
+SELECT node, pr FROM r{iters} ORDER BY pr DESC, node ASC LIMIT 20
+"""
+
+
+def q118_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k by Maximal Marginal Relevance
+    (retrieval.mmr_rerank): brute-force cosine top-30 candidates for the
+    vec_id=0 query (the q31 list), then 10 greedy MMR picks at
+    lam=0.7/mu=0.3 — relevance traded against max similarity to what is
+    already picked.  The greedy loop is k bounded driver steps, but every
+    score (candidate rel, pairwise sims, the blend, the rounding, the
+    tie-breaks) is an engine expression, so DuckDB replays the identical
+    10 steps as unrolled CTEs and the hash gates the DIVERSITY mechanics
+    — a rerank that quietly returns the relevance order passes q31 but
+    fails here.  Serving shape: candidate generation bounds everything;
+    the all-pairs sim table is fetch_k^2 = 900 rows."""
+    from esper_tv_spark.operators.retrieval import candidate_pairwise_sims, mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    cand = similarity.cosine_topk(emb, qv, 30)
+    cand_vecs = emb.join(F.broadcast(cand.select("vec_id")), "vec_id").select(
+        "vec_id", "embedding"
+    )
+    sims = candidate_pairwise_sims(cand_vecs)
+    return mmr_rerank(cand, sims, k=10)
+
+
+def _q118_sql(k: int = 10, fetch: int = 30) -> str:
+    cos = (
+        "round(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    sql = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cand AS MATERIALIZED (
+  SELECT vec_id, {cos.format(a='embedding::DOUBLE[]', b='qv')} AS rel,
+         embedding::DOUBLE[] AS v
+  FROM embeddings, q
+  ORDER BY rel DESC, vec_id ASC LIMIT {fetch}
+),
+sim AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {cos.format(a='a.v', b='b.v')} AS s
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+s1 AS (
+  SELECT vec_id, round(0.7 * rel, 6) AS mmr FROM cand
+  ORDER BY mmr DESC, vec_id ASC LIMIT 1
+),
+p1 AS MATERIALIZED (SELECT vec_id FROM s1)"""
+    for i in range(2, k + 1):
+        sql += f""",
+s{i} AS (
+  SELECT c.vec_id,
+         round(0.7 * c.rel - 0.3 * (
+           SELECT max(s.s) FROM sim s JOIN p{i - 1} p ON s.ib = p.vec_id
+           WHERE s.ia = c.vec_id), 6) AS mmr
+  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM p{i - 1})
+  ORDER BY mmr DESC, c.vec_id ASC LIMIT 1
+),
+p{i} AS MATERIALIZED (SELECT vec_id FROM p{i - 1} UNION ALL SELECT vec_id FROM s{i})"""
+    parts = [
+        f"SELECT CAST({i} AS INT) AS pick, vec_id, mmr AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL ".join(parts)
+
+
 # ==========================================================================
 # driver contract
 # ==========================================================================
@@ -5541,7 +5743,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q112_weighted_rrf": q112_weighted_rrf,
     "q113_dsl_hybrid": q113_dsl_hybrid,
     "q114_interp_fusion": q114_interp_fusion,
+    "q116_event_funnel": q116_event_funnel,
+    "q117_pagerank": q117_pagerank,
     "q84_png_decode_stats": q84_png_decode_stats,
+    "q109_hybrid_rrf_search": q109_hybrid_rrf_search,
+    "q87_ivf_cell_census": q87_ivf_cell_census,
+    "q118_mmr_diversified": q118_mmr_diversified,
+    "q115_repeated_spans": q115_repeated_spans,
     "q32_label_centroids": q32_label_centroids,
     "q33_embedding_norms": q33_embedding_norms,
     "q38_knn_join": q38_knn_join,
@@ -5559,6 +5767,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q06_top_order_per_customer": q06_top_order_per_customer,
     "q09_sum_distinct_orders": q09_sum_distinct_orders,
     "q10_orders_with_seven_items": q10_orders_with_seven_items,
+    # ---- position 50 cutoff: rows below hold a prior-round green
+    # ---- record on code paths unchanged since (rule enforced above)
     "q11_orders_by_dateparts": q11_orders_by_dateparts,
     "q13_part_string_ops": q13_part_string_ops,
     "q14_math_ops": q14_math_ops,
@@ -5566,16 +5776,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_sliding_topic": q35_sliding_topic,
     "q36_trigram_tf": q36_trigram_tf,
     "q39_status_priority_cube": q39_status_priority_cube,
-    # ---- position 50 cutoff: rows below hold a prior-round green
-    # ---- record on code paths unchanged since (rule enforced above)
     "q19_interval_overlap_pairs": q19_interval_overlap_pairs,
     "q21_interval_overlap_measure": q21_interval_overlap_measure,
     "q22_interval_merge_near": q22_interval_merge_near,
     "q34_interview_composite": q34_interview_composite,
-    "q109_hybrid_rrf_search": q109_hybrid_rrf_search,
     "q110_weighted_sample": q110_weighted_sample,
     "q111_shard_packing": q111_shard_packing,
-    "q87_ivf_cell_census": q87_ivf_cell_census,
     "q88_pq_adc_topk": q88_pq_adc_topk,
     "q79_label_writeback": q79_label_writeback,
     "q54_stride_sample": q54_stride_sample,
@@ -5735,6 +5941,10 @@ _ORACLES: dict[str, str] = {
     "q112_weighted_rrf": _q112_sql(),
     "q113_dsl_hybrid": _q113_sql(),
     "q114_interp_fusion": _q114_sql(),
+    "q115_repeated_spans": Q115_SQL,
+    "q116_event_funnel": Q116_SQL,
+    "q117_pagerank": _q117_sql(),
+    "q118_mmr_diversified": _q118_sql(),
     "q81_pq_codes": Q81_SQL,
     "q87_ivf_cell_census": Q87_SQL,
     "q88_pq_adc_topk": Q88_SQL,

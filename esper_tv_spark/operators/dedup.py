@@ -13,7 +13,7 @@ Hot buckets (boilerplate docs) are the skew risk: cap bucket size or salt.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from esper_tv_spark.operators.text import fingerprint, ngrams, tokenize
@@ -1216,3 +1216,78 @@ def lsh_plan(
         "fp_area": round(fp, 4),
         "fn_area": round(fn, 4),
     }
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    n: int = 6,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_gram_docs: int | None = None,
+) -> DataFrame:
+    """Maximal cross-document repeated token spans — exact substring-level
+    dedup (the "repeated n-gram span removal" pass LLM corpora run after
+    document-level dedup; the reference's dedup story stops at whole
+    captions, face_embeddings.py:74-96, so this extends it to spans).
+
+    Semantics: a token n-gram is *duplicated* when it occurs in >=
+    `min_docs` DISTINCT documents.  Per document, overlapping or adjacent
+    duplicated n-gram start positions (p' <= p + n) merge into one maximal
+    span.  Returns (id, span_start, span_end, span_tokens, n_grams) with
+    token-index half-open spans [span_start, span_end).
+
+    Shape (and why it scales): the n-gram table is built INSIDE the token
+    array with higher-order functions (transform over sequence -> md5 of
+    concat_ws over slice), so the only exploded payload is (id, p, 16-byte
+    hash) — the token array itself is never duplicated per position.  Dup
+    detection is one groupBy(h) with a partial-aggregated distinct-doc
+    count (no pair blowup, unlike LSH candidate generation this is exact);
+    the join back is a semi join on h; span merging is one window per doc
+    (gaps-and-islands).  Three shuffles total, each on a key with natural
+    cardinality (gram hash, gram hash, doc id).
+
+    `max_gram_docs` drops grams above a document-frequency ceiling BEFORE
+    the join back — the MOSS-style over-common-fingerprint drop
+    (boilerplate headers shared by millions of docs would otherwise tag
+    most of the corpus as "duplicated"); audit what a cap drops by running
+    with and without on a sample.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = tokenize(df, text_col)
+    grams = toks.where(F.size("tokens") >= n).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(tokens) - {n}), "
+                f"i -> struct(i as p, md5(concat_ws(' ', slice(tokens, i + 1, {n}))) as h))"
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.p").alias("p"), F.col("g.h").alias("h"))
+
+    dup = grams.groupBy("h").agg(F.count_distinct(id_col).alias("nd")).where(
+        F.col("nd") >= F.lit(min_docs)
+    )
+    if max_gram_docs is not None:
+        dup = dup.where(F.col("nd") <= F.lit(max_gram_docs))
+    hits = grams.join(dup.select("h"), "h", "left_semi")
+
+    w = Window.partitionBy(id_col).orderBy("p")
+    brk = F.when(F.col("p") > F.lag("p").over(w) + F.lit(n), 1).otherwise(0)
+    isl = hits.withColumn("gid", F.sum(brk).over(w))
+    return (
+        isl.groupBy(id_col, "gid")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(n)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+            "n_grams",
+        )
+    )

@@ -199,3 +199,95 @@ def hybrid_search(
         k=rrf_k,
         id_out=id_col,
     ).limit(k_top)
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    sims: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    rel_col: str = "cosine_sim",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98):
+    greedily pick k items maximizing lam*relevance - mu*max_sim_to_picked
+    — the standard diversified top-k a serving page runs AFTER candidate
+    generation (the reference's ranked lists are relevance-only,
+    captions.py:93-103; every dedup-adjacent retrieval stack adds this).
+
+    `cand` is a BOUNDED candidate list (id, rel) — the fetch_k of an ANN
+    probe or BM25 cut, tens-to-hundreds of rows; `sims` holds pairwise
+    similarities between candidates (ia, ib, s), also bounded (fetch_k²).
+    Greedy selection is inherently sequential (pick i+1 depends on picks
+    1..i), so the loop runs k DRIVER-SIDE steps, but each step's argmax
+    is a Spark job over the persisted candidate/sim tables — ALL numeric
+    semantics (rounding, the lam/mu blend, tie-breaks) stay in engine
+    expressions, which is what lets a DuckDB replay of the same k steps
+    hash-match (driver Python only ferries the picked ids).  Both inputs
+    are site-key persisted: without that, every step would recompute the
+    candidate scan (a full-corpus top-k) k times.
+
+    mu is an explicit parameter rather than 1-lam because 1-0.7 is
+    0.30000000000000004 in IEEE — the oracle writes the literal 0.3.
+
+    Returns (pick 1..k, id, mmr_score) with mmr_score =
+    round(lam*rel - mu*max_sim, round_digits); the first pick has no
+    diversity term (max over empty set contributes 0).
+    """
+    from esper_tv_spark.plans.cache import register_persisted
+
+    spark = cand.sparkSession
+    cand = register_persisted("retrieval.mmr.cand", cand.select(id_col, rel_col))
+    sims = register_persisted("retrieval.mmr.sims", sims)
+    picks: list[tuple[int, object, float]] = []
+    selected: list = []
+    for step in range(1, k + 1):
+        rem = cand.where(~F.col(id_col).isin(selected)) if selected else cand
+        if selected:
+            ms = (
+                sims.where(F.col("ib").isin(selected))
+                .groupBy("ia")
+                .agg(F.max("s").alias("__maxsim"))
+            )
+            scored = rem.join(ms, rem[id_col] == ms["ia"]).select(
+                F.col(id_col),
+                F.round(
+                    F.lit(lam) * F.col(rel_col) - F.lit(mu) * F.col("__maxsim"),
+                    round_digits,
+                ).alias("mmr"),
+            )
+        else:
+            scored = rem.select(
+                F.col(id_col),
+                F.round(F.lit(lam) * F.col(rel_col), round_digits).alias("mmr"),
+            )
+        top = scored.orderBy(F.col("mmr").desc(), F.col(id_col).asc()).limit(1).collect()
+        if not top:
+            break  # fewer candidates than k
+        picks.append((step, top[0][id_col], float(top[0]["mmr"])))
+        selected.append(top[0][id_col])
+    id_type = cand.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        picks, schema=f"pick INT, {id_col} {id_type}, mmr_score DOUBLE"
+    )
+
+
+def candidate_pairwise_sims(
+    cand_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """All-pairs cosine between a BOUNDED candidate set (fetch_k rows →
+    fetch_k² sims; this is the one place all-pairs is the right plan —
+    never call it on a corpus).  Output (ia, ib, s), self-pairs excluded."""
+    from esper_tv_spark.operators.similarity import cosine
+
+    a = cand_vecs.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("__va"))
+    b = cand_vecs.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .select("ia", "ib", F.round(cosine(F.col("__va"), F.col("__vb")), round_digits).alias("s"))
+    )

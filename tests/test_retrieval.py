@@ -170,3 +170,45 @@ def test_interp_validation(spark):
         interp_fuse([(a, "id", "s", True)], weights=[1.0, 2.0])
     with pytest.raises(ValueError):
         interp_fuse([(a, "id", "s", True)], weights=[-1.0])
+
+
+def test_mmr_skips_near_duplicate(spark):
+    """Two near-identical top candidates: relevance order picks both first;
+    MMR must demote the duplicate below the diverse third item — the one
+    property q118's hash can't localize (it gates the whole trajectory)."""
+    from esper_tv_spark.operators.retrieval import candidate_pairwise_sims, mmr_rerank
+    from pyspark.sql import functions as F
+
+    # query deliberately distinct from every candidate: if the query IS the
+    # top candidate's direction, sim-to-picked == relevance and MMR
+    # degenerates to the relevance order (no test power)
+    rows = [
+        (1, [0.9, 0.1, 0.4]),    # rel .909 — picked first
+        (2, [0.9, 0.12, 0.41]),  # near-dup of 1 (sim .9998), rel .903
+        (3, [0.8, -0.6, 0.0]),   # diverse (sim to 1 = .667), rel .800
+    ]
+    # step-2 scores: near-dup 0.7*.903-0.3*.9998 = .332; diverse
+    # 0.7*.800-0.3*.667 = .360 -> diversity wins despite lower relevance
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    from esper_tv_spark.operators.similarity import cosine_topk
+
+    qv = [1.0, 0.0, 0.0]
+    cand = cosine_topk(emb, qv, 3, id_col="vec_id")
+    sims = candidate_pairwise_sims(emb, id_col="vec_id")
+    out = mmr_rerank(cand, sims, k=3, id_col="vec_id")
+    picks = [r["vec_id"] for r in out.orderBy("pick").collect()]
+    assert picks[0] == 1          # highest relevance first
+    assert picks[1] == 3          # diversity beats the near-dup
+    assert picks[2] == 2
+
+
+def test_mmr_fewer_candidates_than_k(spark):
+    from esper_tv_spark.operators.retrieval import candidate_pairwise_sims, mmr_rerank
+    from esper_tv_spark.operators.similarity import cosine_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    cand = cosine_topk(emb, [1.0, 0.0], 2, id_col="vec_id")
+    out = mmr_rerank(cand, candidate_pairwise_sims(emb, id_col="vec_id"), k=5)
+    assert out.count() == 2  # stops when candidates run out
