@@ -21,6 +21,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -360,4 +362,77 @@ def pack_shards(
                 / F.lit(budget)
             ).alias(shard_col),
         )
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    phi: float,
+    k: int | None = None,
+) -> DataFrame:
+    """Exact phi-heavy hitters via a distributed Misra-Gries sketch +
+    exact recount — "which n-grams / domains / user-agents make up more
+    than phi of a 100-TB corpus" without a full-cardinality groupBy.
+
+    Semantics (exact, partitioning-independent): all keys with global
+    count >= ceil(phi * n), with their exact counts.  The sketch only
+    proposes CANDIDATES; a final exact count over the candidate set (a
+    broadcast semi-join, then one partial-aggregated groupBy over the
+    surviving rows) makes the output exact — the classic two-pass
+    heavy-hitter pattern.
+
+    Why it scales where groupBy(key) doesn't: the full-cardinality
+    aggregate shuffles one row per DISTINCT key (token n-grams at corpus
+    scale: billions); here the shuffled state is <= k counters per
+    partition (k = ceil(1/phi), independent of data size), and the second
+    pass aggregates only rows whose key is in the (<= k * n_partitions)
+    candidate set.  Guarantee: Misra-Gries with k counters retains every
+    key with partition-local frequency > n_p/(k+1); any global
+    phi-heavy key is phi-heavy in at least one partition (averaging), and
+    phi * n_p > n_p/(k+1) holds for k >= 1/phi — so candidates are a
+    superset of the answer for ANY partitioning.  Summary merging inside a
+    partition uses the mergeable-summaries procedure (Agarwal, Cormode,
+    Huang, Phillips, Wei, Yi, "Mergeable Summaries", PODS 2012): add
+    counters, then subtract the (size-k+1)-th largest count and drop
+    non-positives.
+
+    The per-partition sketch runs in mapInPandas (Arrow-batched; a dict of
+    <= a few k entries folded across batches — no per-row Python), the
+    only Python boundary.  Ties at the threshold are kept (>=), so output
+    is deterministic.
+    """
+    if not (0.0 < phi < 1.0):
+        raise ValueError("phi must be in (0, 1)")
+    if k is None:
+        k = max(1, math.ceil(1.0 / phi))
+
+    import pandas as pd
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vals = pdf[key_col].value_counts()
+            for key, c in vals.items():
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > k:
+                # mergeable-summaries shrink: subtract the (k+1)-th
+                # largest count from everything, drop non-positives
+                kth = sorted(counters.values(), reverse=True)[k]
+                counters = {x: c - kth for x, c in counters.items() if c - kth > 0}
+        yield pd.DataFrame({key_col: list(counters.keys())})
+
+    cand = (
+        df.select(key_col)
+        .mapInPandas(mg_partition, schema=f"{key_col} string")
+        .distinct()
+    )
+    total = df.select(F.count(F.lit(1)).alias("_n"))
+    return (
+        df.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("_n")))
+        .select(key_col, "cnt")
     )

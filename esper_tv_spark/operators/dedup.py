@@ -1291,3 +1291,208 @@ def repeated_ngram_spans(
             "n_grams",
         )
     )
+
+
+def edit_similarity_join(
+    df: DataFrame,
+    t: int = 2,
+    id_col: str = "doc_id",
+    str_col: str = "s",
+) -> DataFrame:
+    """Edit-distance similarity self-join via PassJoin segment blocking —
+    record linkage / fuzzy key matching at corpus scale (Li, Deng, Feng:
+    "PassJoin: A Partition-based Method for Similarity Joins", VLDB 2012).
+    The reference's dedup story is whole-item equality or vector proximity
+    (face_embeddings.py:74-96); this adds the STRING near-match family
+    (dirty ids, OCR'd titles, user-typed names) with a provably complete
+    candidate filter, never the O(n^2) cross join.
+
+    Semantics (exact): all unordered pairs (a, b), id_a < id_b, with
+    ``levenshtein(s_a, s_b) <= t``.  Returns (id_a, id_b, dist).
+
+    Shape: each string of length l is even-partitioned into t+1 segments
+    (PassJoin convention: the last ``l mod (t+1)`` segments take the extra
+    char).  Pigeonhole: <= t edits cannot touch all t+1 segments, so for
+    any matching pair the LONGER string contains one of the shorter
+    string's segments VERBATIM, shifted by at most t positions.  Candidate
+    generation is therefore one equi-join: the index side emits its t+1
+    (len, segno, segment) keys; the probe side emits, for every candidate
+    shorter length l2 in [l-t, l] and segment slot, the O(t) substrings
+    inside the shift window — (t+1)^2*(2t+1) ~ 45 probe rows per string at
+    t=2, all built inside array expressions (explode of a flattened
+    transform, no Python).  Exact verification (built-in ``levenshtein``,
+    whole-stage codegen) runs on the DISTINCT candidate pairs only.
+    Strings shorter than t+1 chars (where pigeonhole has no nonempty
+    segment) fall back to a length-banded block against strings of length
+    <= 2t — bounded by construction since both sides are O(t) chars.
+
+    Scale note: block keys are (length, segno, segment-text); a boilerplate
+    segment shared by a large fraction of the corpus creates a hot block
+    exactly like an over-common LSH bucket — audit with a
+    ``groupBy(block_key).count()`` and cap or salt as in
+    `oversized_lsh_buckets` if the data has constant prefixes.
+    """
+    if t < 1:
+        raise ValueError("t must be >= 1")
+    t1 = t + 1
+    s = df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s")).where(
+        F.col(str_col).isNotNull()
+    )
+    base = s.select("_id", "_s", F.length("_s").alias("_l"))
+
+    # --- index side: t+1 segments per string (lengths >= t+1 only) -------
+    seg_expr = (
+        f"transform(sequence(0, {t}), i -> struct("
+        f"i as segno, "
+        f"substring(_s, i * (_l div {t1}) + greatest(0, i - ({t1} - _l % {t1})) + 1, "
+        f"(_l div {t1}) + if(i >= {t1} - _l % {t1}, 1, 0)) as seg))"
+    )
+    idx = (
+        base.where(F.col("_l") >= t1)
+        .select(
+            F.col("_id").alias("id_i"),
+            F.col("_l").alias("l_i"),
+            F.explode(F.expr(seg_expr)).alias("g"),
+        )
+        .select("id_i", "l_i", F.col("g.segno").alias("segno"), F.col("g.seg").alias("seg"))
+    )
+
+    # --- probe side: candidate substrings for every shorter length -------
+    # For each l2 in [max(t+1, _l - t), _l] and segno i, the segment of a
+    # length-l2 string has start st(l2,i) and length ln(l2,i); a <= t edit
+    # script shifts it by at most t, so probe substrings at
+    # p in [st - t, st + t] (clamped) of length ln.
+    probe_expr = (
+        f"flatten(transform(sequence(greatest({t1}, _l - {t}), _l), l2 -> "
+        f"flatten(transform(sequence(0, {t}), i -> "
+        f"transform("
+        f"  if(greatest(0, i * (l2 div {t1}) + greatest(0, i - ({t1} - l2 % {t1})) - {t}) > "
+        f"     least(_l - ((l2 div {t1}) + if(i >= {t1} - l2 % {t1}, 1, 0)), "
+        f"           i * (l2 div {t1}) + greatest(0, i - ({t1} - l2 % {t1})) + {t}), "
+        f"     array(), "
+        f"     sequence("
+        f"       greatest(0, i * (l2 div {t1}) + greatest(0, i - ({t1} - l2 % {t1})) - {t}), "
+        f"       least(_l - ((l2 div {t1}) + if(i >= {t1} - l2 % {t1}, 1, 0)), "
+        f"             i * (l2 div {t1}) + greatest(0, i - ({t1} - l2 % {t1})) + {t}))), "
+        f"  p -> struct(l2 as l2, i as segno, "
+        f"       substring(_s, p + 1, (l2 div {t1}) + if(i >= {t1} - l2 % {t1}, 1, 0)) as sub)"
+        f")))))"
+    )
+    probe = (
+        base.where(F.col("_l") >= t1)
+        .select(F.col("_id").alias("id_p"), F.explode(F.expr(probe_expr)).alias("g"))
+        .select("id_p", F.col("g.l2").alias("l2"), F.col("g.segno").alias("segno"),
+                F.col("g.sub").alias("sub"))
+    )
+
+    cand = (
+        probe.join(
+            idx,
+            (probe["l2"] == idx["l_i"])
+            & (probe["segno"] == idx["segno"])
+            & (probe["sub"] == idx["seg"])
+            & (probe["id_p"] != idx["id_i"]),
+        )
+        .select(
+            F.least("id_p", "id_i").alias("id_a"),
+            F.greatest("id_p", "id_i").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    # --- short-string fallback: l <= t has no nonempty pigeonhole segment;
+    # a match partner is within length band t, so both sides are <= 2t
+    # chars — band-join the (tiny by construction) short set directly.
+    short = base.where(F.col("_l") < t1)
+    near_short = base.where(F.col("_l") <= 2 * t)
+    cand_short = (
+        short.alias("a")
+        .join(
+            near_short.alias("b"),
+            (F.abs(F.col("a._l") - F.col("b._l")) <= t)
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .select(
+            F.least("a._id", "b._id").alias("id_a"),
+            F.greatest("a._id", "b._id").alias("id_b"),
+        )
+        .distinct()
+    )
+    cand = cand.unionByName(cand_short).distinct()
+
+    # --- exact verify on candidates only ---------------------------------
+    sa = base.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+    sb = base.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.levenshtein("_sa", "_sb") <= t)
+        .select("id_a", "id_b", F.levenshtein("_sa", "_sb").alias("dist"))
+    )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    tau: float,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering (the
+    AllPairs/PPJoin family: Bayardo, Ma, Srikant "Scaling Up All Pairs
+    Similarity Search", WWW 2007) — the deterministic complement to
+    MinHash-LSH: same (id_a, id_b, jaccard) output as `lsh_near_dup`'s
+    candidates->verify, but with NO probabilistic recall loss; every pair
+    with J >= tau is returned, guaranteed.
+
+    Prefix-filter principle: order each document's shingle set by a global
+    canonical order (ascending document frequency, ties by text — rare
+    tokens first maximizes pruning); if J(A,B) >= tau, the first
+    |A| - ceil(tau*|A|) + 1 tokens of A and the corresponding prefix of B
+    must share at least one token.  Candidates are therefore one equi-join
+    on prefix tokens (+ the length band tau*|A| <= |B| <= |A|/tau, applied
+    symmetrically); exact verification (array_intersect on the set arrays)
+    runs on distinct candidates only.
+
+    Shape at scale: no global rank is materialized — the canonical order is
+    the (df, token) tuple itself, so ordering is a per-row sort_array and
+    the only shuffles are the df-count groupBy, the set build, and the
+    candidate equi-join on (rare-)prefix tokens.  Skew mirrors LSH buckets:
+    a token shared by f docs contributes O(f^2) candidate rows ONLY if it
+    appears in prefixes, and df-ascending ordering pushes frequent tokens
+    OUT of prefixes — the algorithm's own skew defense.  tau tunes the
+    prefix length: higher tau, shorter prefixes, fewer candidates.
+    """
+    if not (0.0 < tau <= 1.0):
+        raise ValueError("tau must be in (0, 1]")
+    sh = shingle_table(df, shingle_n, id_col, text_col)
+    freq = sh.groupBy("ngram").agg(F.count(F.lit(1)).alias("dfreq"))
+    sets = (
+        sh.join(freq, "ngram")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("dfreq", "ngram"))).alias("toks"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    plen = (F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + F.lit(1)).cast("int")
+    pre = sets.select(
+        F.col(id_col).alias("_id"),
+        F.col("n"),
+        F.explode(F.slice("toks", F.lit(1), plen)).alias("tok"),
+    ).select("_id", "n", F.col("tok.ngram").alias("ngram"))
+
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ngram") == F.col("b.ngram"))
+            & (F.col("a._id") < F.col("b._id"))
+            & (F.col("b.n").cast("double") >= F.lit(tau) * F.col("a.n"))
+            & (F.col("a.n").cast("double") >= F.lit(tau) * F.col("b.n")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    verified = jaccard_pairs(df, cand, shingle_n, id_col, text_col)
+    return verified.where(F.col("jaccard") >= F.lit(tau))

@@ -102,3 +102,91 @@ def funnel(
         .groupBy("step", "step_name")
         .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("users"))
     )
+
+
+def gap_fill(
+    events: DataFrame,
+    bucket: str = "1 hour",
+    by: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_digits: int = 6,
+    value_decimals: int = 2,
+) -> DataFrame:
+    """Dense time-bucket rollup with gap fill + LOCF — the hypertable
+    `time_bucket_gapfill` / `locf` shape (TimescaleDB semantics,
+    re-expressed relationally).  The reference rolls events up per interval
+    but leaves empty buckets ABSENT; downstream charting/feature pipelines
+    need a dense, regular series with carried-forward values.
+
+    Semantics: bucket events by ``date_trunc`` to `bucket` granularity, per
+    `by` group; build the DENSE global spine [min_bucket, max_bucket] (one
+    `sequence` on the global extrema — no per-group spine, so groups align
+    for downstream joins); left-join per-(group, bucket) aggregates; absent
+    buckets get cnt = 0 and value carried forward from the last non-empty
+    bucket (last_value IGNORE NULLS window), NULL before a group's first
+    observation.  avg rounds to `round_digits` for cross-engine stability.
+
+    Shape (and why it scales): the aggregate is one partial-aggregated
+    groupBy(group, bucket); the spine is built from one 2-row global
+    min/max aggregate, cross-joined to the DISTINCT group dims (broadcast —
+    dims are small by definition), so the dense frame never shuffles wide;
+    the LOCF window partitions by group and orders by bucket — one shuffle
+    on the group key.  Buckets-per-series is bounded by the time range, not
+    the event count, so the filled frame is O(groups x buckets) regardless
+    of input scale.  For month-scale ranges at hour grain that is ~720 rows
+    per group; for unbounded retention, window the input first.
+    """
+    from esper_tv_spark.functions.aggregates import exact_avg
+
+    b = F.date_trunc(_bucket_unit(bucket), F.col(ts_col)).alias("bucket")
+    # exact_avg (scaled-bigint sum): a float avg's accumulation order is
+    # partition-dependent, and the last ulp diverges across engines —
+    # caught by the sf0.1 DuckDB gate on this exact query (1/3600 rows)
+    agg = (
+        events.groupBy(F.col(by).alias("grp"), b)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.round(exact_avg(value_col, value_decimals), round_digits) + F.lit(0.0)).alias(
+                "avg_val"
+            ),
+        )
+    )
+    ext = events.select(
+        F.date_trunc(_bucket_unit(bucket), F.min(ts_col)).alias("lo"),
+        F.date_trunc(_bucket_unit(bucket), F.max(ts_col)).alias("hi"),
+    )
+    spine = ext.select(
+        F.explode(F.expr(f"sequence(lo, hi, interval {bucket})")).alias("bucket")
+    )
+    dims = events.select(F.col(by).alias("grp")).distinct()
+    dense = spine.crossJoin(F.broadcast(dims))
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        dense.join(agg, ["grp", "bucket"], "left")
+        .select(
+            F.col("grp").alias(by),
+            "bucket",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            F.last("avg_val", ignorenulls=True).over(w).alias("avg_val_locf"),
+            F.col("cnt").isNull().alias("filled"),
+        )
+    )
+    return filled
+
+
+def _bucket_unit(bucket: str) -> str:
+    """'1 hour' -> 'hour' for date_trunc; only unit-1 buckets are supported
+    by the date_trunc fast path (arbitrary widths would need epoch
+    arithmetic — add when a use-case lands)."""
+    n, unit = bucket.split()
+    if n != "1":
+        raise ValueError("gap_fill supports unit-width buckets ('1 hour', '1 day')")
+    return unit.rstrip("s")
