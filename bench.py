@@ -97,6 +97,25 @@ HEADLINE = [
     "q110_weighted_sample",
     "q111_shard_packing",
     "q112_weighted_rrf",
+    # round-10 additions: the DSL-compiled hybrid (entry point A, priced
+    # through the compiler), interpolation fusion, span dedup, funnel,
+    # PageRank, MMR — and the exact-similarity/analytics family (PassJoin
+    # edit join, gap fill + LOCF, Misra-Gries heavy hitters, AllPairs
+    # set-sim join, degree-oriented triangles, cohort retention).
+    # q123 is the heaviest: ~35M oriented wedges on the 1.2M-edge
+    # co-purchase graph — an honest exact-triangle wall, kept.
+    "q113_dsl_hybrid",
+    "q114_interp_fusion",
+    "q115_repeated_spans",
+    "q116_event_funnel",
+    "q117_pagerank",
+    "q118_mmr_diversified",
+    "q119_fuzzy_title_join",
+    "q120_gap_fill",
+    "q121_heavy_hitters",
+    "q122_set_similarity_join",
+    "q123_triangle_count",
+    "q124_cohort_retention",
     # q93 (Carter-Wegman minhash) is DEMOTED from the headline loop
     # (round-6 VERDICT #5): it lost its own bake-off to q28's classic
     # signature (3.2s/round re-proving a negative); it remains a full

@@ -21,8 +21,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -402,6 +400,8 @@ def heavy_hitters(
     only Python boundary.  Ties at the threshold are kept (>=), so output
     is deterministic.
     """
+    import math
+
     if not (0.0 < phi < 1.0):
         raise ValueError("phi must be in (0, 1)")
     if k is None:

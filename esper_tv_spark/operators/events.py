@@ -190,3 +190,43 @@ def _bucket_unit(bucket: str) -> str:
     if n != "1":
         raise ValueError("gap_fill supports unit-width buckets ('1 hour', '1 day')")
     return unit.rstrip("s")
+
+
+def cohort_retention(
+    events: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix — the third classic product-analytics shape
+    next to funnels (`funnel`) and sessions (q17): entities are cohorted
+    by the period of their FIRST event, and each (cohort, period-offset)
+    cell counts the distinct entities still active that many periods
+    later.  Cell (c, 0) is the cohort's size.
+
+    Output: (cohort_start timestamp, period_offset long, users long).
+
+    Shape: one groupBy(entity) min for the cohort assignment, one join
+    back (broadcast when the entity dim fits, shuffle-hash otherwise —
+    both sides are keyed on the entity), one partial-aggregated
+    count_distinct on (cohort, offset).  The offset is integer epoch
+    arithmetic on date_trunc'd boundaries — exact, engine-portable, no
+    calendar functions beyond the truncation itself.  The matrix is
+    O(cohorts x offsets) regardless of event count.
+    """
+    per = {"week": 7 * 86400, "day": 86400}.get(granularity)
+    if per is None:
+        raise ValueError("granularity must be 'week' or 'day'")
+    first = events.groupBy(F.col(by).alias("_e")).agg(
+        F.date_trunc(granularity, F.min(ts_col)).alias("cohort_start")
+    )
+    act = events.select(
+        F.col(by).alias("_e"), F.date_trunc(granularity, F.col(ts_col)).alias("_b")
+    ).join(first, "_e")
+    offset = (
+        (F.unix_timestamp("_b") - F.unix_timestamp("cohort_start")) / F.lit(per)
+    ).cast("long")
+    return (
+        act.groupBy("cohort_start", offset.alias("period_offset"))
+        .agg(F.count_distinct("_e").alias("users"))
+    )

@@ -100,3 +100,71 @@ def pagerank_fixed(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact per-node triangle counts via degree-ordered orientation — the
+    clustering-structure primitive (community detection, spam/bot scoring,
+    graph quality metrics for link corpora).
+
+    The naive plan enumerates every wedge (two-hop path) and closes it:
+    O(Σ deg²) — a high-degree hub in a 100-TB web graph makes that
+    explode.  Degree orientation is the standard fix (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW 2011):
+    orient each undirected edge from the LOWER (degree, id) endpoint to
+    the higher; every triangle then has exactly ONE wedge whose center is
+    its minimum-rank vertex, and oriented out-degree is O(sqrt(m)) for ANY
+    degree distribution — the hub's wedges collapse from deg² to m.
+
+    Input: an edge list, either direction, duplicates tolerated (the
+    operator canonicalizes + distincts; self-loops dropped).  Output:
+    (node, triangles) for every node with >= 1 triangle.
+
+    Shape: one distinct (canonical edges), one degree groupBy, one
+    self-join on the oriented wedge center, one join to close the wedge
+    (semi shape on the canonical edge set), one final count groupBy —
+    all equi-joins on ids, no Python anywhere.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): lo -> hi
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    )
+    # wedges centered at the min-rank vertex: lo -> x, lo -> y (x < y)
+    o1 = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("x"))
+    o2 = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("y"))
+    wedges = o1.join(o2, "c").where(F.col("x") < F.col("y"))
+    # close the wedge against the canonical undirected edge set
+    closer = e.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tris = wedges.join(closer, ["x", "y"])  # (c, x, y) = one triangle each
+    per_node = (
+        tris.select(F.col("c").alias("node"))
+        .unionAll(tris.select(F.col("x").alias("node")))
+        .unionAll(tris.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return per_node

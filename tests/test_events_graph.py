@@ -168,3 +168,84 @@ def test_repeated_spans_max_gram_docs_cap(spark):
     uncapped = repeated_ngram_spans(_docs(spark, texts), n=6, min_docs=2)
     capped = repeated_ngram_spans(_docs(spark, texts), n=6, min_docs=2, max_gram_docs=3)
     assert uncapped.count() == 5 and capped.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# triangle_count (q123) / cohort_retention (q124)
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_closed_form(spark):
+    from esper_tv_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant edge
+    # and a disconnected triangle {10,11,12}; edges given in MIXED
+    # direction with duplicates and a self-loop — canonicalization's job
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = k4 + [(2, 1), (4, 5), (5, 5), (11, 10), (11, 12), (10, 12)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {(r.node, r.triangles) for r in triangle_count(df).collect()}
+    want = {(1, 3), (2, 3), (3, 3), (4, 3), (10, 1), (11, 1), (12, 1)}
+    assert got == want  # node 5 (pendant/self-loop) absent
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    from esper_tv_spark.operators.graph import triangle_count
+
+    rng = random.Random(5)
+    n = 40
+    edges = [(i, j) for i, j in itertools.combinations(range(n), 2) if rng.random() < 0.15]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {(r.node, r.triangles) for r in triangle_count(df).collect()}
+    es = set(edges)
+    from collections import Counter
+
+    cnt = Counter()
+    for x, y, z in itertools.combinations(range(n), 3):
+        if (x, y) in es and (y, z) in es and (x, z) in es:
+            cnt[x] += 1
+            cnt[y] += 1
+            cnt[z] += 1
+    assert got == {(k, v) for k, v in cnt.items()}
+
+
+def test_cohort_retention_closed_form(spark):
+    from datetime import datetime
+
+    from esper_tv_spark.operators.events import cohort_retention
+
+    rows = [
+        # u1: first event Mon Jan 1 week; active weeks 0 and 2
+        (0, datetime(2024, 1, 3), 1, "x"),
+        (1, datetime(2024, 1, 16), 1, "x"),
+        # u2: same cohort week, active week 0 only (two events, one user)
+        (2, datetime(2024, 1, 2), 2, "x"),
+        (3, datetime(2024, 1, 7), 2, "x"),
+        # u3: cohort week of Jan 8, active weeks 0 and 1
+        (4, datetime(2024, 1, 10), 3, "x"),
+        (5, datetime(2024, 1, 15), 3, "x"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+    got = {
+        (r.cohort_start.strftime("%m-%d"), r.period_offset, r.users)
+        for r in cohort_retention(ev).collect()
+    }
+    want = {("01-01", 0, 2), ("01-01", 2, 1), ("01-08", 0, 1), ("01-08", 1, 1)}
+    assert got == want
+
+
+def test_cohort_retention_rejects_bad_granularity(spark):
+    import pytest as _pytest
+    from datetime import datetime
+
+    from esper_tv_spark.operators.events import cohort_retention
+
+    ev = spark.createDataFrame(
+        [(0, datetime(2024, 1, 1), 1, "x")],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING",
+    )
+    with _pytest.raises(ValueError):
+        cohort_retention(ev, granularity="month")
