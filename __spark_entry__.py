@@ -6002,22 +6002,22 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_winnow_pairs": q60_winnow_pairs,
     "q71_dedup_groups": q71_dedup_groups,
     "q58_clean_corpus": q58_clean_corpus,
+    "q123_triangle_count": q123_triangle_count,
     "q77_bootstrap_validation": q77_bootstrap_validation,
+    "q67_decontaminate": q67_decontaminate,
+    "q32_label_centroids": q32_label_centroids,
+    "q33_embedding_norms": q33_embedding_norms,
+    "q38_knn_join": q38_knn_join,
+    "q57_knn_predict": q57_knn_predict,
+    # ---- position 50 cutoff: rows below hold a prior-round green
+    # ---- record on code paths unchanged since (rule enforced above)
     "q110_weighted_sample": q110_weighted_sample,
     "q111_shard_packing": q111_shard_packing,
     "q72_repetition_stats": q72_repetition_stats,
     "q73_pii_redact": q73_pii_redact,
     "q76_corpus_mix": q76_corpus_mix,
     "q68_stratified_sample": q68_stratified_sample,
-    # ---- position 50 cutoff: rows below hold a prior-round green
-    # ---- record on code paths unchanged since (rule enforced above)
     "q69_chunk_documents": q69_chunk_documents,
-    "q67_decontaminate": q67_decontaminate,
-    "q123_triangle_count": q123_triangle_count,
-    "q32_label_centroids": q32_label_centroids,
-    "q33_embedding_norms": q33_embedding_norms,
-    "q38_knn_join": q38_knn_join,
-    "q57_knn_predict": q57_knn_predict,
     "q48_kmeans_clusters": q48_kmeans_clusters,
     "q65_nearest_centroid": q65_nearest_centroid,
     "q47_ann_topk": q47_ann_topk,
