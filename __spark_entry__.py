@@ -5859,6 +5859,35 @@ WHERE CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0
 """
 
 
+def q125_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles (p50/p90/p99 of event values) via
+    distributed histogram refinement (aggregates.exact_quantiles) — no
+    global sort, no sketch approximation: integer bucket counts locate
+    each target rank, the candidate bucket narrows ~64x per round, and
+    the exact k-th smallest finishes on the bounded remainder.  Pinned to
+    buckets=64 / max_rows_exact=500 so the gate exercises the refinement
+    loop (not just the small-n exact tail) at every sf.  The oracle is
+    the rank definition itself: min value with row_number >= ceil(q*n)."""
+    from esper_tv_spark.functions.aggregates import exact_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    res = exact_quantiles(ev, "value", [0.5, 0.9, 0.99], buckets=64, max_rows_exact=500)
+    return spark.createDataFrame(
+        [(float(q), float(v)) for q, v in res], "q DOUBLE, value DOUBLE"
+    )
+
+
+Q125_SQL = """
+WITH r AS (
+  SELECT value, row_number() OVER (ORDER BY value) AS rk, count(*) OVER () AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT CAST(0.5 AS DOUBLE) AS q, min(value) AS value FROM r WHERE rk >= ceil(0.5 * n)
+UNION ALL SELECT CAST(0.9 AS DOUBLE), min(value) FROM r WHERE rk >= ceil(0.9 * n)
+UNION ALL SELECT CAST(0.99 AS DOUBLE), min(value) FROM r WHERE rk >= ceil(0.99 * n)
+"""
+
+
 def q123_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts on the part co-purchase graph (parts
     sharing an order), via degree-ordered orientation
@@ -6003,6 +6032,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_dedup_groups": q71_dedup_groups,
     "q58_clean_corpus": q58_clean_corpus,
     "q123_triangle_count": q123_triangle_count,
+    "q125_exact_quantiles": q125_exact_quantiles,
     "q77_bootstrap_validation": q77_bootstrap_validation,
     "q67_decontaminate": q67_decontaminate,
     "q32_label_centroids": q32_label_centroids,
@@ -6195,6 +6225,7 @@ _ORACLES: dict[str, str] = {
     "q121_heavy_hitters": Q121_SQL,
     "q122_set_similarity_join": Q122_SQL,
     "q123_triangle_count": Q123_SQL,
+    "q125_exact_quantiles": Q125_SQL,
     "q124_cohort_retention": Q124_SQL,
     "q116_event_funnel": Q116_SQL,
     "q117_pagerank": _q117_sql(),

@@ -646,8 +646,101 @@ def run_query(
                 id_col=dd.get("id_col", "vec_id"),
                 vec_col=vec_col,
             )
+        elif op == "edit_join":
+            # PassJoin edit-distance similarity join (q119's operator):
+            # the string near-match family from the safe surface.  `col`
+            # names the string column; t is the distance threshold.
+            col = dd.get("col", text_col)
+            if not isinstance(col, str) or col not in df.columns:
+                raise DSLError(f"edit_join col {col!r} is not a column")
+            if id_col not in df.columns:
+                raise DSLError(f"edit_join id_col {id_col!r} is not a column")
+            t = dd.get("t", 2)
+            if not isinstance(t, int) or isinstance(t, bool) or not 1 <= t <= 8:
+                raise DSLError("edit_join 't' must be an int in [1, 8]")
+            df = dd_ops.edit_similarity_join(df, t=t, id_col=id_col, str_col=col)
+        elif op == "set_sim_join":
+            # AllPairs prefix-filtered exact Jaccard join (q122's
+            # operator) — the deterministic twin of 'lsh_pairs'+verify.
+            if id_col not in df.columns or text_col not in df.columns:
+                raise DSLError("set_sim_join id_col/text_col must be columns")
+            tau = dd.get("tau")
+            if isinstance(tau, bool) or not isinstance(tau, (int, float)) or not 0.0 < tau <= 1.0:
+                raise DSLError("set_sim_join 'tau' must be a number in (0, 1]")
+            df = dd_ops.set_similarity_join(
+                df,
+                tau=float(tau),
+                shingle_n=_pos_int(dd.get("shingle_n"), "shingle_n", 3),
+                id_col=id_col,
+                text_col=text_col,
+            )
         else:
             raise DSLError(f"dedup op not allowed: {op!r}")
+
+    # analytics stage: the event-sequence verbs (funnel / cohort
+    # retention / gap fill) and the corpus statistics (heavy hitters) —
+    # each a whitelisted operator call with plain-value params, same
+    # fail-closed stance as every stage above.
+    an = spec.get("analyze")
+    if an is not None:
+        op = an.get("op")
+        if op == "funnel":
+            from esper_tv_spark.operators.events import funnel as _funnel
+
+            steps = an.get("steps")
+            if (
+                not isinstance(steps, list)
+                or not steps
+                or not all(isinstance(s, str) and s for s in steps)
+            ):
+                raise DSLError("funnel needs a non-empty 'steps' list of strings")
+            gap = an.get("max_gap_seconds")
+            if gap is not None and (
+                isinstance(gap, bool) or not isinstance(gap, int) or gap <= 0
+            ):
+                raise DSLError("'max_gap_seconds' must be a positive int")
+            by = an.get("by", "user_id")
+            if not isinstance(by, str) or by not in df.columns:
+                raise DSLError(f"funnel 'by' {by!r} is not a column")
+            try:
+                df = _funnel(df, steps, by=by, max_gap_seconds=gap)
+            except ValueError as e:
+                raise DSLError(f"funnel: {e}") from e
+        elif op == "retention":
+            from esper_tv_spark.operators.events import cohort_retention as _ret
+
+            by = an.get("by", "user_id")
+            if not isinstance(by, str) or by not in df.columns:
+                raise DSLError(f"retention 'by' {by!r} is not a column")
+            try:
+                df = _ret(df, by=by, granularity=an.get("granularity", "week"))
+            except ValueError as e:
+                raise DSLError(f"retention: {e}") from e
+        elif op == "gap_fill":
+            from esper_tv_spark.operators.events import gap_fill as _gf
+
+            by = an.get("by", "event_type")
+            if not isinstance(by, str) or by not in df.columns:
+                raise DSLError(f"gap_fill 'by' {by!r} is not a column")
+            bucket = an.get("bucket", "1 hour")
+            if not isinstance(bucket, str):
+                raise DSLError("gap_fill 'bucket' must be a string")
+            try:
+                df = _gf(df, bucket=bucket, by=by)
+            except ValueError as e:
+                raise DSLError(f"gap_fill: {e}") from e
+        elif op == "heavy_hitters":
+            from esper_tv_spark.operators.corpus import heavy_hitters as _hh
+
+            key = an.get("key")
+            if not isinstance(key, str) or key not in df.columns:
+                raise DSLError(f"heavy_hitters 'key' {key!r} is not a column")
+            phi = an.get("phi")
+            if isinstance(phi, bool) or not isinstance(phi, (int, float)) or not 0.0 < phi < 1.0:
+                raise DSLError("heavy_hitters 'phi' must be a number in (0, 1)")
+            df = _hh(df, key, float(phi))
+        else:
+            raise DSLError(f"analyze op not allowed: {op!r}")
 
     # text stage: the caption-search verbs from the safe surface —
     # phrase_search / the boolean `&`-grammar / BM25 ranking.  Caption

@@ -162,3 +162,84 @@ def percentile_rank(df: DataFrame, partition_cols: list[str], value_col: str, ou
     10k-bucket histogram CDF + driver UDF lookup, spark_util.py:432-464)."""
     w = Window.partitionBy(*partition_cols).orderBy(F.col(value_col))
     return df.withColumn(out_col, F.percent_rank().over(w))
+
+
+def exact_quantiles(
+    df,
+    col: str,
+    qs: list[float],
+    buckets: int = 4096,
+    max_rows_exact: int = 200_000,
+    max_iters: int = 16,
+):
+    """EXACT discrete quantiles at corpus scale via histogram refinement —
+    the distributed alternative to both a full global sort (what
+    percent_rank costs) and an approximate sketch (what approx_percentile
+    returns).  Semantics: for each q, the value whose 1-based rank in the
+    ascending sort is ceil(q * n) (DuckDB's ``quantile_disc``) — exact,
+    deterministic, partitioning-independent.
+
+    Algorithm (classic iterative bisection / distributed k-th statistic):
+    per refinement round, one (count, min, max) aggregate over the live
+    candidate set, then one exact integer histogram over its range; the
+    bucket holding the target rank becomes the next candidate set.  The
+    NEXT round's filter is the SAME floor-bucket expression that produced
+    the counts — never a reconstructed `v >= lo` range, whose float
+    boundary can disagree with floor((v-lo)/width) at the last ulp and
+    silently shift the rank offset.  Termination: min == max (dense ties
+    — the candidate IS the answer), candidate count <= max_rows_exact
+    (exact k-th smallest via TakeOrdered), or ~buckets x narrowing per
+    round.  No global sort; no shuffle wider than `buckets` rows.
+
+    Returns a list of (q, value) floats (driver-small by construction).
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    base = df.where(F.col(col).isNotNull()).select(F.col(col).alias("v"))
+    n = base.count()
+    if n == 0:
+        return []
+    out = []
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError("quantiles must be in (0, 1]")
+        target = max(1, math.ceil(q * n))  # 1-based rank within `base`
+        cand, k = base, target
+        for _ in range(max_iters):
+            st = cand.agg(
+                F.count("v").alias("c"), F.min("v").alias("lo"), F.max("v").alias("hi")
+            ).collect()[0]
+            total, lo, hi = st["c"], float(st["lo"]), float(st["hi"])
+            if lo == hi:
+                out.append((q, lo))
+                break
+            if total <= max_rows_exact:
+                kth = (
+                    cand.orderBy("v").limit(k).agg(F.max("v").alias("m")).collect()[0]["m"]
+                )
+                out.append((q, float(kth)))
+                break
+            width = (hi - lo) / buckets
+            bucket = F.least(
+                F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int"),
+                F.lit(buckets - 1),
+            )
+            counts = {
+                r["b"]: r["c"]
+                for r in cand.groupBy(bucket.alias("b")).agg(
+                    F.count(F.lit(1)).alias("c")
+                ).collect()
+            }
+            cum = 0
+            for b in range(buckets):
+                cb = counts.get(b, 0)
+                if cum + cb >= k:
+                    k -= cum
+                    cand = cand.where(bucket == F.lit(b))
+                    break
+                cum += cb
+        else:
+            raise RuntimeError("exact_quantiles failed to converge")
+    return out

@@ -75,3 +75,47 @@ def test_sum_distinct_and_count_distinct(spark):
     assert got == {1: 8.0, 2: 7.0}
     cd = count_distinct_over_column(df, ["key"]).first()["n_distinct"]
     assert cd == 3
+
+
+# ---------------------------------------------------------------------------
+# exact_quantiles (q125): histogram-refinement k-th statistic
+# ---------------------------------------------------------------------------
+
+
+def test_exact_quantiles_matches_sorted_rank(spark):
+    import math
+    import random
+
+    from esper_tv_spark.functions.aggregates import exact_quantiles
+
+    rng = random.Random(3)
+    vals = [round(rng.uniform(-50, 50), 2) for _ in range(5000)]
+    vals += [7.77] * 400  # dense tie block
+    df = spark.createDataFrame([(v,) for v in vals], "value DOUBLE")
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+    # force the refinement loop (n > max_rows_exact) with a coarse grid
+    got = exact_quantiles(df, "value", qs, buckets=16, max_rows_exact=100)
+    sv = sorted(vals)
+    for q, v in got:
+        assert v == sv[max(1, math.ceil(q * len(vals))) - 1], q
+
+
+def test_exact_quantiles_partitioning_invariant_and_small_n(spark):
+    from esper_tv_spark.functions.aggregates import exact_quantiles
+
+    vals = [float(x) for x in [5, 1, 9, 3, 3, 3, 7]]
+    df1 = spark.createDataFrame([(v,) for v in vals], "value DOUBLE").repartition(1)
+    df7 = spark.createDataFrame([(v,) for v in vals], "value DOUBLE").repartition(7)
+    a = exact_quantiles(df1, "value", [0.5, 0.9])
+    b = exact_quantiles(df7, "value", [0.5, 0.9])
+    assert a == b == [(0.5, 3.0), (0.9, 9.0)]
+
+
+def test_exact_quantiles_rejects_bad_q(spark):
+    import pytest as _pytest
+
+    from esper_tv_spark.functions.aggregates import exact_quantiles
+
+    df = spark.createDataFrame([(1.0,)], "value DOUBLE")
+    with _pytest.raises(ValueError):
+        exact_quantiles(df, "value", [0.0])

@@ -1096,3 +1096,94 @@ def test_dsl_hybrid_interp_method(spark, catalog, tmp_path):
         with _pytest.raises(DSLError):
             run_query(catalog, {"table": "documents", "similarity": bad},
                       index_catalog=cat)
+
+
+# ---------------------------------------------------------------------------
+# round-10 DSL verbs: edit_join / set_sim_join / analyze stage
+# ---------------------------------------------------------------------------
+
+
+def test_dsl_edit_join_parity(spark):
+    from esper_tv_spark.frontend.dsl import run_query
+    from esper_tv_spark.operators.dedup import edit_similarity_join
+
+    df = spark.createDataFrame(
+        [(0, "abcdef"), (1, "abcxef"), (2, "zzzzzz"), (3, "abcxyf")],
+        "doc_id LONG, s STRING",
+    )
+    out = run_query({"t": df}, {"table": "t", "dedup": {"op": "edit_join", "col": "s", "t": 2}})
+    want = {(r.id_a, r.id_b, r.dist) for r in edit_similarity_join(df, t=2, str_col="s").collect()}
+    assert {(r.id_a, r.id_b, r.dist) for r in out.collect()} == want and want
+
+
+def test_dsl_set_sim_join_and_rejections(spark):
+    import pytest as _pytest
+
+    from esper_tv_spark.frontend import dsl
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d f"), (2, "x y z w q")],
+        "doc_id LONG, text STRING",
+    )
+    out = dsl.run_query(
+        {"t": df}, {"table": "t", "dedup": {"op": "set_sim_join", "tau": 0.4}}
+    )
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(0, 1)}
+    with _pytest.raises(dsl.DSLError):
+        dsl.run_query({"t": df}, {"table": "t", "dedup": {"op": "set_sim_join", "tau": 0}})
+    with _pytest.raises(dsl.DSLError):
+        dsl.run_query({"t": df}, {"table": "t", "dedup": {"op": "edit_join", "col": "nope"}})
+    with _pytest.raises(dsl.DSLError):
+        dsl.run_query({"t": df}, {"table": "t", "dedup": {"op": "edit_join", "col": "text", "t": 0}})
+
+
+def test_dsl_analyze_stage(spark):
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from esper_tv_spark.frontend import dsl
+    from esper_tv_spark.operators.events import funnel
+
+    rows = [
+        (0, datetime(2024, 1, 1, 0), 1, "signup", 1.0),
+        (1, datetime(2024, 1, 1, 1), 1, "click", 1.0),
+        (2, datetime(2024, 1, 1, 2), 1, "purchase", 1.0),
+        (3, datetime(2024, 1, 1, 0), 2, "signup", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    )
+    out = dsl.run_query(
+        {"events": ev},
+        {"table": "events", "analyze": {"op": "funnel", "steps": ["signup", "click", "purchase"]}},
+    )
+    want = {(r.step, r.users) for r in funnel(ev, ["signup", "click", "purchase"]).collect()}
+    assert {(r.step, r.users) for r in out.collect()} == want
+
+    ret = dsl.run_query(
+        {"events": ev}, {"table": "events", "analyze": {"op": "retention", "by": "user_id"}}
+    )
+    assert {(r.period_offset, r.users) for r in ret.collect()} == {(0, 2)}
+
+    gf = dsl.run_query(
+        {"events": ev}, {"table": "events", "analyze": {"op": "gap_fill", "bucket": "1 hour"}}
+    )
+    assert gf.count() == 3 * 3  # dense grid: 3 event types x 3 hours
+    hh = dsl.run_query(
+        {"events": ev},
+        {"table": "events", "analyze": {"op": "heavy_hitters", "key": "event_type", "phi": 0.5}},
+    )
+    assert {(r.event_type, r.cnt) for r in hh.collect()} == {("signup", 2)}
+
+    with _pytest.raises(dsl.DSLError):
+        dsl.run_query({"events": ev}, {"table": "events", "analyze": {"op": "nope"}})
+    with _pytest.raises(dsl.DSLError):
+        dsl.run_query(
+            {"events": ev}, {"table": "events", "analyze": {"op": "funnel", "steps": []}}
+        )
+    with _pytest.raises(dsl.DSLError):
+        dsl.run_query(
+            {"events": ev},
+            {"table": "events", "analyze": {"op": "heavy_hitters", "key": "event_type", "phi": 2}},
+        )
