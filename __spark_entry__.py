@@ -5888,6 +5888,48 @@ UNION ALL SELECT CAST(0.99 AS DOUBLE), min(value) FROM r WHERE rk >= ceil(0.99 *
 """
 
 
+def q126_grouped_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE weighted sampling quotas (corpus.weighted_sample_grouped):
+    5 documents per source drawn proportional to n_chars by the same
+    sequential-Poisson engine-portable key as q110 — the "per-source
+    sampling budget weighted by document mass" step between q68's uniform
+    strata and q110's global draw.  One shuffle on the group key + a
+    bounded per-group window; no global sort."""
+    from esper_tv_spark.operators.corpus import weighted_sample_grouped
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample_grouped(
+        docs.where(F.col("n_chars") > 0), "source", "n_chars", 5
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "sample_key",
+        F.col("draw_rank").cast("int").alias("draw_rank"),
+    )
+
+
+Q126_SQL = """
+WITH h AS (
+  SELECT doc_id, source, n_chars,
+         CAST((doc_id::HUGEINT * 2654435761) % 4294967296 AS DOUBLE) AS hv
+  FROM documents WHERE n_chars > 0
+),
+k AS (
+  SELECT doc_id, source, n_chars,
+         round(((hv + 0.5) / 4294967296.0) / n_chars, 9) AS sample_key
+  FROM h
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY source ORDER BY sample_key ASC, doc_id ASC) AS INT) AS draw_rank
+  FROM k
+)
+SELECT doc_id, source, n_chars, sample_key, draw_rank FROM r WHERE draw_rank <= 5
+"""
+
+
 def q123_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts on the part co-purchase graph (parts
     sharing an order), via degree-ordered orientation
@@ -6033,14 +6075,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_clean_corpus": q58_clean_corpus,
     "q123_triangle_count": q123_triangle_count,
     "q125_exact_quantiles": q125_exact_quantiles,
+    "q126_grouped_weighted_sample": q126_grouped_weighted_sample,
     "q77_bootstrap_validation": q77_bootstrap_validation,
     "q67_decontaminate": q67_decontaminate,
     "q32_label_centroids": q32_label_centroids,
     "q33_embedding_norms": q33_embedding_norms,
-    "q38_knn_join": q38_knn_join,
-    "q57_knn_predict": q57_knn_predict,
     # ---- position 50 cutoff: rows below hold a prior-round green
     # ---- record on code paths unchanged since (rule enforced above)
+    "q38_knn_join": q38_knn_join,
+    "q57_knn_predict": q57_knn_predict,
     "q110_weighted_sample": q110_weighted_sample,
     "q111_shard_packing": q111_shard_packing,
     "q72_repetition_stats": q72_repetition_stats,
@@ -6226,6 +6269,7 @@ _ORACLES: dict[str, str] = {
     "q122_set_similarity_join": Q122_SQL,
     "q123_triangle_count": Q123_SQL,
     "q125_exact_quantiles": Q125_SQL,
+    "q126_grouped_weighted_sample": Q126_SQL,
     "q124_cohort_retention": Q124_SQL,
     "q116_event_funnel": Q116_SQL,
     "q117_pagerank": _q117_sql(),

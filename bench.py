@@ -117,6 +117,7 @@ HEADLINE = [
     "q123_triangle_count",
     "q124_cohort_retention",
     "q125_exact_quantiles",
+    "q126_grouped_weighted_sample",
     # q93 (Carter-Wegman minhash) is DEMOTED from the headline loop
     # (round-6 VERDICT #5): it lost its own bake-off to q28's classic
     # signature (3.2s/round re-proving a negative); it remains a full

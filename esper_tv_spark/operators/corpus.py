@@ -436,3 +436,42 @@ def heavy_hitters(
         .where(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("_n")))
         .select(key_col, "cnt")
     )
+
+
+def weighted_sample_grouped(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+    key_col: str = "sample_key",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Per-group deterministic weighted sampling without replacement —
+    `weighted_sample`'s sequential-Poisson draw (ξ = u/w, the engine-
+    portable key; see that docstring for why not Efraimidis-Spirakis)
+    under a per-group quota: the n smallest keys WITHIN each group.  The
+    training-data op "per-source sampling quotas weighted by document
+    quality" — `stratified_sample_exact` (uniform per stratum) with
+    per-row mass, or `weighted_sample` (global) with a group budget.
+
+    Plan: one shuffle on the group key and a bounded row_number window
+    per group — no global sort, no TakeOrdered (the quota is per group,
+    so per-partition heaps don't apply); rows with w <= 0 or null carry
+    no mass and are excluded, exactly as in the global scheme.  Output:
+    input columns + key + within-group draw rank (1-based).
+    """
+    if n_per_group <= 0:
+        raise ValueError("weighted_sample_grouped needs n_per_group > 0")
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    u = (portable_hash(F.col(id_col)).cast("double") + F.lit(0.5)) / F.lit(float(_M32))
+    key = F.round(u / w, round_digits)
+    win = Window.partitionBy(group_col).orderBy(F.col(key_col).asc(), F.col(id_col).asc())
+    return (
+        df.where(w > 0)
+        .withColumn(key_col, key)
+        .withColumn("draw_rank", F.row_number().over(win))
+        .where(F.col("draw_rank") <= n_per_group)
+    )

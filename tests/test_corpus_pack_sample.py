@@ -159,3 +159,46 @@ def test_pack_shards_fuzz_matches_flat_replay(spark):
         assert got == exp
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_grouped (q126): per-group sequential-Poisson quotas
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_weighted_sample_matches_python_replay(spark):
+    from esper_tv_spark.operators.corpus import _KNUTH, _M32, weighted_sample_grouped
+
+    rows = [(i, f"s{i % 3}", (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, w LONG")
+    got = {
+        (r.doc_id, r.source, r.draw_rank)
+        for r in weighted_sample_grouped(df, "source", "w", 4).collect()
+    }
+    by_src = {}
+    for i, s, w in rows:
+        u = ((i * _KNUTH) % _M32 + 0.5) / _M32
+        by_src.setdefault(s, []).append((round(u / w, 9), i))
+    want = set()
+    for s, ks in by_src.items():
+        for rank, (_, i) in enumerate(sorted(ks), start=1):
+            if rank <= 4:
+                want.add((i, s, rank))
+    assert got == want
+
+
+def test_grouped_weighted_sample_excludes_nonpositive_and_invariant(spark):
+    from esper_tv_spark.operators.corpus import weighted_sample_grouped
+
+    rows = [(1, "a", 5), (2, "a", 0), (3, "a", -1), (4, "a", None), (5, "b", 1)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, w INT")
+    out = weighted_sample_grouped(df, "source", "w", 10)
+    assert {r.doc_id for r in out.collect()} == {1, 5}
+    a = {(r.doc_id, r.draw_rank) for r in weighted_sample_grouped(df.repartition(1), "source", "w", 10).collect()}
+    b = {(r.doc_id, r.draw_rank) for r in weighted_sample_grouped(df.repartition(5), "source", "w", 10).collect()}
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        weighted_sample_grouped(df, "source", "w", 0)
