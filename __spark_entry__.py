@@ -2372,7 +2372,14 @@ def q85_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     k = recommended_clusters(_parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet")))
-    out = semantic_dedup(emb, k=k, threshold=0.4)
+    # r10: serve the contract through the production BLAS rungs
+    # (fast_assign GEMM assignment + fast_pairs GEMM pair scoring) — the
+    # same twin-flip as the ANN family; pytest pins twin equality and the
+    # DuckDB gate re-verifies the hash at every sf (measured identical at
+    # sf0.001/0.01/0.1; sf0.1 best-of-2 8.3s -> 2.0s under equal load)
+    out = semantic_dedup(
+        emb, k=k, threshold=0.4, fast_assign=True, fast_pairs=True
+    )
     return out.select(
         "vec_id", "cluster", F.col("is_dup").cast("int").alias("is_dup")
     ).orderBy("vec_id")
@@ -2550,7 +2557,7 @@ def q80_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
     idx = _ivf_index_dir(spark, sf_dir, n_cells=16)
-    return similarity.ivf_probe_index(spark, idx, qv, 10, n_probe=3)
+    return similarity.ivf_probe_index(spark, idx, qv, 10, n_probe=3, fast=True)
 
 
 def q87_ivf_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2687,7 +2694,7 @@ def q100_hier_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 5).select("embedding").first()[0]]
     idx = _hier_ivf_index_dir(spark, sf_dir, n_cells=16, n_groups=4)
-    return similarity.ivf_probe_index(spark, idx, qv, 10, n_probe=3, n_probe_groups=2)
+    return similarity.ivf_probe_index(spark, idx, qv, 10, n_probe=3, n_probe_groups=2, fast=True)
 
 
 Q100_SQL = """
@@ -2818,7 +2825,7 @@ def q104_retired_cell_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 7).select("embedding").first()[0]]
     idx = _retired_ivf_index_dir(spark, sf_dir)
-    return similarity.ivf_probe_index(spark, idx, qv, 10, n_probe=3)
+    return similarity.ivf_probe_index(spark, idx, qv, 10, n_probe=3, fast=True)
 
 
 Q104_SQL = """
@@ -2895,7 +2902,7 @@ def q103_trained_groups_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 41).select("embedding").first()[0]]
     idx = _hier_ivf_index_dir(spark, sf_dir, n_cells=16, n_groups=4, train_iters=2)
-    return similarity.ivf_probe_index(spark, idx, qv, 10, n_probe=3, n_probe_groups=2)
+    return similarity.ivf_probe_index(spark, idx, qv, 10, n_probe=3, n_probe_groups=2, fast=True)
 
 
 Q103_SQL = """
@@ -3021,7 +3028,7 @@ def q101_hier_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     out = similarity.ivf_knn_join_index(
-        spark, idx, queries, 10, n_probe=3, n_probe_groups=2
+        spark, idx, queries, 10, n_probe=3, n_probe_groups=2, fast=True
     )
     return out.orderBy("qid", F.col("cosine_sim").desc(), "vec_id")
 
@@ -3145,7 +3152,7 @@ def q102_ivf_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
     idx = _tomb_ivf_index_dir(spark, sf_dir)
-    return similarity.ivf_probe_index(spark, idx, qv, 10, n_probe=3)
+    return similarity.ivf_probe_index(spark, idx, qv, 10, n_probe=3, fast=True)
 
 
 Q102_SQL = """
@@ -3207,7 +3214,7 @@ def q106_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ivf_index_dir(spark, sf_dir, n_cells=16)
     allow = emb.where(F.col("label") == 7).select("vec_id")
     return similarity.ivf_probe_index(
-        spark, idx, qv, 10, n_probe=3, filter_ids=allow
+        spark, idx, qv, 10, n_probe=3, filter_ids=allow, fast=True
     )
 
 
@@ -3240,7 +3247,7 @@ def q107_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
     idx = _ivf_index_dir(spark, sf_dir, n_cells=16)
-    return similarity.ivf_range_search(spark, idx, qv, 0.15, n_probe=3)
+    return similarity.ivf_range_search(spark, idx, qv, 0.15, n_probe=3, fast=True)
 
 
 # q80's replay with the top-k tail swapped for the threshold filter —
@@ -3277,7 +3284,7 @@ def q108_filtered_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     allow = emb.where(F.col("label") == 7).select("vec_id")
     out = similarity.ivf_knn_join_index(
-        spark, idx, queries, 10, n_probe=3, filter_ids=allow
+        spark, idx, queries, 10, n_probe=3, filter_ids=allow, fast=True
     )
     return out.orderBy("qid", F.col("cosine_sim").desc(), "vec_id")
 
@@ -3312,7 +3319,7 @@ def q112_weighted_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(25)
     )
-    vec = ivf_probe_index(spark, idx, qv, 25, n_probe=3)
+    vec = ivf_probe_index(spark, idx, qv, 25, n_probe=3, fast=True)
     return rrf_fuse(
         [(lex, "doc_id", "score", True), (vec, "vec_id", "cosine_sim", True)],
         k=60,
@@ -3424,7 +3431,7 @@ def q114_interp_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(20)
     )
-    vec = ivf_probe_index(spark, idx, qv, 20, n_probe=3)
+    vec = ivf_probe_index(spark, idx, qv, 20, n_probe=3, fast=True)
     return interp_fuse(
         [(lex, "doc_id", "score", True), (vec, "vec_id", "cosine_sim", True)],
         weights=[0.7, 0.3],
@@ -3581,7 +3588,9 @@ def q109_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
     idx = _ivf_index_dir(spark, sf_dir, n_cells=16)
-    return hybrid_search(docs, spark, idx, _Q75_TERMS, qv, 20, k_cand=25, n_probe=3)
+    return hybrid_search(
+        docs, spark, idx, _Q75_TERMS, qv, 20, k_cand=25, n_probe=3, fast=True
+    )
 
 
 def _q109_sql() -> str:
@@ -3746,7 +3755,7 @@ def q88_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
     store = _pq_store_dir(spark, sf_dir, m=8, k=16)
-    return similarity.pq_probe_store(spark, store, qv, 10)
+    return similarity.pq_probe_store(spark, store, qv, 10, fast=True)
 
 
 Q88_SQL = """
@@ -3842,7 +3851,7 @@ def q92_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
     idx = _ivfpq_index_dir(spark, sf_dir)
-    return similarity.ivfpq_probe_index(spark, idx, qv, 10, n_probe=3)
+    return similarity.ivfpq_probe_index(spark, idx, qv, 10, n_probe=3, fast=True)
 
 
 Q92_SQL = """
@@ -3985,7 +3994,7 @@ def q94_opq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0][:64]
     ]
     idx = _q94_index_dir(spark, sf_dir)
-    return similarity.ivfpq_probe_index(spark, idx, qv, 10, n_probe=3)
+    return similarity.ivfpq_probe_index(spark, idx, qv, 10, n_probe=3, fast=True)
 
 
 def _q94_sql() -> str:
@@ -4127,7 +4136,7 @@ def q95_ivfsq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
     idx = _q95_index_dir(spark, sf_dir)
-    return similarity.ivfsq_probe_index(spark, idx, qv, 10, n_probe=3)
+    return similarity.ivfsq_probe_index(spark, idx, qv, 10, n_probe=3, fast=True)
 
 
 Q95_SQL = """
@@ -4204,7 +4213,7 @@ def q96_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id").isin([0, 7, 13])).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    out = similarity.ivf_knn_join_index(spark, idx, queries, 10, n_probe=3)
+    out = similarity.ivf_knn_join_index(spark, idx, queries, 10, n_probe=3, fast=True)
     return out.orderBy("qid", F.col("cosine_sim").desc(), "vec_id")
 
 
@@ -4280,7 +4289,7 @@ def q97_ivfpq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id").isin([0, 7, 13])).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    out = similarity.ivfpq_knn_join_index(spark, idx, queries, 10, n_probe=3)
+    out = similarity.ivfpq_knn_join_index(spark, idx, queries, 10, n_probe=3, fast=True)
     return out.orderBy("qid", F.col("adist").asc(), "vec_id")
 
 
@@ -4409,7 +4418,7 @@ def q98_ivfpq_residual_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id").isin([0, 7, 13])).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    out = similarity.ivfpq_knn_join_index(spark, idx, queries, 10, n_probe=3)
+    out = similarity.ivfpq_knn_join_index(spark, idx, queries, 10, n_probe=3, fast=True)
     return out.orderBy("qid", F.col("adist").asc(), "vec_id")
 
 
@@ -4540,7 +4549,7 @@ def q105_lut_table_adc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     out = similarity.ivfpq_knn_join_index(
-        spark, idx, queries, 10, n_probe=10, lut_literal_max_probe=8
+        spark, idx, queries, 10, n_probe=10, lut_literal_max_probe=8, fast=True
     )
     return out.orderBy("qid", F.col("adist").asc(), "vec_id")
 
@@ -4575,7 +4584,7 @@ def q99_ivfsq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id").isin([0, 7, 13])).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    out = similarity.ivfsq_knn_join_index(spark, idx, queries, 10, n_probe=3)
+    out = similarity.ivfsq_knn_join_index(spark, idx, queries, 10, n_probe=3, fast=True)
     return out.orderBy("qid", F.col("adist").asc(), "vec_id")
 
 
@@ -5582,7 +5591,16 @@ def q117_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated groupBy per round, lineage localCheckpoint-
     truncated) hash-matches a DuckDB replay unrolled as chained CTEs.
     The iterative-algorithm capability next to dedup.connected_components'
-    pointer jumping."""
+    pointer jumping.
+
+    r10 optimization (results identical, guide §2.3 "narrower types"):
+    the loop runs on BIGINT node ids (custkey -> 2k, suppkey -> 2k+1 —
+    injective over the bipartite id spaces) and only materializes the
+    'c<id>'/'s<id>' display strings for the FINAL 184k-row rank table,
+    before the same (pr desc, node asc) string-ordered top-20.  Every
+    join/groupBy key in the 3-iteration loop is then an 8-byte long
+    instead of a ~9-char string (measured with the lineage-truncation
+    fix in pagerank_fixed: 6.3s strings -> 3.6s bigint at sf0.1)."""
     from esper_tv_spark.operators.graph import pagerank_fixed
 
     o = _t(spark, sf_dir, "orders")
@@ -5593,15 +5611,22 @@ def q117_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     fwd = pairs.select(
-        F.concat(F.lit("c"), F.col("c").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("s").cast("string")).alias("dst"),
+        (F.col("c").cast("long") * 2).alias("src"),
+        (F.col("s").cast("long") * 2 + 1).alias("dst"),
     )
     rev = pairs.select(
-        F.concat(F.lit("s"), F.col("s").cast("string")).alias("src"),
-        F.concat(F.lit("c"), F.col("c").cast("string")).alias("dst"),
+        (F.col("s").cast("long") * 2 + 1).alias("src"),
+        (F.col("c").cast("long") * 2).alias("dst"),
     )
     ranks = pagerank_fixed(fwd.unionByName(rev), iters=3, scale=10**9)
-    return ranks.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(20)
+    named = ranks.select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+            F.expr("node div 2").cast("string"),
+        ).alias("node"),
+        "pr",
+    )
+    return named.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(20)
 
 
 def _q117_sql(iters: int = 3) -> str:

