@@ -3678,7 +3678,7 @@ def q81_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     # dim pinned like the oracle's slices (Q81_SQL hardcodes 8-wide
     # subspaces of a 64-dim vector) — no .first() sniff job per call
-    codes = similarity.pq_assign_deterministic(emb, m=8, k=16, dim=64)
+    codes = similarity.pq_assign_deterministic(emb, m=8, k=16, dim=64, fast=True)
     return (
         codes.groupBy("subspace", "code")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("vec_id").alias("id_sum"))
@@ -4400,12 +4400,23 @@ def q98_ivfpq_residual_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     default IVFADC refinement, Jegou et al. 2011 §IV): the stored codes
     quantize r = v - centroid[cell], so the query-side LUT differs PER
     PROBED CELL — the batch join keys its literal LUT map on the
-    composite (qid, cell) pair (n_q * n_probe LUTs of m*k longs, inline,
-    zero LUT joins) instead of q97's qid alone.  This closes the
-    batched-serving matrix for the highest-recall PQ rung: one
-    partition-pruned posting scan shared by the whole batch, one
-    broadcast (qid, cell) pair join, one per-qid top-k window.  The
-    oracle replays EVERYTHING from the base table: coarse assignment,
+    composite (qid, cell) pair (n_q * n_probe LUTs of m*k longs) instead
+    of q97's qid alone.  This closes the batched-serving matrix for the
+    highest-recall PQ rung: one partition-pruned posting scan shared by
+    the whole batch, one broadcast (qid, cell) pair join, one per-qid
+    top-k window.
+
+    r10 carrier note: the entry now serves through the broadcast
+    LUT-TABLE carrier (lut_literal_max_probe=2 < n_probe — the same
+    carrier q105 pins at production probe depth): the inline-literal map
+    costs ~2-4s of Catalyst compile for 9 x 128 literal longs at ANY
+    data size, while the table carrier's LUTs ride the pair rows the
+    join already broadcasts (measured 5.6s -> 1.5s under equal load,
+    bit-identical — asserted in tests/test_plans.py across carriers).
+    The inline-literal mechanism stays oracle-pinned via q97's qid-keyed
+    literal map and the single probes' literal LUTs (q92/q94).
+
+    The oracle replays EVERYTHING from the base table: coarse assignment,
     per-vector residuals, the residual codebook seeds (the 16 smallest
     NON-centroid ids — centroid rows have ~zero residuals and would
     degenerate the codebook), the residual PQ encode, per-(qid, cell)
@@ -4418,7 +4429,9 @@ def q98_ivfpq_residual_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id").isin([0, 7, 13])).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    out = similarity.ivfpq_knn_join_index(spark, idx, queries, 10, n_probe=3, fast=True)
+    out = similarity.ivfpq_knn_join_index(
+        spark, idx, queries, 10, n_probe=3, fast=True, lut_literal_max_probe=2
+    )
     return out.orderBy("qid", F.col("adist").asc(), "vec_id")
 
 
@@ -5967,12 +5980,28 @@ def q123_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from esper_tv_spark.operators.graph import triangle_count
 
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    # r10 edge build (guide §2.4 — same distinct edge set, one less wide
+    # shuffle): per-order part sets via ONE partial-aggregated groupBy +
+    # in-array pair expansion, instead of the lineitem⋈lineitem self-join
+    # (which shuffled the fact table twice before the distinct).
+    # Per-order part counts are small (TPC-H ~4 lines/order), so the
+    # collected array and its ~k²/2 expansion are bounded per row.
+    # Measured interleaved at sf0.1: edge-set build 5.1s -> 2.7s, full
+    # query ~12.3 -> ~10.7s, byte-identical output.
+    arr = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
     edges = (
-        a.join(b, "o")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
+        arr.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                    "y -> struct(x as src, y as dst))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
         .distinct()
     )
     return triangle_count(edges).select(

@@ -399,6 +399,17 @@ def heavy_hitters(
     <= a few k entries folded across batches — no per-row Python), the
     only Python boundary.  Ties at the threshold are kept (>=), so output
     is deterministic.
+
+    Pass-count shape (r10, guide §1.2): TWO passes over the input, not
+    three — the sketch pass already sees every row, so it also emits one
+    per-partition row-count row (key NULL), and the global n is the sum
+    of those instead of a separate full `count()` pass.  The tiny sketch
+    output is site-persisted because both the candidate set and the
+    total derive from it (and a re-evaluated mapInPandas under a
+    different partitioning could propose a different — still correct —
+    candidate superset; persisting pins one).  For a corpus-scale input
+    that is 33% fewer full scans; identical output by construction
+    (summed partition counts == count(*), candidates unchanged).
     """
     import math
 
@@ -409,9 +420,13 @@ def heavy_hitters(
 
     import pandas as pd
 
+    from esper_tv_spark.plans.cache import register_persisted
+
     def mg_partition(batches):
         counters: dict = {}
+        nrows = 0
         for pdf in batches:
+            nrows += len(pdf)
             vals = pdf[key_col].value_counts()
             for key, c in vals.items():
                 counters[key] = counters.get(key, 0) + int(c)
@@ -420,14 +435,19 @@ def heavy_hitters(
                 # largest count from everything, drop non-positives
                 kth = sorted(counters.values(), reverse=True)[k]
                 counters = {x: c - kth for x, c in counters.items() if c - kth > 0}
-        yield pd.DataFrame({key_col: list(counters.keys())})
+        keys = list(counters.keys())
+        yield pd.DataFrame(
+            {key_col: keys + [None], "_pn": [0] * len(keys) + [nrows]}
+        )
 
-    cand = (
-        df.select(key_col)
-        .mapInPandas(mg_partition, schema=f"{key_col} string")
-        .distinct()
+    sk = register_persisted(
+        "corpus.heavy_hitters.sketch",
+        df.select(key_col).mapInPandas(
+            mg_partition, schema=f"{key_col} string, _pn long"
+        ),
     )
-    total = df.select(F.count(F.lit(1)).alias("_n"))
+    cand = sk.where(F.col(key_col).isNotNull()).select(key_col).distinct()
+    total = sk.agg(F.sum("_pn").alias("_n"))
     return (
         df.join(F.broadcast(cand), key_col, "left_semi")
         .groupBy(key_col)

@@ -1340,11 +1340,21 @@ def edit_similarity_join(
     """
     if t < 1:
         raise ValueError("t must be >= 1")
+    from esper_tv_spark.plans.cache import register_persisted
+
     t1 = t + 1
     s = df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s")).where(
         F.col(str_col).isNotNull()
     )
-    base = s.select("_id", "_s", F.length("_s").alias("_l"))
+    # (_id, _s, _l) is consumed by SIX branches of the returned plan
+    # (index segments, probe substrings, both short-fallback sides, both
+    # verify sides) — uncached, Catalyst re-derives the caller's string
+    # projection once per reference (guide §2.4); the row is a few dozen
+    # bytes, so the site-keyed persist is strictly cheaper at any scale
+    base = register_persisted(
+        "dedup.edit_similarity_join.base",
+        s.select("_id", "_s", F.length("_s").alias("_l")),
+    )
 
     # --- index side: t+1 segments per string (lengths >= t+1 only) -------
     seg_expr = (

@@ -1414,6 +1414,7 @@ def pq_assign_deterministic(
     vec_col: str = "embedding",
     round_digits: int = 6,
     dim: int | None = None,
+    fast: bool = False,
 ) -> DataFrame:
     """Product-quantization ENCODE with deterministic codebooks — the
     engine-portable twin of pq_fit/pq_encode (whose KMeans codebooks are
@@ -1477,16 +1478,64 @@ def pq_assign_deterministic(
         )
         .select("code", F.col("__c.subspace").alias("subspace"), F.col("__c.sc").alias("sc"))
     )
-    # per-side norms hoisted out of the (row, code) cross product — one
-    # dot per scored row instead of three, identical rounded d2
-    subs = subs.withColumn("__ss", dot(F.col("sv"), F.col("sv")))
-    cents = cents.withColumn("__cc", dot(F.col("sc"), F.col("sc")))
     # dense per-subspace code rank for the packed argmin (see lloyd_assign:
     # a struct-min buffer forces SortAggregate over the whole cross
     # product; the packed long hash-aggregates inside the codegen stage)
     rk = F.row_number().over(
         Window.partitionBy("subspace").orderBy(F.col("code").asc())
     ) - F.lit(1)
+    if fast:
+        # BLAS serving rung: the argmin over (row, subspace, code) runs
+        # as pq_encode_with_codebooks_blas' per-batch GEMM (same rounded
+        # d2, same smaller-code tie via the dense rank — pytest pins the
+        # twins), then the dense ranks map back to raw centroid ids via
+        # an m x k literal (the codebook is ONE 128-row collect).
+        cb_rows = cents.withColumn("rk", rk).select(
+            "subspace", "rk", "code", "sc"
+        ).collect()
+        if cb_rows:
+            cb = df.sparkSession.createDataFrame(
+                [(int(r["subspace"]), int(r["rk"]), r["sc"]) for r in cb_rows],
+                "subspace int, rk int, sc array<double>",
+            )
+            codes_df = pq_encode_with_codebooks_blas(
+                vecs.select(F.col(id_col), F.col("__v")),
+                cb,
+                id_col=id_col,
+                vec_col="__v",
+                round_digits=round_digits,
+            )
+            code_by = {}
+            for r in cb_rows:
+                code_by[(int(r["subspace"]), int(r["rk"]))] = r["code"]
+            ks = max(rr for (_j, rr) in code_by) + 1
+            code_lit = F.array(
+                *[
+                    F.array(
+                        *[
+                            F.lit(code_by[(j, rr)]).cast("long")
+                            for rr in range(ks)
+                        ]
+                    )
+                    for j in range(m)
+                ]
+            )
+            return codes_df.select(
+                F.col("id").alias(id_col),
+                F.posexplode("codes").alias("subspace", "__rk"),
+            ).select(
+                id_col,
+                "subspace",
+                F.element_at(
+                    F.element_at(code_lit, F.col("subspace") + 1),
+                    F.col("__rk") + 1,
+                ).alias("code"),
+            )
+        # empty corpus: fall through to the expression plan (returns empty)
+    # per-side norms hoisted out of the (row, code) cross product — one
+    # dot per scored row instead of three, identical rounded d2
+    subs = subs.withColumn("__ss", dot(F.col("sv"), F.col("sv")))
+    cents = cents.withColumn("__cc", dot(F.col("sc"), F.col("sc")))
     cents = cents.withColumn("__rk", rk)
     d2 = F.round(
         F.col("__ss") - F.lit(2.0) * dot(F.col("sv"), F.col("sc")) + F.col("__cc"),
