@@ -653,6 +653,37 @@ def _write_centroids(
     )
 
 
+def _sidecar_rows(
+    path: str,
+    columns: "list[str] | None" = None,
+    filter_col: "str | None" = None,
+    filter_vals=None,
+) -> "list[dict]":
+    """Driver-LOCAL pyarrow read of a small index sidecar table
+    (centroids / groups / codebooks / rotation / sq bounds) — the
+    fast=True serving rung's metadata reader.
+
+    Why (guide §1.2/§5): these tables are kBs-to-MBs and the fast path
+    COLLECTS them to the driver anyway (the BLAS twins run on driver
+    numpy), so routing the read through `spark.read.parquet(...).collect()`
+    pays a full distributed-job round trip (listing, task launch, Arrow
+    ship-back) per table per probe — 2-4 Spark actions per serving query
+    that touch a few hundred rows each.  A serving probe must not launch
+    a cluster job to read its own metadata.  Values are identical:
+    parquet doubles round-trip binary-exact through either reader, and
+    callers re-sort by key exactly as they did the collected rows.
+    Hive-partitioned sidecars (two-level centroids under grp=<g>/) prune
+    with a partition filter — the same dirs the Spark read would keep.
+    The expression (fast=False, oracle-replayable) paths are untouched."""
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(path, format="parquet", partitioning="hive")
+    flt = None
+    if filter_col is not None:
+        flt = ds.field(filter_col).isin([int(v) for v in filter_vals])
+    return dataset.to_table(columns=columns, filter=flt).to_pylist()
+
+
 def _probe_centroids(
     spark,
     path: str,
@@ -671,12 +702,18 @@ def _probe_centroids(
     (grp is the partition column: the predicate is partition-pruned I/O,
     asserted in tests/test_plans.py) plus each query's own winning-group
     set, so per-query cell ranking never considers another query's
-    groups (batch results stay bit-identical to single probes)."""
+    groups (batch results stay bit-identical to single probes).
+
+    fast=True returns the rows THEMSELVES (driver-local pyarrow read,
+    see _sidecar_rows) instead of a DataFrame — every fast caller feeds
+    them straight into `_rank_probe_cells_blas`, which accepts both."""
     import os
 
     cpath = os.path.join(path, "centroids")
     gpath = os.path.join(path, "groups")
     if not os.path.isdir(gpath):
+        if fast:
+            return _sidecar_rows(cpath, ["cell", "cv"]), None
         return spark.read.parquet(cpath), None
     if not os.path.exists(os.path.join(gpath, "_SUCCESS")):
         raise ValueError(
@@ -684,11 +721,27 @@ def _probe_centroids(
             "— a crashed build; rebuild the index (probing a partial group "
             "table would silently mis-prune)"
         )
+    if fast:
+        groups = [
+            {"cell": r["grp"], "cv": r["gv"]}
+            for r in _sidecar_rows(gpath, ["grp", "gv"])
+        ]
+        gpairs, glist, _gv = _rank_probe_cells_blas(
+            groups, qids, qvecs, n_probe_groups, round_digits
+        )
+        allowed = {}
+        for q, g in gpairs:
+            allowed.setdefault(q, set()).add(g)
+        cents_rows = _sidecar_rows(
+            cpath, ["cell", "cv", "grp"], filter_col="grp", filter_vals=glist
+        )
+        return cents_rows, allowed
     groups = spark.read.parquet(gpath).select(
         F.col("grp").alias("cell"), F.col("gv").alias("cv")
     )
-    rank = _rank_probe_cells_blas if fast else _rank_probe_cells
-    gpairs, glist, _gv = rank(groups, qids, qvecs, n_probe_groups, round_digits)
+    gpairs, glist, _gv = _rank_probe_cells(
+        groups, qids, qvecs, n_probe_groups, round_digits
+    )
     allowed: dict[int, set[int]] = {}
     for q, g in gpairs:
         allowed.setdefault(q, set()).add(g)
@@ -1292,7 +1345,13 @@ def _rank_probe_cells_blas(
     import numpy as np
 
     extra = ["grp"] if allowed is not None else []
-    rows = cents.select("cell", "cv", *extra).collect()
+    # accepts either a DataFrame (legacy callers / tests) or the
+    # driver-local row list _probe_centroids(fast=True) now returns
+    rows = (
+        list(cents)
+        if isinstance(cents, list)
+        else cents.select("cell", "cv", *extra).collect()
+    )
     rows.sort(key=lambda r: r["cell"])
     cells = np.array([int(r["cell"]) for r in rows], dtype=np.int64)
     grps = (
@@ -1661,7 +1720,11 @@ def pq_probe_store(
     import os
 
     scale = 10 ** round_digits
-    cb = spark.read.parquet(os.path.join(path, "codebooks"))
+    cb = (
+        _sidecar_rows(os.path.join(path, "codebooks"), ["subspace", "rk", "sc"])
+        if fast
+        else spark.read.parquet(os.path.join(path, "codebooks"))
+    )
     lut_values = _adc_lut_values_blas if fast else _adc_lut_values
     lut_col = _lut_literal(lut_values(cb, [list(query_vec)], round_digits)[0])
     codes = spark.read.parquet(os.path.join(path, "codes"))
@@ -1927,7 +1990,9 @@ def _adc_lut_values_blas(
     import numpy as np
 
     scale = 10.0 ** round_digits
-    rows = cb.select("subspace", "rk", "sc").collect()
+    # accepts either the codebooks DataFrame or the driver-local row
+    # list the fast probes read via _sidecar_rows
+    rows = cb if isinstance(cb, list) else cb.select("subspace", "rk", "sc").collect()
     m = max(int(r["subspace"]) for r in rows) + 1
     ks = max(int(r["rk"]) for r in rows) + 1
     sub = max(len(r["sc"]) for r in rows)
@@ -2372,12 +2437,18 @@ def _ivfpq_meta(path: str) -> dict:
     return meta
 
 
-def _ivfpq_rotation(spark, path: str) -> "list[list[float]]":
+def _ivfpq_rotation(spark, path: str, fast: bool = False) -> "list[list[float]]":
     """Load an OPQ index's persisted rotation as a dense dim x dim list
-    (dim rows — one tiny driver action)."""
+    (dim rows — one tiny driver action; fast=True reads it driver-local
+    via _sidecar_rows, same bytes, no Spark job)."""
     import os
 
-    rows = spark.read.parquet(os.path.join(path, "rotation")).collect()
+    rpath = os.path.join(path, "rotation")
+    rows = (
+        _sidecar_rows(rpath, ["pos", "row"])
+        if fast
+        else spark.read.parquet(rpath).collect()
+    )
     rows.sort(key=lambda r: r["pos"])
     return [[float(v) for v in r["row"]] for r in rows]
 
@@ -2419,7 +2490,7 @@ def ivfpq_probe_index(
         # (cell ranking, LUTs, residuals) is unchanged
         import numpy as np
 
-        rot = np.asarray(_ivfpq_rotation(spark, path), dtype=np.float64)
+        rot = np.asarray(_ivfpq_rotation(spark, path, fast=fast), dtype=np.float64)
         query_vec = [
             float(v)
             for v in _round_half_away(
@@ -2455,7 +2526,11 @@ def ivfpq_probe_index(
         )
         probe = [int(r["cell"]) for r in probe_rows]
         probe_cvs = [r["cv"] for r in probe_rows]
-    cb = spark.read.parquet(os.path.join(path, "codebooks"))
+    cb = (
+        _sidecar_rows(os.path.join(path, "codebooks"), ["subspace", "rk", "sc"])
+        if fast
+        else spark.read.parquet(os.path.join(path, "codebooks"))
+    )
     lut_values = _adc_lut_values_blas if fast else _adc_lut_values
     if by_residual:
         luts = [
@@ -2554,7 +2629,7 @@ def ivfpq_knn_join_index(
     if meta["opq"]:
         import numpy as np
 
-        rot = np.asarray(_ivfpq_rotation(spark, path), dtype=np.float64)
+        rot = np.asarray(_ivfpq_rotation(spark, path, fast=fast), dtype=np.float64)
         qvecs = [
             [float(v) for v in _round_half_away(np.asarray(q) @ rot, round_digits)]
             for q in qvecs
@@ -2569,7 +2644,11 @@ def ivfpq_knn_join_index(
         cents, qids, qvecs, n_probe, round_digits, allowed=allowed
     )
 
-    cb = spark.read.parquet(os.path.join(path, "codebooks"))
+    cb = (
+        _sidecar_rows(os.path.join(path, "codebooks"), ["subspace", "rk", "sc"])
+        if fast
+        else spark.read.parquet(os.path.join(path, "codebooks"))
+    )
     codes = _apply_id_filter(
         _apply_tombstones(spark, path, _read_cells(spark, path, cell_list)), filter_ids
     )
@@ -2768,11 +2847,16 @@ def ivfsq_build_index(
     )
 
 
-def _sq_bounds(spark, path: str) -> tuple[list[float], list[float]]:
+def _sq_bounds(
+    spark, path: str, fast: bool = False
+) -> tuple[list[float], list[float]]:
     import os
 
+    spath = os.path.join(os.fspath(path), "sq")
     rows = sorted(
-        spark.read.parquet(os.path.join(os.fspath(path), "sq")).collect(),
+        _sidecar_rows(spath, ["pos", "mn", "mx"])
+        if fast
+        else spark.read.parquet(spath).collect(),
         key=lambda r: r["pos"],
     )
     return [float(r["mn"]) for r in rows], [float(r["mx"]) for r in rows]
@@ -2825,7 +2909,7 @@ def ivfsq_probe_index(
             .limit(n_probe)
             .collect()
         ]
-    mn, mx = _sq_bounds(spark, path)
+    mn, mx = _sq_bounds(spark, path, fast=fast)
     q64 = [float(x) for x in query_vec[:dim]]
     delta = [(b - a) / 256.0 for a, b in zip(mn, mx)]
     codes = _apply_id_filter(
@@ -2906,7 +2990,7 @@ def ivfsq_knn_join_index(
     pairs, cell_list, _cv = rank_cells(
         cents, qids, qvecs, n_probe, round_digits, allowed=allowed
     )
-    mn, mx = _sq_bounds(spark, path)
+    mn, mx = _sq_bounds(spark, path, fast=fast)
     delta = [(b - a) / 256.0 for a, b in zip(mn, mx)]
     q64_by_qid = {q: [float(x) for x in v[:dim]] for q, v in zip(qids, qvecs)}
     pair_df = spark.createDataFrame(
