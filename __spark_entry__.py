@@ -6002,7 +6002,11 @@ def q123_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
         .select("p.src", "p.dst")
-        .distinct()
+        # no .distinct() here: triangle_count canonicalizes and distincts
+        # its input anyway (src < dst already by the sorted-array build,
+        # so its least/greatest pass-through dedups the same set) — the
+        # entry-level distinct was a SECOND full shuffle of the pair
+        # stream for the same result (guide §2.4)
     )
     return triangle_count(edges).select(
         F.col("node").cast("long").alias("node"),

@@ -1500,9 +1500,14 @@ def set_similarity_join(
         shingle_sets(df, shingle_n, id_col, text_col),
     )
     sh = s.select(F.col(id_col), F.explode("shingles").alias("ngram"))
-    freq = sh.groupBy("ngram").agg(F.count(F.lit(1)).alias("dfreq"))
+    # document frequency as ONE window count over the exploded view
+    # (guide §2.4: the groupBy(ngram)+join-back shape shuffled the full
+    # (id, ngram) table twice — once into the freq aggregate, once into
+    # the join — and re-derived the explode per consumer; the window
+    # computes the identical per-ngram count in a single exchange)
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("ngram"))
     sets = (
-        sh.join(freq, "ngram")
+        sh.withColumn("dfreq", dfreq)
         .groupBy(id_col)
         .agg(
             F.sort_array(F.collect_list(F.struct("dfreq", "ngram"))).alias("toks"),

@@ -127,28 +127,37 @@ def triangle_count(
     operator canonicalizes + distincts; self-loops dropped).  Output:
     (node, triangles) for every node with >= 1 triangle.
 
-    Shape: one distinct (canonical edges), one degree groupBy, one
-    self-join on the oriented wedge center, one join to close the wedge
-    (semi shape on the canonical edge set), one explode + count groupBy —
-    all equi-joins on ids, no Python anywhere.  The canonical edge set
-    and the oriented edges are each consumed by several branches of the
-    returned plan; left uncached, Catalyst re-derives the whole upstream
-    per reference (measured: 206 exchanges at sf0.01 vs 13 cached) —
-    site-keyed persists bound that to one computation each.
+    Shape (r10b — edge-iterator intersection instead of wedge
+    materialization, guide §2.3/§2.4): one distinct (canonical edges),
+    one degree groupBy, one groupBy(lo) building each node's oriented
+    out-neighbor ARRAY, then ONE pass over the oriented edges attaching
+    both endpoints' arrays and intersecting them per row
+    (`array_intersect`) — each common neighbor w closes the triangle
+    (lo, hi, w), and because orientation is a DAG under the total
+    (degree, id) order, every triangle is found exactly once, at its
+    lowest-ranked edge with w the top-ranked corner.  The arithmetic work
+    is the same Θ(Σ outdeg²) the wedge join pays, but it runs inside one
+    codegen'd projection: the Θ(Σ outdeg²) wedge stream (~35M rows at
+    sf0.1 for 1.2M edges) is never materialized as join input, and the
+    wedge-closing join disappears.  Corner counting emits 2 rows per
+    triangle-carrying edge (lo/hi with the intersection size) plus 1 row
+    per closing corner — bounded by 3x the triangle count, not by the
+    wedge count.  The canonical edge set and the oriented edges are
+    consumed by several branches; site-keyed persists bound each to one
+    computation (unpersisted, Catalyst re-derived the upstream per
+    reference — measured 206 exchanges at sf0.01 vs 13 cached).
 
-    Join strategy is SIZE-ADAPTIVE (r10): when the canonical edge set
-    fits the session's broadcast budget (plans.partitions.
-    broadcast_budget_bytes — the e/oriented tables are the same row
-    count), the degree attach, the wedge self-join and the wedge-closing
-    join all run as broadcast hash joins, so NEITHER the edge set nor
-    the Θ(Σ outdeg²) wedge stream is ever shuffled — at sf0.1 (1.2M
-    edges, ~35M wedges) that removes the two widest exchanges and cut
-    the bench row 7.9s → ~5.5s.  Past the budget the plan falls back to
-    the shuffle joins, which scale unbounded (a 100-TB edge set cannot
-    broadcast; the wedge shuffle is then the honest cost).  The choice
-    is made from the MEASURED edge count (one count on the already-
-    persisted edge table, not an estimate), and cannot change results —
-    join strategy is value-invariant.
+    Join strategy is SIZE-ADAPTIVE: when the measured edge count (one
+    count() on the already-persisted edge table, not an estimate) fits
+    the session's broadcast budget (plans.partitions.
+    broadcast_budget_bytes — the adjacency table carries the same m
+    endpoint ids, just grouped), the degree attach and both adjacency
+    attaches run as broadcast hash joins and nothing wide is ever
+    shuffled.  Past the budget the plan falls back to shuffle joins —
+    still shuffling only the m-row edge/adjacency tables, never a wedge
+    stream (a 100-TB edge set cannot broadcast; the m-row shuffles ARE
+    the scale plan).  Strategy choice is value-invariant; per-node
+    output is byte-identical either way.
     """
     from esper_tv_spark.plans.cache import register_persisted
     from esper_tv_spark.plans.partitions import broadcast_budget_bytes
@@ -183,23 +192,36 @@ def triangle_count(
         F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
     )
     oriented = register_persisted("graph.triangle_count.oriented", oriented)
-    # wedges centered at the min-rank vertex: lo -> x, lo -> y (x < y)
-    o1 = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("x"))
-    o2 = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("y"))
-    wedges = o1.join(F.broadcast(o2) if bcast_ok else o2, "c").where(
-        F.col("x") < F.col("y")
-    )
-    # close the wedge against the canonical undirected edge set (already
-    # (min, max)-canonical by construction)
-    closer = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    # per-node oriented out-neighbor arrays (out-degree is O(sqrt m)
+    # under degree orientation, so each array — and each per-row
+    # intersection below — is O(sqrt m) bounded for ANY degree
+    # distribution)
+    adj = oriented.groupBy("lo").agg(F.collect_list("hi").alias("nb"))
+    a_lo = adj.select(F.col("lo"), F.col("nb").alias("nb_lo"))
+    a_hi = adj.select(F.col("lo").alias("hi"), F.col("nb").alias("nb_hi"))
     if bcast_ok:
-        closer = F.broadcast(closer)
-    tris = wedges.join(closer, ["x", "y"])  # (c, x, y) = one triangle each
-    # single consumer: explode the three corners in one pass (the union-
-    # of-three-projections shape consumed tris 3x and needed a persist)
-    per_node = (
-        tris.select(F.explode(F.array("c", "x", "y")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("triangles"))
+        a_lo, a_hi = F.broadcast(a_lo), F.broadcast(a_hi)
+    # inner joins: an edge whose hi has no out-edges closes no triangle,
+    # and every lo has an adjacency row by construction
+    tri_edges = (
+        oriented.join(a_lo, "lo")
+        .join(a_hi, "hi")
+        .select("lo", "hi", F.array_intersect("nb_lo", "nb_hi").alias("ws"))
+        .where(F.size("ws") > 0)
     )
+    # corner contributions: lo and hi each close size(ws) triangles on
+    # this edge; each w closes one
+    sz = F.size("ws").cast("long")
+    contrib = tri_edges.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("lo").alias("node"), sz.alias("c")),
+                    F.struct(F.col("hi").alias("node"), sz.alias("c")),
+                ),
+                F.expr("transform(ws, w -> struct(w as node, 1L as c))"),
+            )
+        ).alias("s")
+    ).select("s.node", "s.c")
+    per_node = contrib.groupBy("node").agg(F.sum("c").alias("triangles"))
     return per_node
