@@ -142,10 +142,15 @@ def triangle_count(
     wedge-closing join disappears.  Corner counting emits 2 rows per
     triangle-carrying edge (lo/hi with the intersection size) plus 1 row
     per closing corner — bounded by 3x the triangle count, not by the
-    wedge count.  The canonical edge set and the oriented edges are
+    wedge count.  The canonical edge set and the adjacency table are
     consumed by several branches; site-keyed persists bound each to one
     computation (unpersisted, Catalyst re-derived the upstream per
-    reference — measured 206 exchanges at sf0.01 vs 13 cached).
+    reference — measured 206 exchanges at sf0.01 vs 13 cached).  The
+    r10c refinement: `tri_edges` streams `explode(adj)` — the oriented
+    edges with nb_lo pre-attached — instead of joining `oriented` back
+    to the adjacency on lo, dropping one adjacency broadcast build (or
+    one shuffle in the past-budget fallback) and leaving `oriented`
+    single-consumer (its persist is gone; `adj` is persisted instead).
 
     Join strategy is SIZE-ADAPTIVE: when the measured edge count (one
     count() on the already-persisted edge table, not an estimate) fits
@@ -191,20 +196,27 @@ def triangle_count(
         F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
         F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
     )
-    oriented = register_persisted("graph.triangle_count.oriented", oriented)
     # per-node oriented out-neighbor arrays (out-degree is O(sqrt m)
     # under degree orientation, so each array — and each per-row
     # intersection below — is O(sqrt m) bounded for ANY degree
-    # distribution)
-    adj = oriented.groupBy("lo").agg(F.collect_list("hi").alias("nb"))
-    a_lo = adj.select(F.col("lo"), F.col("nb").alias("nb_lo"))
+    # distribution).  The adjacency table is the persisted intermediate
+    # (not `oriented`): exploding it regenerates the oriented edge rows
+    # WITH each edge's nb_lo array already attached, so the old
+    # oriented⋈a_lo attach join — a second broadcast build (or shuffle)
+    # of the whole adjacency — disappears, and `oriented` is left with a
+    # single consumer (guide §2.4/§3.1).
+    adj = register_persisted(
+        "graph.triangle_count.adj",
+        oriented.groupBy("lo").agg(F.collect_list("hi").alias("nb")),
+    )
     a_hi = adj.select(F.col("lo").alias("hi"), F.col("nb").alias("nb_hi"))
     if bcast_ok:
-        a_lo, a_hi = F.broadcast(a_lo), F.broadcast(a_hi)
-    # inner joins: an edge whose hi has no out-edges closes no triangle,
-    # and every lo has an adjacency row by construction
+        a_hi = F.broadcast(a_hi)
+    # inner join: an edge whose hi has no out-edges closes no triangle,
+    # and explode(adj) enumerates exactly the oriented edges (every lo
+    # has an adjacency row by construction)
     tri_edges = (
-        oriented.join(a_lo, "lo")
+        adj.select("lo", F.col("nb").alias("nb_lo"), F.explode("nb").alias("hi"))
         .join(a_hi, "hi")
         .select("lo", "hi", F.array_intersect("nb_lo", "nb_hi").alias("ws"))
         .where(F.size("ws") > 0)
