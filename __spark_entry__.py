@@ -6134,12 +6134,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q123_triangle_count": q123_triangle_count,
     "q125_exact_quantiles": q125_exact_quantiles,
     "q126_grouped_weighted_sample": q126_grouped_weighted_sample,
+    "q88_pq_adc_topk": q88_pq_adc_topk,
+    "q81_pq_codes": q81_pq_codes,
     "q77_bootstrap_validation": q77_bootstrap_validation,
     "q67_decontaminate": q67_decontaminate,
-    "q32_label_centroids": q32_label_centroids,
-    "q33_embedding_norms": q33_embedding_norms,
     # ---- position 50 cutoff: rows below hold a prior-round green
     # ---- record on code paths unchanged since (rule enforced above)
+    "q32_label_centroids": q32_label_centroids,
+    "q33_embedding_norms": q33_embedding_norms,
     "q38_knn_join": q38_knn_join,
     "q57_knn_predict": q57_knn_predict,
     "q110_weighted_sample": q110_weighted_sample,
@@ -6172,7 +6174,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_interval_overlap_measure": q21_interval_overlap_measure,
     "q22_interval_merge_near": q22_interval_merge_near,
     "q34_interview_composite": q34_interview_composite,
-    "q88_pq_adc_topk": q88_pq_adc_topk,
     "q79_label_writeback": q79_label_writeback,
     "q54_stride_sample": q54_stride_sample,
     "q61_median_price": q61_median_price,
@@ -6187,7 +6188,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_pos_tags": q64_pos_tags,
     "q24_word_counts": q24_word_counts,
     "q30_source_token_stats": q30_source_token_stats,
-    "q81_pq_codes": q81_pq_codes,
     "q89_wav_decode_stats": q89_wav_decode_stats,
     "q90_avi_decode_stats": q90_avi_decode_stats,
     "q91_video_frame_sample": q91_video_frame_sample,

@@ -422,8 +422,12 @@ def main() -> None:
     # runs and exchange counts — the file survives any stdout mangling
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as f:
         f.write(line + "\n")
-    print(line)
+    # stop the session BEFORE printing: the r9 driver capture ended with
+    # executor-log spam AFTER the JSON line (retried worker crashes) and
+    # parsed as null — with the JVM already down, nothing can write to the
+    # merged stream after the line below, so the JSON is always last
     spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
