@@ -304,14 +304,40 @@ def lsh_near_dup(
     n_bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
-    cache_shingles: bool = True,
+    cache_shingles: bool | None = None,
 ) -> DataFrame:
     """The fused near-dup pipeline: LSH candidate generation + exact
     Jaccard verification sharing ONE shingle-set table. The set build is
     the only wide shuffle the substrate pays; signatures are projections
-    over it and verification is array_intersect over two joins against it
-    (persisted so the subtree runs once)."""
+    over it and verification is array_intersect over two joins against it.
+
+    cache_shingles=None (default) decides FROM THE DATA whether the shared
+    substrate is cached (guide §5 "caching is only worth it when
+    recomputing is more expensive than the memory pressure"): cache only
+    when the corpus's advised shuffle width (input bytes x the ~30x
+    shingle blowup / 256MB tasks) exceeds the session's partition floor —
+    i.e. when the shingle build is a genuinely wide multi-task shuffle
+    whose 3x recompute (signatures + both verify joins) dominates the
+    cache-write barrier.  Below that, parallel recompute wins: MEASURED
+    at sf0.1 (3.75 -> 2.82 s mean interleaved A/B) AND sf1 (10.43 ->
+    9.81 s), rows identical at both scales; the r4 sf100 rehearsal
+    corpus resolves True and keeps the r2-r5 cached plan."""
     s = shingle_sets(df, shingle_n, id_col, text_col)
+    if cache_shingles is None:
+        # decide from THIS input's bytes only (not advise_for_df, whose
+        # session-ratcheted initialPartitionNum would make the choice
+        # depend on which queries ran earlier in the session)
+        from esper_tv_spark.plans.partitions import input_bytes
+
+        try:
+            files = df.inputFiles()
+        except Exception:
+            files = []
+        paths = [f[7:] if f.startswith("file://") else f for f in files]
+        floor_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        cache_shingles = bool(paths) and (
+            input_bytes(paths) * 30.0 / (256 * 1024 * 1024) > floor_n
+        )
     if cache_shingles:
         s = s.cache()
     pairs = lsh_candidate_pairs(

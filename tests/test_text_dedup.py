@@ -578,3 +578,28 @@ def test_lsh_plan_sizing():
         lsh_plan(0, 0.5)
     with pytest.raises(ValueError):
         lsh_plan(16, 1.0)
+
+
+def test_lsh_near_dup_cache_mode_parity(spark):
+    """cache_shingles is a pure execution-strategy knob (r10: default None
+    resolves from input bytes — tiny corpora skip the cache barrier, the
+    r4 sf100 corpus keeps the cached plan): all three modes must return
+    the identical verified pair set."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "completely different text with no shared shingles here"),
+            (5, "another unrelated document body entirely its own words"),
+        ],
+        "doc_id long, text string",
+    )
+    outs = []
+    for mode in (None, True, False):
+        rows = dedup.lsh_near_dup(docs, cache_shingles=mode).collect()
+        outs.append(sorted((r.id_a, r.id_b, r.jaccard) for r in rows))
+        spark.catalog.clearCache()
+    assert outs[0] == outs[1] == outs[2]
+    # the exact-dup pair must be found with jaccard 1.0
+    assert any(a == 1 and b == 3 and j == 1.0 for a, b, j in outs[0])
