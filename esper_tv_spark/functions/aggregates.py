@@ -261,12 +261,24 @@ def exact_quantiles(
             by_bucket: dict[int, list] = {}
             for slot, q, k in members:
                 cum = 0
+                placed = False
                 for b in range(buckets):
                     cb = stats.get(b, (0,))[0]
                     if cum + cb >= k:
                         by_bucket.setdefault(b, []).append((slot, q, k - cum))
+                        placed = True
                         break
                     cum += cb
+                if not placed:
+                    # bucket counts sum to `total` >= k by construction, so
+                    # an unplaced member means the histogram lost rows (e.g.
+                    # a float boundary) — fail HERE naming the quantile
+                    # instead of an opaque KeyError at the end
+                    raise RuntimeError(
+                        f"exact_quantiles failed to converge: quantile {q} "
+                        f"(rank {k}) not reachable in histogram summing "
+                        f"{cum} < {k} over [{lo}, {hi}]"
+                    )
             for b, mem in by_bucket.items():
                 cb, blo, bhi = stats[b]
                 next_groups.append(

@@ -1251,6 +1251,7 @@ def repeated_ngram_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_gram_docs: int | None = None,
+    dup_via_window: bool | None = None,
 ) -> DataFrame:
     """Maximal cross-document repeated token spans — exact substring-level
     dedup (the "repeated n-gram span removal" pass LLM corpora run after
@@ -1273,11 +1274,13 @@ def repeated_ngram_spans(
     groupBy(h) + semi-join-back plan, which shuffled the gram table
     TWICE and recomputed the tokenize+explode once per consumer
     (guide §2.4 — measured at sf0.1: 3 exchanges -> 2, 2.33s -> ~1.4s,
-    byte-identical output).  Per-hash groups are bounded by the gram's
-    document frequency — the same skew `max_gram_docs` already caps —
-    and the window carries only (id, p, h) rows.  Span merging is one
-    window per doc (gaps-and-islands).  Two shuffles total, each on a
-    key with natural cardinality (gram hash, doc id).
+    byte-identical output).  The window buffers each gram's distinct-doc
+    set in ONE partition, so `dup_via_window=None` (default) keeps it
+    only below corpus scale (input-bytes heuristic, same stance as
+    lsh_near_dup's cache_shingles); past the threshold the two-shuffle
+    groupBy(h)+count_distinct + semi-join-back returns — identical
+    output (parity-pinned in tests), bounded per-task state.  Span
+    merging is one window per doc (gaps-and-islands).
 
     `max_gram_docs` drops grams above a document-frequency ceiling BEFORE
     the join back — the MOSS-style over-common-fingerprint drop
@@ -1298,12 +1301,42 @@ def repeated_ngram_spans(
         ).alias("g"),
     ).select(id_col, F.col("g.p").alias("p"), F.col("g.h").alias("h"))
 
-    wh = Window.partitionBy("h")
-    nd = F.size(F.collect_set(id_col).over(wh))
-    keep = nd >= F.lit(min_docs)
-    if max_gram_docs is not None:
-        keep = keep & (nd <= F.lit(max_gram_docs))
-    hits = grams.withColumn("__keep", keep).where("__keep").drop("__keep")
+    if dup_via_window is None:
+        # The window buffers each gram's FULL distinct-doc id set in one
+        # window partition before max_gram_docs can drop anything — a
+        # stop-word gram appearing in millions of docs is a per-task
+        # memory cliff at corpus scale (r10 ADVICE).  Decide from THIS
+        # input's bytes, same stance as lsh_near_dup's cache_shingles:
+        # window (one shuffle, faster — measured at sf0.1) only while
+        # the exploded gram stream stays below the session's partition
+        # floor x 256MB tasks; past that the two-shuffle groupBy +
+        # semi-join bounds per-task state to running aggregates.
+        from esper_tv_spark.plans.partitions import input_bytes
+
+        try:
+            files = df.inputFiles()
+        except Exception:
+            files = []
+        paths = [f[7:] if f.startswith("file://") else f for f in files]
+        floor_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        dup_via_window = (not paths) or (
+            input_bytes(paths) * 8.0 / (256 * 1024 * 1024) <= floor_n
+        )
+    if dup_via_window:
+        wh = Window.partitionBy("h")
+        nd = F.size(F.collect_set(id_col).over(wh))
+        keep = nd >= F.lit(min_docs)
+        if max_gram_docs is not None:
+            keep = keep & (nd <= F.lit(max_gram_docs))
+        hits = grams.withColumn("__keep", keep).where("__keep").drop("__keep")
+    else:
+        nd_tbl = grams.groupBy("h").agg(
+            F.count_distinct(F.col(id_col)).alias("__nd")
+        )
+        keep = F.col("__nd") >= F.lit(min_docs)
+        if max_gram_docs is not None:
+            keep = keep & (F.col("__nd") <= F.lit(max_gram_docs))
+        hits = grams.join(nd_tbl.where(keep).select("h"), "h", "left_semi")
 
     w = Window.partitionBy(id_col).orderBy("p")
     brk = F.when(F.col("p") > F.lag("p").over(w) + F.lit(n), 1).otherwise(0)

@@ -251,11 +251,17 @@ def mmr_rerank(
         (r[id_col], None if r[rel_col] is None else float(r[rel_col]))
         for r in cand.select(id_col, rel_col).collect()
     ]
-    sim_by_pair: dict[tuple, float] = {
-        (r["ia"], r["ib"]): float(r["s"])
-        for r in sims.select("ia", "ib", "s").collect()
-        if r["s"] is not None
-    }
+    # duplicate (ia, ib) rows fold with max(), matching the F.max(s) the
+    # pre-r10 Spark plan aggregated over them — a plain dict would keep
+    # whichever row collect() returned last (partitioning-dependent)
+    sim_by_pair: dict[tuple, float] = {}
+    for r in sims.select("ia", "ib", "s").collect():
+        if r["s"] is None:
+            continue
+        p = (r["ia"], r["ib"])
+        s = float(r["s"])
+        if p not in sim_by_pair or s > sim_by_pair[p]:
+            sim_by_pair[p] = s
     picks: list[tuple[int, object, float]] = []
     selected: list = []
     remaining = dict(cand_rows)

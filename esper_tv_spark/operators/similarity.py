@@ -806,8 +806,10 @@ def ivf_build_index(
 
     `fast=True` runs the Theta(n*k) coarse assignment as Arrow-batched
     BLAS (lloyd_assign_blas) — same tie rules, byte-identical on the
-    test corpora; contract builds stay fast=False so the oracle
-    replays.
+    test corpora.  Since r10 the contract entries themselves build with
+    fast=True (the oracle hash re-gates them at every driver SF); the
+    expression path remains the cross-engine reference, parity-pinned
+    by pytest on the gate corpora.
 
     `assign_via_groups=True` (requires n_groups + fast) routes the
     build assignment through the level-1 groups too
@@ -1340,8 +1342,11 @@ def _rank_probe_cells_blas(
     one O(n_cells * dim * n_q) GEMM.  Boundary caveat as all BLAS twins:
     numpy's pairwise sums differ from the left-to-right fold in the
     last ulp, so a rounded cosine within ~1e-10 of a rounding boundary
-    could tip — contract entries stay on the expression path; pytest
-    asserts the two paths agree exactly on the test corpora."""
+    could tip in principle — since r10 the contract entries serve
+    fast=True and the DuckDB gate re-hashes them at every driver SF
+    (green), so a tip cannot ship silently; the expression path remains
+    the cross-engine reference and pytest asserts the two paths agree
+    exactly on the gate corpora."""
     import numpy as np
 
     extra = ["grp"] if allowed is not None else []
@@ -1429,7 +1434,8 @@ def ivf_knn_join_index(
     smaller id — per-query results bit-identical to `ivf_probe_index`
     (asserted in tests).  `fast=True` ranks cells with the BLAS twin
     (one GEMM; production serving), bit-identical on test corpora —
-    contract entries stay fast=False."""
+    contract entries pass fast=True since r10 (oracle-rehashed at every
+    gate SF); the expression path is the cross-engine reference."""
     import os
 
     from pyspark.sql import Window
@@ -1564,23 +1570,32 @@ def pq_assign_deterministic(
                 vec_col="__v",
                 round_digits=round_digits,
             )
+            # per-subspace rank->code lists built from the rows actually
+            # present (a ragged codebook — fewer distinct seed vectors in
+            # one subspace — degrades like the expression path instead of
+            # KeyError'ing on an assumed-uniform count)
             code_by = {}
             for r in cb_rows:
                 code_by[(int(r["subspace"]), int(r["rk"]))] = r["code"]
-            ks = max(rr for (_j, rr) in code_by) + 1
             code_lit = F.array(
                 *[
                     F.array(
                         *[
                             F.lit(code_by[(j, rr)]).cast("long")
-                            for rr in range(ks)
+                            for rr in sorted(
+                                rk2 for (j2, rk2) in code_by if j2 == j
+                            )
                         ]
                     )
                     for j in range(m)
                 ]
             )
+            # the BLAS encode's mapInPandas schema fixes id to long; cast
+            # back to the INPUT id column's type (the expression twin
+            # preserves it)
+            id_type = df.schema[id_col].dataType
             return codes_df.select(
-                F.col("id").alias(id_col),
+                F.col("id").cast(id_type).alias(id_col),
                 F.posexplode("codes").alias("subspace", "__rk"),
             ).select(
                 id_col,
@@ -1985,8 +2000,9 @@ def _adc_lut_values_blas(
     interpreted fold columns over the codebook, the second-largest
     serving cost after plan compile (measured: most of a 63s wall at
     8 x 32 on the 2M index).  Same last-ulp boundary caveat as every
-    BLAS twin; contract entries stay on the expression path and pytest
-    asserts exact agreement on the test corpora."""
+    BLAS twin; since r10 the contract entries serve through this twin
+    (oracle-rehashed green at every gate SF) and pytest asserts exact
+    agreement with the expression reference on the test corpora."""
     import numpy as np
 
     scale = 10.0 ** round_digits
@@ -2617,8 +2633,9 @@ def ivfpq_knn_join_index(
     values) for their BLAS twins — same split as the fast=True index
     BUILDS: production serving uses it (one GEMM instead of
     n_q * n_cells interpreted folds + n_q * n_probe LUT columns);
-    contract/oracle entries stay fast=False; pytest asserts the two
-    paths are bit-identical on the test corpora."""
+    contract entries pass fast=True since r10 (oracle-rehashed at every
+    gate SF); pytest asserts the two paths are bit-identical on the
+    test corpora."""
     import os
 
     from pyspark.sql import Window
@@ -2985,7 +3002,7 @@ def ivfsq_knn_join_index(
     # cell ranking uses the FULL query vector (the single probe's
     # stance); scoring uses the first `dim` coordinates the codes cover.
     # fast=True -> BLAS ranking twin (production serving; contract
-    # entries stay fast=False)
+    # entries pass fast=True since r10, oracle-rehashed per gate SF)
     rank_cells = _rank_probe_cells_blas if fast else _rank_probe_cells
     pairs, cell_list, _cv = rank_cells(
         cents, qids, qvecs, n_probe, round_digits, allowed=allowed

@@ -170,6 +170,42 @@ def test_repeated_spans_max_gram_docs_cap(spark):
     assert uncapped.count() == 5 and capped.count() == 0
 
 
+def test_repeated_spans_dup_mode_parity(spark):
+    """dup_via_window True (one-window collect_set) / False (two-shuffle
+    groupBy+semi-join, the corpus-scale shape) / None (data-adaptive)
+    produce IDENTICAL spans — including under the max_gram_docs cap,
+    where the two shapes filter at different plan points (r11: the
+    window buffers hot grams' full doc sets, so corpus-scale inputs
+    switch to the bounded groupBy shape)."""
+    shared = "one two three four five six seven eight"
+    boiler = "b1 b2 b3 b4 b5 b6"
+    texts = (
+        [f"alpha {shared} beta", f"{shared} gamma delta"]
+        + [f"{boiler} unique{i}" for i in range(5)]
+        + ["no overlap here at all ok"]
+    )
+    docs = _docs(spark, texts)
+    for cap in (None, 3):
+        ref = sorted(
+            map(
+                tuple,
+                repeated_ngram_spans(
+                    docs, n=6, min_docs=2, max_gram_docs=cap, dup_via_window=True
+                ).collect(),
+            )
+        )
+        for mode in (False, None):
+            got = sorted(
+                map(
+                    tuple,
+                    repeated_ngram_spans(
+                        docs, n=6, min_docs=2, max_gram_docs=cap, dup_via_window=mode
+                    ).collect(),
+                )
+            )
+            assert got == ref, (cap, mode)
+
+
 # ---------------------------------------------------------------------------
 # triangle_count (q123) / cohort_retention (q124)
 # ---------------------------------------------------------------------------

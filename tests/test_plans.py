@@ -625,3 +625,67 @@ def test_batch_knn_join_null_cosine_ranks_last(spark):
     assert [c for _q, c in pairs] == [0, 2, 1]  # NULL-sim cell 1 last
     assert cell_list == [0, 1, 2]
     assert cv[1] == [None, 1.0]  # corrupt component preserved, not a crash
+
+
+def test_single_probe_fast_matches_slow(spark, tmp_path):
+    """fast=True on the SINGLE-probe serving paths (the r10 contract
+    flip: ivf_probe_index, ivf_range_search, pq_probe_store,
+    ivfpq_probe_index, ivfsq_probe_index) and on
+    pq_assign_deterministic is bit-identical to the expression path —
+    the unit-level twin pin the batch joins already carry (r10 ADVICE:
+    the single-probe fast paths had only entry-level gate coverage)."""
+    from esper_tv_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_probe_index,
+        ivf_range_search,
+        ivfpq_build_index,
+        ivfpq_probe_index,
+        ivfsq_build_index,
+        ivfsq_probe_index,
+        pq_assign_deterministic,
+        pq_build_store,
+        pq_probe_store,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]]
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    ivf = str(tmp_path / "sp_ivf")
+    ivf_build_index(emb, ivf, n_cells=16)
+    assert rows(ivf_probe_index(spark, ivf, qvec, 10, n_probe=3, fast=True)) == rows(
+        ivf_probe_index(spark, ivf, qvec, 10, n_probe=3)
+    )
+    assert rows(
+        ivf_range_search(spark, ivf, qvec, 0.1, n_probe=3, fast=True)
+    ) == rows(ivf_range_search(spark, ivf, qvec, 0.1, n_probe=3))
+
+    pq = str(tmp_path / "sp_pq")
+    pq_build_store(emb, pq, m=8, k=16, dim=64)
+    assert rows(pq_probe_store(spark, pq, qvec, 10, fast=True)) == rows(
+        pq_probe_store(spark, pq, qvec, 10)
+    )
+
+    pqi = str(tmp_path / "sp_ivfpq")
+    ivfpq_build_index(emb, pqi, n_cells=16, m=8, k=16, dim=64)
+    assert rows(ivfpq_probe_index(spark, pqi, qvec, 10, n_probe=3, fast=True)) == rows(
+        ivfpq_probe_index(spark, pqi, qvec, 10, n_probe=3)
+    )
+
+    sq = str(tmp_path / "sp_ivfsq")
+    ivfsq_build_index(emb, sq, n_cells=16, dim=64)
+    assert rows(ivfsq_probe_index(spark, sq, qvec, 10, n_probe=3, fast=True)) == rows(
+        ivfsq_probe_index(spark, sq, qvec, 10, n_probe=3)
+    )
+
+    fast_codes = rows(pq_assign_deterministic(emb, m=8, k=16, dim=64, fast=True))
+    slow_codes = rows(pq_assign_deterministic(emb, m=8, k=16, dim=64))
+    assert fast_codes == slow_codes
+    # the fast path's mapInPandas schema fixes id to long internally;
+    # the OUTPUT id type must match the input's (here: long == long,
+    # and the schema dtypes must agree exactly)
+    f_df = pq_assign_deterministic(emb, m=8, k=16, dim=64, fast=True)
+    s_df = pq_assign_deterministic(emb, m=8, k=16, dim=64)
+    assert f_df.schema["vec_id"].dataType == s_df.schema["vec_id"].dataType
