@@ -2,12 +2,15 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. Two extra diagnostic keys make
-regressions attributable run-over-run: "runs" records BOTH timed passes
-per query (the headline number is the best-of-2, so one GC pause or page
-cache miss cannot masquerade as a regression) and "exchanges" records the
-physical plan's shuffle count (a plan-shape change shows up here even
-when timings jitter).
+"queries": {name: sec}, "sf": ...}. Extra diagnostic keys make
+regressions attributable run-over-run: "runs" records EVERY timed pass
+per query (the headline number is the best-of-2 — plus, since r11, a
+third pass whenever the first two disagree >1.5x, so one of this
+sandbox's documented ~2x noise windows cannot masquerade as a
+regression), "exchanges" records the physical plan's shuffle count (a
+plan-shape change shows up here even when timings jitter), and "load1"
+records the 1-minute load average at emission time so a contended
+capture is flaggable.
 
 Each query is forced with a full collect() (the driver's correctness flow
 also materializes results). A full warmup pass at sf0.001 first so
@@ -170,6 +173,18 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             runs[name].append(dt)
             best = dt if best is None or dt < best else best
+        # noise mitigation (r10 VERDICT #6, additions-only): this
+        # sandbox's wall clock swings ~2x between minutes, so when the
+        # two runs disagree by >1.5x one of them hit a noisy window —
+        # take a THIRD run and keep the best-of-3.  Methodology is
+        # otherwise unchanged (same collect, same query); a quiet pair
+        # never triggers it.
+        if max(runs[name]) > 1.5 * min(runs[name]):
+            t0 = time.time()
+            qs[name](spark, sf_dir).collect()
+            dt = round(time.time() - t0, 3)
+            runs[name].append(dt)
+            best = dt if dt < best else best
         timings[name] = best
         # drop any blocks a composite pinned (q56 caches its presence
         # inputs): every query starts cold-cache, and a heavy query late
@@ -399,6 +414,13 @@ def main() -> None:
             semrec = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
 
     total = round(sum(timings.values()), 3)
+    # 1-minute load average alongside the total (r10 VERDICT #6): lets
+    # the driver flag captures taken in one of this sandbox's noisy
+    # windows without changing any timing methodology
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
     out = {
         "metric": "headline_suite_total",
         "value": total,
@@ -406,6 +428,7 @@ def main() -> None:
         "queries": timings,
         "runs": runs,
         "exchanges": exchanges,
+        "load1": load1,
         "sf": sf,
     }
     if scale:

@@ -1,6 +1,7 @@
 """As-of join (union+window, no join node) and connected-components
 clustering."""
 
+import pytest
 import random
 
 import pandas as pd
@@ -92,6 +93,7 @@ def test_connected_components_matches_union_find(spark):
     assert got == _uf_components(edges)
 
 
+@pytest.mark.slow
 def test_connected_components_long_chain(spark):
     # a 40-node path exercises the O(log n) doubling, not just 1-hop merges
     chain = [(i, i + 1) for i in range(40)]

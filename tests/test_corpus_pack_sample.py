@@ -123,6 +123,7 @@ def test_pack_shards_precomputed_count_col(spark):
     assert got == [(1, 0), (2, 0), (3, 1)]
 
 
+@pytest.mark.slow
 def test_pack_shards_fuzz_matches_flat_replay(spark):
     """Hypothesis fuzz: random (sparse-id, token-count) corpora packed
     at random budgets and group spans always equal the flat sequential

@@ -48,6 +48,7 @@ def test_query_subset_runs(spark, name):
     assert len(df.collect()) > 0
 
 
+@pytest.mark.slow
 def test_oracles_are_valid_duckdb():
     import duckdb
 

@@ -222,6 +222,7 @@ def test_range_search_no_topk_window(spark, emb, qv, ivf_idx):
     assert "Window" not in plan
 
 
+@pytest.mark.slow
 def test_filtered_batch_join_pq_sq_parity(spark, emb, allow, tmp_path):
     """filter_ids on the coded batch joins == filtered single probes —
     the q96-style bit-parity contract on all three serving joins."""

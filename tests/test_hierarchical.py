@@ -46,6 +46,7 @@ def _rows(df):
 # ---------------------------------------------------------------- parity
 
 
+@pytest.mark.slow
 def test_full_group_coverage_is_bit_identical_to_flat(spark, emb, qv, tmp_path):
     """n_probe_groups = n_groups keeps every centroid a candidate, so the
     two-level probe must be BIT-identical to the flat index — posting
@@ -116,6 +117,7 @@ def test_group_pruning_binds_and_matches_restricted_oracle(spark, emb, qv, tmp_p
     assert hier3 == want
 
 
+@pytest.mark.slow
 def test_batch_joins_match_single_probes_on_pruned_hier(spark, emb, tmp_path):
     """Per-query group restriction: a 3-query batch over a two-level
     index must return, per query, exactly the single probe's rows — even

@@ -330,6 +330,7 @@ def test_choose_band_width_skewed(spark):
     ),
     st.sampled_from([7, 16, 64]),
 )
+@pytest.mark.slow
 def test_banded_join_fuzz_matches_plain(spark, rows_a, rows_b, band):
     """Property: banded == plain for overlap and gap predicates, on
     arbitrary (negative-coordinate) intervals — guards the floor-division
@@ -384,6 +385,7 @@ def test_banded_join_fuzz_matches_plain(spark, rows_a, rows_b, band):
     ),
     st.sampled_from([7, 16, 64]),
 )
+@pytest.mark.slow
 def test_banded_join_fuzz_fractional_coordinates(spark, rows_a, rows_b, band):
     """Property: banded == plain on FRACTIONAL (double) coordinates —
     the r8 regression: the old upper-bucket bound floor((e-1)/W) assumed

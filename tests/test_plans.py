@@ -422,6 +422,7 @@ def test_q96_batch_knn_join_matches_single_probes(spark, tmp_path):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+@pytest.mark.slow
 def test_q97_batch_adc_join_matches_single_probes(spark, tmp_path):
     """Per-query results of the batched ADC kNN join equal the single
     ivfpq probe bit-for-bit across ALL THREE index flavors — raw, OPQ

@@ -87,6 +87,7 @@ def test_sketch_rerank_shortlist(spark, emb):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_sketch_rerank_recall_sf01(spark):
     """Scale-path recall gate: >=0.9 recall@10 vs brute force at sf0.1
     (2000 x 64-dim embeddings) with a 100-candidate shortlist (5% scan)."""
@@ -351,6 +352,7 @@ def test_pq_assign_deterministic_vs_numpy(spark):
     assert len(got) == 40 * m
 
 
+@pytest.mark.slow
 def test_near_dup_formula_planes_recall_vs_exact(spark):
     """Recall gate for the corpus-size plane formula at sf0.1 (2000
     vectors -> 6 planes): blocked near-dup pairs at the true-duplicate
@@ -510,6 +512,7 @@ def test_opq_train_orthogonal_and_deterministic(spark):
     assert np.allclose(r1 @ r1.T, np.eye(16), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_opq_reduces_distortion_on_correlated_data(spark, tmp_path):
     """OPQ's guarantee (Ge et al. 2013): the learned rotation re-balances
     variance across PQ subspaces, so reconstruction distortion at
@@ -539,6 +542,7 @@ def test_opq_reduces_distortion_on_correlated_data(spark, tmp_path):
     assert errs["opq"] < errs["raw"] * 0.9, errs
 
 
+@pytest.mark.slow
 def test_opq_index_equals_prerotated_index(spark, tmp_path):
     """Composed parity: an OPQ index probed with q must equal a plain
     index built on pre-rotated vectors probed with q @ R — the rotation
@@ -558,6 +562,7 @@ def test_opq_index_equals_prerotated_index(spark, tmp_path):
     assert got == want and len(got) == 10
 
 
+@pytest.mark.slow
 def test_ivfsq_probe_matches_numpy_replay(spark, tmp_path):
     """IVF-SQ8's whole pipeline — per-dim bounds, floor/clamp encode,
     affine decode, scaled-BIGINT asymmetric distance — replayed in
@@ -632,6 +637,7 @@ def test_ivfsq_reconstruction_error_bounded(spark, tmp_path):
         assert (np.abs(vecs[r["id"]] - xhat) <= delta / 2 + 1e-12).all()
 
 
+@pytest.mark.slow
 def test_fast_build_matches_expression_build(spark, tmp_path):
     """fast=True (BLAS assignment + BLAS frozen-codebook encode) produces
     a BYTE-identical index to the expression-path build on the test
@@ -671,6 +677,7 @@ def test_fast_build_matches_expression_build(spark, tmp_path):
     assert cells(slow) == cells(fast)
 
 
+@pytest.mark.slow
 def test_auto_cells_sizes_with_corpus(spark, tmp_path):
     """n_cells='auto' resolves to recommended_cells(count) = round(4*sqrt(n))
     — the scale-safe default the 2M rehearsal motivated (a constant

@@ -4,6 +4,7 @@ compaction must leave a self-consistent, label-preserving index."""
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from esper_tv_spark.operators.similarity import (
@@ -116,6 +117,7 @@ def test_recenter_is_deterministic_across_partitionings(spark, tmp_path):
     assert c1 == c2
 
 
+@pytest.mark.slow
 def test_ivfpq_stream_insert_equals_batch_rebuild(spark, tmp_path):
     from esper_tv_spark.operators.similarity import (
         ivfpq_build_index,
@@ -157,6 +159,7 @@ def test_ivfpq_stream_insert_equals_batch_rebuild(spark, tmp_path):
     assert a == b
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_stream_insert_equals_batch_rebuild(spark, tmp_path):
     from esper_tv_spark.operators.similarity import (
         ivfpq_build_index,
@@ -279,6 +282,7 @@ def test_ivfpq_rebuild_crash_cannot_leave_mixed_generation(spark, tmp_path, monk
     assert not complete
 
 
+@pytest.mark.slow
 def test_ivfpq_opq_stream_insert_equals_batch_rebuild(spark, tmp_path):
     """OPQ indexes: stream inserts must rotate the micro-batch with the
     persisted rotation, keeping stream==batch bit-identity."""
@@ -455,6 +459,7 @@ def test_compaction_recovers_from_mid_swap_crash(spark, tmp_path):
         assert not os.path.exists(leftover)
 
 
+@pytest.mark.slow
 def test_compaction_works_on_pq_and_sq_code_layouts(spark, tmp_path):
     """Compaction is schema-agnostic: the same op compacts ivfpq and
     ivfsq posting lists (id + codes) with probe bit-identity."""
@@ -547,6 +552,7 @@ def test_serving_survives_insert_and_compaction_interleaving(spark, tmp_path):
 # ---------------------------------------------------------- logical deletes
 
 
+@pytest.mark.slow
 def test_ann_delete_hides_ids_from_every_probe_path(spark, tmp_path):
     """Tombstoned ids must vanish from single probes AND batch joins on
     all three index layouts — the anti-join is applied at the posting
@@ -739,6 +745,7 @@ def test_retirement_drops_dead_centroid_and_frees_probe_slot(spark, tmp_path):
     assert compact_posting_lists(spark, idx, retire_empty_cells=True)["cells_retired"] == 0
 
 
+@pytest.mark.slow
 def test_retirement_preserves_two_level_layout(spark, tmp_path):
     """Retiring a cell of a TWO-LEVEL index must keep the grp partition
     column (probes partition-prune the centroid read) and leave groups/
