@@ -1515,7 +1515,13 @@ def q51_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.build_srp_index(
             emb, idx, n_planes=n_planes, seed=seed, n_bands=n_bands, dim=dim
         )
-    return dedup.near_dup_pairs_from_index(emb, idx, threshold=0.4)
+    # fast=True: the r11 gather-scoring rung (vector matrix loaded once
+    # per worker from the source parquet; one einsum per Arrow batch of
+    # candidate pairs) — interleaved A/B at sf1: slow best 9.9s vs fast
+    # warm best 3.3s, rows identical; oracle-rehashed at every gate SF
+    # (the r10 twin policy).  Falls back to the expression path when the
+    # matrix exceeds the session budget or the table isn't file-backed.
+    return dedup.near_dup_pairs_from_index(emb, idx, threshold=0.4, fast=True)
 
 
 def _q51_sql(n_planes: int | None = None, n_bands: int = 16, seed: int = 42) -> str:

@@ -1,8 +1,8 @@
-"""Capture .explain("formatted") for headline queries into plans/r10/.
+"""Capture .explain("formatted") for headline queries into plans/r11/.
 
 Usage: python tools/capture_plans.py <suffix: before|after> [query ...]
 
-Writes plans/r10/<query>_<suffix>.txt for each requested query (default:
+Writes plans/r11/<query>_<suffix>.txt for each requested query (default:
 every bench HEADLINE query).  Uses the bench session (get_spark) so the
 captured plan is the plan the bench actually times.
 """
@@ -25,7 +25,7 @@ def main() -> None:
     names = sys.argv[2:] or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
     )
     os.makedirs(out_dir, exist_ok=True)
 
