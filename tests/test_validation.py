@@ -271,3 +271,36 @@ SELECT * FROM out_u UNION ALL SELECT * FROM out_a
     }
     assert ("ghost", "unadjusted") in got
     assert got == want
+
+
+def test_bootstrap_one_pass_parity(spark):
+    """one_pass True (single persisted groupBy(unit,pred,truth) base —
+    the corpus-scale shape) / False (five direct aggregations — the
+    bench-scale shape) / None (data-adaptive) produce IDENTICAL rows:
+    every derived aggregate is an additive regroup of the base counts
+    (r11, the size-adaptive switch the r10 verdict prescribed)."""
+    import random
+
+    from esper_tv_spark.domain.validation import bootstrap_adjusted_totals
+
+    rng = random.Random(11)
+    cls = ["a", "b", "c"]
+    rows = [
+        (i % 37, rng.choice(cls), rng.choice(cls)) for i in range(600)
+    ]
+    labeled = spark.createDataFrame(rows, "unit int, pred string, truth string")
+
+    def got(mode):
+        return sorted(
+            map(
+                tuple,
+                bootstrap_adjusted_totals(
+                    labeled, "unit", "pred", "truth",
+                    trials=25, k=12, seed=5, one_pass=mode,
+                ).collect(),
+            )
+        )
+
+    ref = got(False)
+    assert got(True) == ref
+    assert got(None) == ref
