@@ -482,6 +482,54 @@ def step_maint(spark, emit, sf_dir=None, tag="sf1"):
     assert r1 == r2, "compaction changed serving results"
     assert sees_tail, "inserted vectors invisible to the serving join"
 
+    # tombstone -> purge -> retire walls (r11 VERDICT #8): the earlier
+    # phases time build/insert/compact; these time the DELETE lifecycle
+    # itself — the logical tombstone write, the probe paying the
+    # tombstone anti-join, the physical purge, and cell retirement —
+    # with the serving contracts asserted at each step (deleted ids
+    # vanish immediately; a purge is bit-identical to the tombstoned
+    # view; retirement keeps them gone).
+    from esper_tv_spark.streaming.ann import ann_delete
+
+    served = sorted({int(v) for _q, v, _s in r2})
+    t0 = time.time()
+    ann_delete(spark, idx, served)
+    delete_s = time.time() - t0
+    r3, w3 = join_wall()
+    still = sorted(set(served) & {int(v) for _q, v, _s in r3})
+    t0 = time.time()
+    purge_stats = compact_posting_lists(spark, idx, min_fragments=1, purge=True)
+    purge_s = time.time() - t0
+    r4, w4 = join_wall()
+    t0 = time.time()
+    retired = compact_posting_lists(
+        spark, idx, min_fragments=10**9, retire_empty_cells=True
+    ).get("cells_retired", 0)
+    retire_s = time.time() - t0
+    r5, w5 = join_wall()
+    emit(
+        {
+            "step": f"delete_lifecycle_{tag}",
+            "tombstoned_ids": len(served),
+            "tombstone_write_s": round(delete_s, 2),
+            "join_wall_tombstoned_s": round(w3, 2),
+            "deleted_ids_still_served": len(still),
+            "purge_s": round(purge_s, 1),
+            "purged_ids": purge_stats.get("purged_ids"),
+            "join_wall_purged_s": round(w4, 2),
+            "purge_bit_identical_to_tombstoned": r3 == r4,
+            "cells_retired": retired,
+            "retire_s": round(retire_s, 1),
+            "join_wall_retired_s": round(w5, 2),
+            "deleted_ids_after_retire": len(
+                set(served) & {int(v) for _q, v, _s in r5}
+            ),
+        }
+    )
+    assert not still, "tombstoned ids still served"
+    assert r3 == r4, "physical purge changed serving results"
+    assert not set(served) & {int(v) for _q, v, _s in r5}
+
 
 def step_trainedgroups(spark, emit):
     """TRAINED level-1 group centers at 2M (the r9 'trained groups'
